@@ -1,0 +1,23 @@
+"""breweries_data_pipeline_spark — a PySpark-native analytics engine.
+
+A brand-new, idiomatic-Spark engine with the query/data-processing
+capabilities of the reference medallion ETL pipeline
+(BrunaMartins-data/breweries-data-pipeline), re-expressed Spark-first:
+
+- tables are DataFrames; layers are Parquet directories
+- schemas are declarative (YAML/dict -> StructType), enforced at read
+- cleaning (dedup / dropna / normalize / cast) are stock Column ops
+- aggregation is a declarative spec compiled to groupBy().agg(F.expr)
+- quality rules compile to ONE single-pass agg job (the reference runs
+  one Spark job per rule)
+- extensions: joins, windows, rollup, text analysis, dedup (exact +
+  MinHash-LSH + SimHash + n-gram Jaccard), embedding similarity search,
+  multimodal binary columns, and Structured Streaming event windows
+
+Everything is built on the public PySpark DataFrame/SQL API; no custom
+Catalyst rules are needed (SURVEY.md §4).
+"""
+
+__version__ = "0.1.0"
+
+from breweries_data_pipeline_spark.session import get_spark  # noqa: F401

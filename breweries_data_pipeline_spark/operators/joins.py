@@ -1,0 +1,50 @@
+"""Join operators (SURVEY.md §2.6 X1/X2 — extension surface; the
+reference contains no data joins).
+
+Strategy selection, not new machinery: Catalyst already implements
+broadcast-hash, shuffled-hash and sort-merge joins; this module's job
+is to hand it the right hints.
+
+Scale rules of thumb encoded here:
+- dimension tables (region/nation/customer-sized) -> ``F.broadcast``:
+  zero shuffle of the fact side; at 100 TB the fact-side shuffle IS
+  the cost, so broadcasting every eligible dim is the single biggest
+  win.
+- fact-fact joins -> shuffle (sort-merge) on the join key; rely on AQE
+  skew-join splitting for hot keys; pre-bucketing both sides on the
+  key removes the shuffle entirely for repeated joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dim_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on,
+    *,
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Fact ⋈ dimension with an explicit broadcast hint on the dim.
+
+    The hint is advisory — AQE will demote it if the dim exceeds the
+    broadcast threshold at runtime, so it is safe to set by table role
+    rather than measured size.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(d, on, how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """Rows of ``left`` with a match in ``right`` (EXISTS). Only the
+    join key of ``right`` is shuffled/broadcast — never its payload."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """Rows of ``left`` with no match in ``right`` (NOT EXISTS)."""
+    return left.join(right, on, "left_anti")

@@ -1,0 +1,559 @@
+"""Query registry: every operator from SURVEY.md §2, exercised on the
+driver testdata, each paired with a DuckDB oracle SQL string.
+
+Registry shape: ``REGISTRY[name] = (spark_fn, oracle_sql_or_None)``
+where ``spark_fn(spark, sf_dir) -> DataFrame``. ``__spark_entry__``
+re-exports this as ``queries()`` / ``oracle_sql()``.
+
+Cross-engine determinism rules used throughout (FIXTURES.md):
+- every computed column aliased identically in Spark and SQL
+- floating-point SUMs accumulate in DECIMAL (exact, order-independent)
+  then cast to double, so both engines produce bit-identical doubles
+- AVGs are written as exact-sum / count, never engine-native avg
+- explicit tie-break columns on every ranking/limit
+- timestamps leave the engine as formatted strings
+- literal stamps are injected constants, never now()/today()
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from breweries_data_pipeline_spark.operators import (
+    add_literal,
+    cast_columns,
+    deduplicate,
+    declarative_aggregate,
+    drop_null_required,
+    grouped_count,
+    normalize_strings,
+    rules_dataframe,
+    union_views,
+)
+from breweries_data_pipeline_spark.operators.joins import anti_join, dim_join, semi_join
+from breweries_data_pipeline_spark.operators.windows import (
+    event_time_window_agg,
+    topk_global,
+    topk_per_group,
+)
+from breweries_data_pipeline_spark.sources import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+# injected stamp value (reference uses date.today(); we pin for replay)
+STAMP_DATE = "2025-01-01"
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scan_parquet",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity < 10
+    """,
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 parquet scan with projection+filter that reach the reader
+    (PushedFilters / 3-column ReadSchema)."""
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@register("q_count_rows", "SELECT count(*) AS n_rows FROM lineitem")
+def q_count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 full-table count (parquet metadata-only at best)."""
+    return read_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_add_literal",
+    f"""
+    SELECT o_orderkey, o_orderstatus, '{STAMP_DATE}' AS ingestion_date
+    FROM orders
+    """,
+)
+def q_add_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P3 literal stamp column (injected, replayable)."""
+    df = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return add_literal(df, "ingestion_date", STAMP_DATE)
+
+
+@register(
+    "q_cast_types",
+    """
+    SELECT p_partkey,
+           CAST(p_partkey AS VARCHAR) AS p_partkey_str,
+           CAST(p_size AS BIGINT)     AS p_size_long,
+           CAST(floor(p_retailprice) AS BIGINT) AS p_retail_floor
+    FROM part
+    """,
+)
+def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 metadata-driven casts (int->string, int->long, double->long
+    via floor — double->int directly is avoided: engines disagree on
+    round-vs-truncate)."""
+    df = read_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_partkey").alias("p_partkey_str"),
+        F.col("p_size").alias("p_size_long"),
+        F.floor("p_retailprice").alias("p_retail_floor"),
+    )
+    return cast_columns(
+        df, {"p_partkey_str": "string", "p_size_long": "long", "p_retail_floor": "long"}
+    )
+
+
+@register(
+    "q_normalize_strings",
+    """
+    SELECT c_custkey, trim(lower(c_name)) AS c_name,
+           trim(lower(c_mktsegment)) AS c_mktsegment
+    FROM customer
+    """,
+)
+def q_normalize_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 trim+lower normalization (reference Silver cleaning)."""
+    df = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return normalize_strings(df, ["c_name", "c_mktsegment"])
+
+
+# ---------------------------------------------------------------------------
+# §2.3 cleaning / quality
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_by_key",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) = 1
+    """,
+)
+def q_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 deduplicate-by-key, deterministic variant (keep min event_id;
+    the reference's dropDuplicates keeps an arbitrary row)."""
+    df = read_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    return deduplicate(df, ["user_id", "event_type"], order_by=["event_id"])
+
+
+@register(
+    "q_dropna_required",
+    """
+    WITH e AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value_n,
+             CASE WHEN event_id % 11 = 0 THEN NULL ELSE props END AS props_n
+      FROM events)
+    SELECT event_id, user_id, value_n, props_n FROM e
+    WHERE value_n IS NOT NULL AND props_n IS NOT NULL
+    """,
+)
+def q_dropna_required(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 drop-null-required (testdata has no physical nulls, so nulls
+    are synthesized deterministically from event_id)."""
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value")).alias("value_n"),
+        F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(F.col("props")).alias("props_n"),
+    )
+    return drop_null_required(e, ["value_n", "props_n"])
+
+
+@register(
+    "q_quality_not_null",
+    """
+    WITH e AS (SELECT CASE WHEN event_id % 11 = 0 THEN NULL ELSE props END AS props_n
+               FROM events),
+    c AS (SELECT CAST(sum(CASE WHEN props_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ic FROM e)
+    SELECT 'not_null' AS rule, 'props_n' AS "column", ic AS invalid_count, ic = 0 AS passed
+    FROM c
+    """,
+)
+def q_quality_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 not_null quality rule -> (rule, column, invalid_count, passed),
+    single-pass agg (reference runs one job per rule)."""
+    e = read_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(F.col("props")).alias("props_n")
+    )
+    return rules_dataframe(e, [{"rule": "not_null", "column": "props_n"}])
+
+
+@register(
+    "q_quality_gt_zero",
+    """
+    WITH o AS (SELECT CASE WHEN o_orderkey % 5 = 0 THEN -1.0 ELSE o_totalprice END AS price_adj
+               FROM orders),
+    c AS (SELECT CAST(sum(CASE WHEN price_adj <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS ic FROM o)
+    SELECT 'greater_than_zero' AS rule, 'price_adj' AS "column", ic AS invalid_count, ic = 0 AS passed
+    FROM c
+    """,
+)
+def q_quality_gt_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 greater_than_zero quality rule (violations synthesized —
+    every o_totalprice in testdata is positive)."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(-1.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_adj")
+    )
+    return rules_dataframe(o, [{"rule": "greater_than_zero", "column": "price_adj"}])
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations + §2.5 union (the Gold block)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_groupby_count_2key",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS total_count
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_groupby_count_2key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 group-by count, 2 keys (reference Gold view shape)."""
+    return grouped_count(read_table(spark, sf_dir, "lineitem"), ["l_returnflag", "l_linestatus"])
+
+
+@register(
+    "q_groupby_count_3key",
+    """
+    SELECT l_returnflag, l_linestatus, l_linenumber, count(*) AS total_count
+    FROM lineitem GROUP BY l_returnflag, l_linestatus, l_linenumber
+    """,
+)
+def q_groupby_count_3key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 group-by count, 3 keys."""
+    return grouped_count(
+        read_table(spark, sf_dir, "lineitem"), ["l_returnflag", "l_linestatus", "l_linenumber"]
+    )
+
+
+@register(
+    "q_gold_union",
+    f"""
+    SELECT o_orderstatus, CAST(NULL AS VARCHAR) AS o_orderpriority,
+           count(*) AS total_count, 'by_status' AS aggregation,
+           '{STAMP_DATE}' AS transformation_date
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT CAST(NULL AS VARCHAR), o_orderpriority, count(*), 'by_priority', '{STAMP_DATE}'
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_gold_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+P2+P3: the reference's distinctive Gold contract — stacked
+    heterogeneous aggregate views, discriminator tag, missing columns
+    as nulls (breweries_aggregate_gold_notebook.py:37-60)."""
+    orders = read_table(spark, sf_dir, "orders")
+    views = {
+        "by_status": grouped_count(orders, ["o_orderstatus"]),
+        "by_priority": grouped_count(orders, ["o_orderpriority"]),
+    }
+    return union_views(views, stamp_value=STAMP_DATE)
+
+
+@register(
+    "q_agg_declarative",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: the reference's *declared* YAML aggregation contract
+    (group_by + named metric exprs) compiled via F.expr."""
+    return declarative_aggregate(
+        read_table(spark, sf_dir, "lineitem"),
+        group_by=["l_returnflag"],
+        metrics=[
+            {"name": "n_rows", "expr": "count(*)"},
+            {"name": "sum_qty", "expr": "cast(sum(cast(l_quantity as decimal(18,2))) as double)"},
+            {
+                "name": "sum_price",
+                "expr": "cast(sum(cast(l_extendedprice as decimal(18,2))) as double)",
+            },
+        ],
+    )
+
+
+@register(
+    "q_count_distinct",
+    """
+    SELECT count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows FROM lineitem
+    """,
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 exact distinct aggregate (approx variant: q_approx_count_distinct,
+    rows-only)."""
+    return read_table(spark, sf_dir, "lineitem").agg(
+        F.count_distinct(F.col("l_partkey")).alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register("q_approx_count_distinct", None)
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 approx_count_distinct (HLL++): the 100 TB-scale path — no
+    exact distinct hash, constant memory. No SQL oracle (estimator is
+    engine-specific); driver does a rows-only check."""
+    return read_table(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("n_parts_approx")
+    )
+
+
+@register(
+    "q_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS total_count
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 rollup — the principled form of the reference's hand-rolled
+    union-of-groupbys (one pass, grouping-sets expansion)."""
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("total_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 joins (X1/X2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_broadcast",
+    """
+    SELECT r.r_name, count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 dim join: customer ⋈ nation ⋈ region with broadcast dims —
+    zero shuffle of the fact side; the groupBy is the only exchange."""
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    joined = dim_join(
+        dim_join(customer, nation, customer.c_nationkey == nation.n_nationkey),
+        region,
+        F.col("n_regionkey") == region.r_regionkey,
+    )
+    return joined.groupBy("r_name").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"),
+    )
+
+
+@register(
+    "q_join_shuffle",
+    """
+    SELECT o.o_orderstatus,
+           count(*) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 fact-fact join on the shuffle path (orders ⋈ lineitem).
+    At 100 TB: sort-merge on l_orderkey with AQE skew splitting;
+    bucketing both tables on orderkey would eliminate the exchange."""
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    joined = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_items"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "q_join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 left-semi: customers having orders (only the key column of
+    the right side moves)."""
+    customer = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = read_table(spark, sf_dir, "orders")
+    return semi_join(customer, orders, customer.c_custkey == orders.o_custkey)
+
+
+@register(
+    "q_join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 left-anti: customers with no orders."""
+    customer = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = read_table(spark, sf_dir, "orders")
+    return anti_join(customer, orders, customer.c_custkey == orders.o_custkey)
+
+
+# ---------------------------------------------------------------------------
+# §2.6 windows / sorts (X3/X4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+    QUALIFY rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 top-k per group: one hash exchange on the group key, local
+    rank — never a global sort. Tie-broken on o_orderkey."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return topk_per_group(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    )
+
+
+@register(
+    "q_topk_global",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 global top-k: planned as TakeOrderedAndProject (per-partition
+    heap + driver merge) — no full sort at any scale."""
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return topk_global(orders, [F.col("o_totalprice").desc(), F.col("o_orderkey")], k=10)
+
+
+# ---------------------------------------------------------------------------
+# X10 event-time windows (batch form; streaming in streaming/)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_event_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 tumbling 1-hour event-time window aggregation (batch analog
+    of the streaming query; same F.window expression)."""
+    events = read_table(spark, sf_dir, "events")
+    agg = event_time_window_agg(
+        events,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        ],
+    )
+    return agg.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship (entry): TPC-H Q1-shaped pricing summary
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2002-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped pricing summary over lineitem — scan
+    with pushed filter, partial+final hash aggregate, decimal-exact
+    sums. This is `entry()`'s query."""
+    li = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2002-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql.strip() for name, (_, sql) in REGISTRY.items() if sql is not None}

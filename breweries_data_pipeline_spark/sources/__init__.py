@@ -1,0 +1,11 @@
+from breweries_data_pipeline_spark.sources.readers import (  # noqa: F401
+    read_json,
+    read_parquet,
+    read_table,
+    read_tables,
+)
+from breweries_data_pipeline_spark.sources.writers import (  # noqa: F401
+    write_json,
+    write_parquet,
+    write_quality_report,
+)

@@ -1,0 +1,78 @@
+"""Scan operators (SURVEY.md §2.1 S3-S5, S10).
+
+All scans go through ``spark.read`` so Catalyst gets predicate
+pushdown, column pruning and partition pruning for free. At 100 TB the
+parquet scans here are the dominant cost — keep projections narrow and
+filters early so they reach ``PushedFilters`` / ``ReadSchema`` in the
+physical plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSONL scan. With ``schema`` -> enforced-at-read (PERMISSIVE nulls
+    on mismatch; reference breweries_transform_silver_notebook.py:64-68);
+    without -> schema inference (reference
+    breweries_fetch_bronze_notebook.py:96-98).
+
+    At scale, prefer the schema-enforced path: inference is a full
+    extra pass over the data.
+    """
+    reader = spark.read.option("multiline", "true" if multiline else "false")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan with hive partition-column recovery (reference
+    breweries_aggregate_gold_notebook.py:25-30)."""
+    return spark.read.parquet(path)
+
+
+# tables whose parquet files store TIMESTAMP(NANOS) — Spark reads them
+# as long (spark.sql.legacy.parquet.nanosAsLong) and we convert to
+# microsecond TimestampType here (truncation, matching how µs-native
+# engines read the same files)
+_NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table: ``{sf_dir}/{name}.parquet``."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _NANOS_TS_COLUMNS.get(name, ()):
+        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+    return df
+
+
+def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    if not names:
+        names = TESTDATA_TABLES
+    return {n: read_table(spark, sf_dir, n) for n in names}

@@ -1,0 +1,58 @@
+"""Sink operators (SURVEY.md §2.1 S2, S6-S9).
+
+Spark's output committer already gives task-level atomic publish; the
+run-versioned-directory convention reproduces the reference's atomic
+tmp-then-rename publish (breweries_fetch_bronze_notebook.py:71-85,
+run_<HHMMSS> dirs at :103) at directory granularity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink; with ``partition_by`` -> hive-partitioned layout
+    (reference breweries_transform_silver_notebook.py:85-92). Pair with
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set in the
+    session factory) for idempotent partition-level re-runs.
+
+    Scale note: choose partition columns with bounded cardinality
+    (state/country-like, O(10^2-10^4) values). High-cardinality
+    partitionBy creates a small-files explosion at 100 TB.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSONL sink (reference breweries_fetch_bronze_notebook.py:103-106)."""
+    df.write.mode(mode).json(path)
+
+
+def write_quality_report(results: list[dict[str, Any]], path: str) -> str:
+    """Quality-report JSON sink (reference
+    breweries_data_quality_gold.py:39-42). Rule results are tiny
+    (one record per rule) so a driver-side dump is correct at any
+    scale; the heavy lifting happened in the single-pass rule agg.
+
+    Writes atomically: tmp file + rename.
+    """
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(results, f, indent=2, default=str)
+    os.rename(tmp, path)
+    return path

@@ -1,0 +1,11 @@
+from breweries_data_pipeline_spark.functions.text import (  # noqa: F401
+    normalized_text,
+    stopword_count,
+    token_count,
+    tokens,
+)
+from breweries_data_pipeline_spark.functions.vectors import (  # noqa: F401
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)

@@ -1,0 +1,53 @@
+"""Text-analysis column expressions (SURVEY.md §2.6 X9; BASELINE.json
+LLM-pipeline surface).
+
+All pure Column expressions over pyspark.sql.functions — JVM-side,
+inside whole-stage codegen, no Python in the hot path. At 100 TB these
+run as a narrow map over the documents scan with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small multilingual stopword lists for the heuristic language id /
+# quality scoring. Deliberately tiny and fixed: the point is a
+# deterministic, cheap, JVM-side signal, not linguistic accuracy.
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+STOPWORDS_ES = ("el", "la", "de", "los", "las", "que", "y", "en", "un", "una")
+
+_WS = r"\s+"
+
+
+def normalized_text(col: Column | str) -> Column:
+    """trim + lower + collapse whitespace — the canonical form used by
+    fingerprinting and exact dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), _WS, " ")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization -> array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), _WS)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """A BPE-ish regex tokenization: splits out word pieces, numbers
+    and punctuation separately (approximates an LLM tokenizer's
+    pre-tokenization pass)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)
+
+
+def stopword_count(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    """Number of tokens that are stopwords (array intersection-free:
+    a filter over the token array, one pass)."""
+    toks = tokens(col)
+    arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))

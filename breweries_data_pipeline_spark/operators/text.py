@@ -1,0 +1,84 @@
+"""Document-level text analysis operators (SURVEY.md §2.6 X9;
+BASELINE.json: language-ID, quality scoring, token counting,
+fingerprinting).
+
+Everything is a narrow projection over the documents scan — no
+shuffle, fully inside whole-stage codegen. At 100 TB these are
+scan-bound; the only tuning lever is file-split size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from breweries_data_pipeline_spark.functions.text import (
+    STOPWORDS_EN,
+    STOPWORDS_ES,
+    normalized_text,
+    stopword_count,
+    token_count,
+)
+
+
+def with_token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out, token_count(text_col))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: compare per-language stopword hit counts
+    (n-gram-free variant of the classic stopword profile method).
+    Deterministic and SQL-expressible, so it is oracle-checkable."""
+    en = stopword_count(text_col, STOPWORDS_EN)
+    es = stopword_count(text_col, STOPWORDS_ES)
+    return df.withColumn(
+        out,
+        F.when(en > es, F.lit("en")).when(es > en, F.lit("es")).otherwise(F.lit("und")),
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cheap quality signals + a composite score in [0, 1]:
+    - length band (too-short and too-long docs are downweighted)
+    - alpha ratio (alphabetic chars / all chars)
+    - stopword ratio (natural text has some function words)
+    All integer-ratio arithmetic -> bit-stable across engines."""
+    n_chars = F.length(F.col(text_col))
+    n_toks = token_count(text_col)
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", ""))
+    n_stop = stopword_count(text_col)
+    alpha_ratio = n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    stop_ratio = n_stop.cast("double") / F.greatest(n_toks, F.lit(1)).cast("double")
+    len_ok = (n_chars >= 50) & (n_chars <= 10000)
+    score = (
+        F.when(len_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + alpha_ratio * 0.3
+        + F.least(stop_ratio * 3, F.lit(1.0)) * 0.3
+    )
+    return df.withColumns(
+        {
+            "n_chars_m": n_chars.cast("long"),
+            "n_tokens": n_toks.cast("long"),
+            "alpha_ratio": alpha_ratio,
+            "stop_ratio": stop_ratio,
+            "quality_score": score,
+        }
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized text.
+    Stable across engines/runs; the exact-dedup key."""
+    return df.withColumn(out, F.md5(normalized_text(text_col)))
+
+
+def language_profile(df: DataFrame, lang_col: str = "lang", text_col: str = "text") -> DataFrame:
+    """Corpus-level per-language stats (the q_text_stats shape):
+    doc count, exact char sums, exact-ratio average doc length."""
+    n_chars = F.length(F.col(text_col)).cast("long")
+    return df.groupBy(lang_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_chars).alias("sum_chars"),
+        (F.sum(n_chars).cast("double") / F.count("*").cast("double")).alias("avg_chars"),
+        F.sum(token_count(text_col).cast("long")).alias("sum_tokens"),
+    )

@@ -62,13 +62,25 @@ _NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table: ``{sf_dir}/{name}.parquet``."""
+    """Load one testdata table: ``{sf_dir}/{name}.parquet``.
+
+    Session-independent by design: any conf the read depends on is set
+    here at runtime, so the same registry works under the engine's own
+    ``get_spark()`` session AND a vanilla ``SparkSession.builder``
+    session (the driver harness supplies the latter).
+    """
     from pyspark.sql import functions as F
 
+    if name in _NANOS_TS_COLUMNS:
+        # TIMESTAMP(NANOS) parquet is unreadable without this runtime-
+        # settable conf; read nanos as long, convert below.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANOS_TS_COLUMNS.get(name, ()):
         if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
-            df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+            # integer division: `/` would promote to double and lose
+            # precision above 2^53 ns (any modern epoch)
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     return df
 
 

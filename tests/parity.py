@@ -70,7 +70,8 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> dict:
     else:
         a, b = canonical_rows(sp), canonical_rows(dk)
         if a != b:
-            diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
-            only_a = [r for r in a[:2000] if r not in set(b)][:3]
-            problems.append(f"values differ; first pairwise diffs={diffs}; spark-only={only_a}")
+            sa, sb = set(a), set(b)
+            only_a = sorted(sa - sb)[:3]
+            only_b = sorted(sb - sa)[:3]
+            problems.append(f"values differ; spark-only={only_a}; duckdb-only={only_b}")
     return {"match": not problems, "detail": "; ".join(problems)}

@@ -34,6 +34,11 @@ from breweries_data_pipeline_spark.operators import (
     union_views,
 )
 from breweries_data_pipeline_spark.operators.joins import anti_join, dim_join, semi_join
+from breweries_data_pipeline_spark.operators.text import (
+    language_profile,
+    with_lang_id,
+    with_quality_score,
+)
 from breweries_data_pipeline_spark.operators.windows import (
     event_time_window_agg,
     topk_global,
@@ -477,6 +482,86 @@ def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     heap + driver merge) — no full sort at any scale."""
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     return topk_global(orders, [F.col("o_totalprice").desc(), F.col("o_orderkey")], k=10)
+
+
+# ---------------------------------------------------------------------------
+# §2.6 X9 text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+# DuckDB spellings of the engine's text expressions (functions/text.py):
+# identical token split, identical stopword lists, identical arithmetic
+# association order so doubles are bit-equal across engines.
+_SQL_TOKENS = r"regexp_split_to_array(trim(text), '\s+')"
+_SQL_STOP_EN = (
+    f"len(list_filter({_SQL_TOKENS}, t -> list_contains("
+    "['the','a','of','and','to','in','is','that','it','for'], t)))"
+)
+_SQL_STOP_ES = (
+    f"len(list_filter({_SQL_TOKENS}, t -> list_contains("
+    "['el','la','de','los','las','que','y','en','un','una'], t)))"
+)
+
+
+@register(
+    "q_text_stats",
+    f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           CAST(sum(length(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars,
+           CAST(sum(len({_SQL_TOKENS})) AS BIGINT) AS sum_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 corpus-level per-language profile: doc counts, exact char/
+    token sums, exact-ratio average length. Narrow map + one hash agg
+    on a low-cardinality key — scan-bound at any scale."""
+    return language_profile(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_lang_id",
+    f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_SQL_STOP_EN} > {_SQL_STOP_ES} THEN 'en'
+                WHEN {_SQL_STOP_ES} > {_SQL_STOP_EN} THEN 'es'
+                ELSE 'und' END AS lang_pred
+    FROM documents
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 heuristic language ID (stopword-profile method) — pure
+    JVM-side column expressions, zero shuffle."""
+    df = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return with_lang_id(df).drop("text")
+
+
+@register(
+    "q_quality_score",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_m,
+           CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             / CAST(greatest(length(text), 1) AS DOUBLE) AS alpha_ratio,
+           CAST({_SQL_STOP_EN} AS DOUBLE)
+             / CAST(greatest(len({_SQL_TOKENS}), 1) AS DOUBLE) AS stop_ratio,
+           (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END
+            + (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.3)
+            + least((CAST({_SQL_STOP_EN} AS DOUBLE)
+                     / CAST(greatest(len({_SQL_TOKENS}), 1) AS DOUBLE)) * 3, 1.0) * 0.3
+             AS quality_score
+    FROM documents
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 document quality scoring: length band + alpha ratio +
+    stopword ratio -> composite score. Integer-ratio arithmetic with
+    pinned association order, so doubles are bit-equal vs the oracle."""
+    df = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_quality_score(df).drop("text")
 
 
 # ---------------------------------------------------------------------------

@@ -45,6 +45,30 @@ def bpe_ish_tokens(col: Column | str) -> Column:
     return F.regexp_extract_all(c, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)
 
 
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Token n-gram shingles -> array<string> (space-joined n-grams).
+    Documents shorter than ``n`` tokens collapse to one whole-document
+    shingle so every doc has a non-empty shingle set. Pure higher-order
+    functions — no explode, no shuffle."""
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def ngram_jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two shingle arrays under set
+    semantics (array_intersect/array_union both dedupe). Integer
+    ratio cast to double -> bit-stable across engines."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return inter / union
+
+
 def stopword_count(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
     """Number of tokens that are stopwords (array intersection-free:
     a filter over the token array, one pass)."""

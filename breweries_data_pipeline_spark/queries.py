@@ -33,6 +33,13 @@ from breweries_data_pipeline_spark.operators import (
     rules_dataframe,
     union_views,
 )
+from breweries_data_pipeline_spark.functions.text import ngram_jaccard, shingles
+from breweries_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    near_dedup_minhash,
+    simhash_near_dup_pairs,
+    verified_near_dup_pairs,
+)
 from breweries_data_pipeline_spark.operators.joins import anti_join, dim_join, semi_join
 from breweries_data_pipeline_spark.operators.text import (
     language_profile,
@@ -562,6 +569,98 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned association order, so doubles are bit-equal vs the oracle."""
     df = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return with_quality_score(df).drop("text")
+
+
+# ---------------------------------------------------------------------------
+# §2.6 X7 text dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard)
+# ---------------------------------------------------------------------------
+
+_SQL_FINGERPRINT = r"md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"
+# DuckDB spelling of functions.text.shingles(text, 3): token 3-grams,
+# whole-doc fallback for short docs. range() is end-exclusive so
+# range(1, len-1) yields start positions 1..len-2 — same count as
+# Spark's sequence(0, size-3).
+_SQL_SHINGLES = (
+    r"CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 3 "
+    r"THEN list_transform(range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1), "
+    r"i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), i, i + 2), ' ')) "
+    r"ELSE [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')] END"
+)
+
+
+@register(
+    "q_dedup_text",
+    f"""
+    SELECT doc_id, fingerprint FROM (
+        SELECT doc_id,
+               {_SQL_FINGERPRINT} AS fingerprint,
+               row_number() OVER (
+                   PARTITION BY {_SQL_FINGERPRINT} ORDER BY doc_id
+               ) AS rn
+        FROM documents
+    ) t WHERE rn = 1
+    """,
+)
+def q_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 exact text dedup: md5 of whitespace-normalized text, keep the
+    smallest doc_id per fingerprint. One shuffle on a uniform hash key
+    — skew-free by construction at any scale."""
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "fingerprint")
+
+
+@register(
+    "q_ngram_jaccard",
+    f"""
+    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents)
+    SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b,
+           CAST(len(list_intersect(list_distinct(a.s), list_distinct(b.s))) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 exact n-gram Jaccard similarity between consecutive doc
+    pairs — the oracle-checked verification kernel that the
+    MinHash-LSH pipeline uses on its candidate pairs. Equi-join on
+    doc_id, set-semantics intersect/union, integer-ratio double."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles("text", 3).alias("s"))
+    nxt = sh.select((F.col("doc_id") - 1).alias("doc_id"), F.col("s").alias("s_b"))
+    return sh.join(nxt, "doc_id").select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1).alias("id_b"),
+        ngram_jaccard(F.col("s"), F.col("s_b")).alias("jaccard"),
+    )
+
+
+@register("q_neardup_pairs_minhash", None)
+def q_neardup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 MinHash-LSH near-dup candidate pairs, verified with exact
+    n-gram Jaccard. Candidate generation is a self equi-join on
+    (band, band_hash) — bucketed, never a crossJoin (plan-asserted in
+    tests/test_dedup.py). No SQL oracle: the seeded-xxhash64 MinHash
+    family is not reproducible in DuckDB."""
+    docs = read_table(spark, sf_dir, "documents")
+    return verified_near_dup_pairs(docs, threshold=0.5)
+
+
+@register("q_dedup_neardup", None)
+def q_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 near-dup dedup end-to-end: drop docs with a verified
+    near-duplicate of smaller id. Rows-only check (LSH not
+    SQL-expressible); survivor count upper-bounded by exact dedup."""
+    docs = read_table(spark, sf_dir, "documents")
+    return near_dedup_minhash(docs, threshold=0.5).select("doc_id", "lang", "source")
+
+
+@register("q_simhash_pairs", None)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 SimHash near-dup pairs (hamming <= 3) via 4-block pigeonhole
+    blocking — self equi-join per block, union, exact bit_count
+    verify. No SQL oracle (xxhash64 family)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,86 @@
+"""X7 dedup operator tests: behavioral checks on synthetic near-dups
+plus plan assertions that candidate generation never degenerates to an
+all-pairs crossJoin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from breweries_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    near_dedup_minhash,
+    simhash_near_dup_pairs,
+    verified_near_dup_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep dark forest to find some food for the long cold winter"
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0 (modulo id)
+        (2, BASE.replace("winter", "night")),  # near dup of 0
+        (3, "completely different text about spark query engines and shuffles"),
+        (4, "   The  QUICK brown fox jumps over the lazy dog and then runs far away "
+            "into the deep dark forest to find some food for the long cold winter "),
+        # 4 = whitespace/case variant of 0 -> same fingerprint
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_normalizes_and_keeps_min_id(spark):
+    out = exact_dedup(_docs(spark))
+    ids = sorted(r.doc_id for r in out.collect())
+    # 0,1,4 share a fingerprint -> keep 0; 2 and 3 unique
+    assert ids == [0, 2, 3]
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    sigs = {r.doc_id: r.minhash for r in minhash_signatures(_docs(spark)).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+    assert len(sigs[0]) == 64
+
+
+def test_near_dup_pairs_find_the_near_dup(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in verified_near_dup_pairs(_docs(spark), threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_near_dedup_minhash_drops_dups_keeps_unique(spark):
+    out = near_dedup_minhash(_docs(spark), threshold=0.5)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert 0 in ids and 3 in ids
+    assert 1 not in ids and 2 not in ids
+
+
+def test_simhash_pairs_exact_dups_zero_distance(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(_docs(spark)).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    assert not any(3 in p for p in pairs)
+
+
+def test_lsh_plan_has_no_cartesian_product(spark, sf_dir):
+    from breweries_data_pipeline_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    for df in (
+        verified_near_dup_pairs(docs, threshold=0.5),
+        simhash_near_dup_pairs(docs),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

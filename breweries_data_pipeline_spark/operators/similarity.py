@@ -1,0 +1,169 @@
+"""Embedding similarity search (SURVEY.md §2.6 X8; BASELINE.json:
+brute-force cosine top-k baseline + LSH-bucketed ANN scale path).
+
+Two plans, one contract (probe_id, vec_id, cosine, rank):
+
+- ``cosine_topk`` (exact baseline): broadcast the (small) probe set
+  against the corpus — a BroadcastNestedLoopJoin that scans the corpus
+  ONCE regardless of probe count, then ranks per probe with one hash
+  exchange on probe_id. Cost is O(|corpus| * |probes|) multiply-adds,
+  all inside whole-stage codegen. Correct plan when probes are few;
+  never quadratic in the corpus.
+
+- ``ann_topk`` (scale path): random-hyperplane LSH. Each vector gets a
+  b-bit signature (sign of dot with b fixed pseudo-random planes);
+  signatures band into groups of adjacent bits; probe meets corpus
+  vector only if some band matches — an equi-join on (band, value), so
+  candidate generation shuffles on band buckets instead of fanning the
+  whole corpus to every probe. Candidates are then ranked by exact
+  cosine. Recall tunes with bands/bits (more bands = more recall, more
+  candidates). At 100 TB the signature pass is a narrow scan-bound
+  map and the join touches only colliding buckets.
+
+Hyperplanes are module-level constants from a seeded PRNG — identical
+across sessions/executors, no numpy, no driver->executor closure
+capture beyond plain literals.
+
+All cosine arithmetic is pinned-order double (float->double cast,
+left-fold sum): verified bit-equal between Spark's F.aggregate and
+DuckDB's list_sum, so exact queries are hash-checkable.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from breweries_data_pipeline_spark.functions.vectors import (
+    cosine_similarity,
+)
+from breweries_data_pipeline_spark.operators.windows import topk_per_group
+
+# Fixed pseudo-random hyperplanes over up-to-128-dim embeddings.
+# Seeded so plans are replayable; components in [-1, 1]. 32 planes in
+# 8 bands of 4 bits: for a neighbor at cosine ~0.3 (the testdata
+# regime) collision probability per band ~0.15, any-of-8 ~0.7 —
+# tune bands up for recall / down for candidate volume.
+_rng = random.Random(42)
+N_PLANES = 32
+MAX_DIM = 128
+HYPERPLANES: list[list[float]] = [
+    [_rng.uniform(-1.0, 1.0) for _ in range(MAX_DIM)] for _ in range(N_PLANES)
+]
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per probe.
+
+    ``probes`` must be small (it is broadcast); ``corpus`` is scanned
+    once. Returns (probe_id, vec_id, cosine, rank) with deterministic
+    (cosine desc, vec_id) tie-break; self-matches excluded.
+    """
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("__probe_vec")
+    )
+    scored = (
+        corpus.select(id_col, vec_col)
+        .join(F.broadcast(p), F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id",
+            id_col,
+            cosine_similarity(F.col(vec_col), F.col("__probe_vec")).alias("cosine"),
+        )
+    )
+    return topk_per_group(
+        scored,
+        ["probe_id"],
+        [F.col("cosine").desc(), F.col(id_col)],
+        k,
+        rank_name="rank",
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def hyperplane_signature(vec_col: str | Column, n_planes: int = N_PLANES) -> list[Column]:
+    """One sign-bit column per hyperplane: dot(vec, plane) > 0.
+    Plane components are indexed literals, so the whole thing is a
+    narrow JVM-side expression (no UDF, no shuffle)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bits = []
+    for j in range(n_planes):
+        plane = HYPERPLANES[j]
+        dot = F.aggregate(
+            F.transform(
+                v,
+                lambda x, i: x.cast("double")
+                * F.element_at(F.array(*[F.lit(c) for c in plane]), i + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+        bits.append((dot > 0).cast("int").alias(f"__bit{j}"))
+    return bits
+
+
+def _band_cols(n_planes: int, bands: int) -> list[Column]:
+    """Pack adjacent sign bits into per-band integer values."""
+    per = n_planes // bands
+    cols = []
+    for b in range(bands):
+        val = F.lit(0)
+        for i in range(per):
+            val = val + F.col(f"__bit{b * per + i}") * (1 << i)
+        cols.append(val.alias(f"__band{b}"))
+    return cols
+
+
+def ann_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    bands: int = 8,
+) -> DataFrame:
+    """Approximate cosine top-k: hyperplane-LSH banded candidate
+    generation (equi-join per band on the band value, union, distinct)
+    followed by exact cosine ranking of candidates only. Same output
+    contract as cosine_topk; recall < 1 by design."""
+    sig_cols = hyperplane_signature(vec_col, n_planes)
+    c = corpus.select(id_col, vec_col, *sig_cols).select(
+        id_col, vec_col, *_band_cols(n_planes, bands)
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("__probe_vec"),
+        *sig_cols,
+    ).select("probe_id", "__probe_vec", *_band_cols(n_planes, bands))
+
+    cand = None
+    for b in range(bands):
+        cb = c.join(
+            p.withColumnRenamed(f"__band{b}", "__pb"),
+            (F.col(f"__band{b}") == F.col("__pb"))
+            & (F.col(id_col) != F.col("probe_id")),
+        ).select("probe_id", id_col, vec_col, "__probe_vec")
+        cand = cb if cand is None else cand.unionByName(cb)
+    scored = (
+        cand.distinct()
+        .select(
+            "probe_id",
+            id_col,
+            cosine_similarity(F.col(vec_col), F.col("__probe_vec")).alias("cosine"),
+        )
+    )
+    return topk_per_group(
+        scored,
+        ["probe_id"],
+        [F.col("cosine").desc(), F.col(id_col)],
+        k,
+        rank_name="rank",
+    ).withColumn("rank", F.col("rank").cast("long"))

@@ -41,6 +41,7 @@ from breweries_data_pipeline_spark.operators.dedup import (
     verified_near_dup_pairs,
 )
 from breweries_data_pipeline_spark.operators.joins import anti_join, dim_join, semi_join
+from breweries_data_pipeline_spark.operators.similarity import ann_topk, cosine_topk
 from breweries_data_pipeline_spark.operators.text import (
     language_profile,
     with_lang_id,
@@ -661,6 +662,63 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify. No SQL oracle (xxhash64 family)."""
     docs = read_table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# §2.6 X8 similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+# DuckDB spelling of functions.vectors: pinned-order double arithmetic
+# (left-fold sum over element products; denominator sqrt(a)*sqrt(b)).
+# list_sum over a double list is bit-equal to Spark's F.aggregate fold
+# (verified empirically on the testdata embeddings).
+_SQL_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@register(
+    "q_similarity_topk",
+    f"""
+    WITH p AS (
+        SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5
+    ),
+    s AS (
+        SELECT p.probe_id, c.vec_id,
+               {_SQL_DOT.format(a="c.embedding", b="pe")}
+               / (sqrt({_SQL_DOT.format(a="c.embedding", b="c.embedding")})
+                  * sqrt({_SQL_DOT.format(a="pe", b="pe")})) AS cosine
+        FROM embeddings c JOIN p ON c.vec_id <> p.probe_id
+    )
+    SELECT probe_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY cosine DESC, vec_id
+        ) AS rn FROM s
+    ) t WHERE rn <= 5
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 exact brute-force cosine top-k for a 5-probe set: broadcast
+    probes x one corpus scan (never corpus x corpus), rank per probe
+    with one hash exchange on probe_id. Deterministic (cosine desc,
+    vec_id) tie-break."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, probes, k=5)
+
+
+@register("q_similarity_ann", None)
+def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 ANN scale path: random-hyperplane LSH banded candidates
+    (equi-join on band values — bucketed, no all-pairs fan-out) +
+    exact cosine rank of candidates. Rows-only: recall < 1 by design,
+    so no SQL oracle; recall vs the exact query is asserted in
+    tests/test_similarity.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return ann_topk(emb, probes, k=5)
 
 
 # ---------------------------------------------------------------------------

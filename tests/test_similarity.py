@@ -1,0 +1,45 @@
+"""X8 similarity-search tests: exact-vs-oracle is covered by the
+parity sweep; here we check the ANN path — recall against the exact
+top-k, and that candidate generation is an equi-join (no cartesian)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from breweries_data_pipeline_spark.operators.similarity import ann_topk, cosine_topk
+from breweries_data_pipeline_spark.sources import read_table
+
+
+def _probe_set(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    return emb, emb.filter(F.col("vec_id") < 5)
+
+
+def test_ann_recall_vs_exact(spark, sf_dir):
+    emb, probes = _probe_set(spark, sf_dir)
+    exact = {
+        (r.probe_id, r.vec_id) for r in cosine_topk(emb, probes, k=5).collect()
+    }
+    ann = {(r.probe_id, r.vec_id) for r in ann_topk(emb, probes, k=5).collect()}
+    recall = len(exact & ann) / len(exact)
+    # 16 planes / 4 bands: banding keeps high-cosine pairs with high
+    # probability; a floor of 0.4 catches structural breakage without
+    # flaking on LSH variance.
+    assert recall >= 0.4, f"ANN recall {recall:.2f} below floor"
+
+
+def test_ann_scores_are_exact_for_returned_pairs(spark, sf_dir):
+    emb, probes = _probe_set(spark, sf_dir)
+    exact = {
+        (r.probe_id, r.vec_id): r.cosine
+        for r in cosine_topk(emb, probes, k=5).collect()
+    }
+    for r in ann_topk(emb, probes, k=5).collect():
+        if (r.probe_id, r.vec_id) in exact:
+            assert r.cosine == exact[(r.probe_id, r.vec_id)]
+
+
+def test_ann_plan_has_no_cartesian_product(spark, sf_dir):
+    emb, probes = _probe_set(spark, sf_dir)
+    plan = ann_topk(emb, probes, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -52,7 +52,11 @@ from breweries_data_pipeline_spark.operators.windows import (
     topk_global,
     topk_per_group,
 )
-from breweries_data_pipeline_spark.sources import read_table
+from breweries_data_pipeline_spark.sources import (
+    json_fixture_from_events,
+    read_json,
+    read_table,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
@@ -89,6 +93,21 @@ def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("l_quantity") < 10)
         .select("l_orderkey", "l_linenumber", "l_quantity")
     )
+
+
+@register(
+    "q_scan_json_infer",
+    "SELECT event_id, event_type, user_id FROM events WHERE event_id < 1000",
+)
+def q_scan_json_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 JSON scan with schema inference (reference Bronze read,
+    breweries_fetch_bronze_notebook.py:96-98): a deterministic JSONL
+    fixture derived from events, read back with inferred schema. The
+    oracle runs the same selection on the parquet events view —
+    inference must land on (bigint, string, bigint) for values to
+    hash-match."""
+    path = json_fixture_from_events(spark, sf_dir)
+    return read_json(spark, path).select("event_id", "event_type", "user_id")
 
 
 @register("q_count_rows", "SELECT count(*) AS n_rows FROM lineitem")

@@ -1,4 +1,5 @@
 from breweries_data_pipeline_spark.sources.readers import (  # noqa: F401
+    json_fixture_from_events,
     read_json,
     read_parquet,
     read_table,

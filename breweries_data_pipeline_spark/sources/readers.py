@@ -84,6 +84,30 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def json_fixture_from_events(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a deterministic JSONL fixture (events with
+    event_id < 1000, three columns) under /tmp, once per sf_dir, for
+    the schema-inference scan path (S3). Atomic publish: write to a
+    tmp dir then rename, so concurrent readers never see partial
+    output."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join("/tmp", "breweries_json_fixture", tag)
+    if not os.path.exists(out):
+        df = (
+            read_table(spark, sf_dir, "events")
+            .filter("event_id < 1000")
+            .select("event_id", "event_type", "user_id")
+        )
+        tmp = out + ".tmp"
+        df.write.mode("overwrite").json(tmp)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            pass  # lost a concurrent race; winner's output is identical
+    return out
+
+
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     if not names:
         names = TESTDATA_TABLES

@@ -777,6 +777,38 @@ def q_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_event_window_stream", None)
+def q_event_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 streaming form: the SAME window expression as q_event_window
+    over a file-source stream, drained with an availableNow trigger.
+    Rows-only check here; exact batch-parity is asserted in
+    tests/test_streaming.py (streaming state has no SQL oracle)."""
+    from breweries_data_pipeline_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        streaming_event_window_agg,
+    )
+
+    sdf = read_events_stream(spark, sf_dir)
+    agg = streaming_event_window_agg(
+        sdf,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        ],
+    )
+    shaped = agg.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    return run_available_now(shaped, "q_event_window_stream")
+
+
 # ---------------------------------------------------------------------------
 # flagship (entry): TPC-H Q1-shaped pricing summary
 # ---------------------------------------------------------------------------

@@ -1,0 +1,5 @@
+from breweries_data_pipeline_spark.streaming.windows import (  # noqa: F401
+    read_events_stream,
+    run_available_now,
+    streaming_event_window_agg,
+)

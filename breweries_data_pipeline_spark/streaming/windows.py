@@ -1,0 +1,91 @@
+"""Structured Streaming event-time windows (SURVEY.md §2.6 X10,
+§7 step 7 — the reference has no streaming; this is the engine
+extension surface).
+
+The streaming aggregation uses the SAME ``F.window`` expression as the
+batch operator (operators/windows.py: event_time_window_agg), so batch
+and stream agree row-for-row when the stream is drained with an
+``availableNow`` trigger — that parity is the correctness check
+(tests/test_streaming.py), since windowed streaming state has no SQL
+oracle.
+
+Scale notes:
+- ``withWatermark`` bounds state: windows older than the watermark are
+  finalized and evicted; without it, state grows with the key x window
+  product forever.
+- file-source streams discover new files per micro-batch;
+  ``maxFilesPerTrigger`` is the backpressure knob at scale.
+- the shuffle per micro-batch is keyed by (window, group keys) — the
+  same partitioning logic as the batch hash aggregate, sized by
+  ``spark.sql.shuffle.partitions``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet, normalized to the
+    same shape read_table produces (ns-long -> µs timestamp).
+    Streaming reads require an explicit schema — taken from a batch
+    peek at the same path (footer-only, no data scan)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file stream source requires a directory: stream the parent
+    # with a glob filter selecting only the events file(s)
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(sdf.schema["ts"].dataType, T.LongType):
+        sdf = sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return sdf
+
+
+def streaming_event_window_agg(
+    sdf: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    group_by: list[str],
+    metrics: list[Column],
+    *,
+    watermark: str = "10 minutes",
+    slide_duration: str | None = None,
+) -> DataFrame:
+    """Streaming form of event_time_window_agg: identical window
+    expression plus a watermark bounding late data and state."""
+    win = F.window(F.col(ts_col), window_duration, slide_duration or window_duration)
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("window"), *group_by)
+        .agg(*metrics)
+    )
+
+
+def run_available_now(
+    sdf: DataFrame, query_name: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Drain a streaming DataFrame with the availableNow trigger into
+    an in-memory sink (complete mode) and return the result as a batch
+    DataFrame. For tests and batch-parity checks — production sinks
+    would use writeStream.format('parquet'/'kafka'/...) instead."""
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="bdp_stream_ckpt_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = sdf.sparkSession
+    return spark.table(query_name)

@@ -10,9 +10,13 @@ capabilities of the reference medallion ETL pipeline
 - aggregation is a declarative spec compiled to groupBy().agg(F.expr)
 - quality rules compile to ONE single-pass agg job (the reference runs
   one Spark job per rule)
+- pipelines are YAML-declared (the reference's own config shapes) and
+  run stage-by-stage in one SparkSession (pipeline.py)
 - extensions: joins, windows, rollup, text analysis, dedup (exact +
-  MinHash-LSH + SimHash + n-gram Jaccard), embedding similarity search,
-  multimodal binary columns, and Structured Streaming event windows
+  MinHash-LSH + SimHash + n-gram Jaccard), embedding similarity search
+  (exact broadcast top-k + hyperplane-LSH ANN), multimodal binary
+  columns over Arrow-batched mapInPandas, and Structured Streaming
+  event windows with watermarks
 
 Everything is built on the public PySpark DataFrame/SQL API; no custom
 Catalyst rules are needed (SURVEY.md §4).

@@ -1,0 +1,206 @@
+"""Multimodal (image/audio-style) binary columns (BASELINE.json:
+multimodal surface; no reference analog — the reference is
+text/tabular only).
+
+Media are opaque ``binary`` columns plus typed metadata, processed
+with Arrow-batched ``mapInPandas`` / ``pandas_udf`` — the correct
+Spark shape for per-blob Python work: whole Arrow record batches cross
+the JVM<->Python boundary once, not row-at-a-time pickling.
+
+The container has no image/audio libraries, so the *codec* is a
+deterministic fake (``FAKEIMG1`` header + seeded payload), while every
+piece of Spark plumbing — schemas, binary transport, batch iteration,
+partition-preserving narrow execution — is real and tested. The
+real-decoder entry point (``decode_real_image``) raises
+NotImplementedError until PIL/opencv exist in the runtime.
+
+Scale notes: all operators here are narrow (no shuffle); throughput is
+bounded by Arrow serialization + Python. Size partitions so a batch of
+blobs fits executor-python memory (spark.sql.execution.arrow.
+maxRecordsPerBatch for very large blobs); never collect blobs to the
+driver.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:  # pandas imported lazily — executors only
+    import pandas as pd
+
+FAKE_MAGIC = b"FAKEIMG1"
+_HEADER = struct.Struct(">8sIIB")  # magic, width, height, channels
+
+
+def pack_header(width: int, height: int, channels: int) -> bytes:
+    """Module-level (closure-pickle-safe) header packer."""
+    return struct.pack(">8sIIB", FAKE_MAGIC, width, height, channels)
+
+
+def encode_fake_image(media_id: int) -> bytes:
+    """Deterministic fake image blob: header + seeded payload.
+    Dimensions derive from the id so metadata is independently
+    computable (and oracle-checkable) without decoding."""
+    width = 16 + media_id % 17
+    height = 16 + media_id % 13
+    channels = 1 + media_id % 3
+    n = width * height * channels
+    seed = (media_id * 2654435761) & 0xFFFFFFFF
+    payload = bytes(((seed + i * 40503) >> 3) & 0xFF for i in range(n))
+    return pack_header(width, height, channels) + payload
+
+
+def decode_fake_image(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a fake blob -> (width, height, channels, pixels)."""
+    magic, width, height, channels = _HEADER.unpack_from(blob)
+    if magic != FAKE_MAGIC:
+        raise ValueError("not a FAKEIMG1 blob")
+    return width, height, channels, blob[_HEADER.size:]
+
+
+def decode_real_image(blob: bytes):  # pragma: no cover - env-gated
+    """Real-codec path: requires an image library in the runtime."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decoding needs PIL/opencv, not present in this "
+            "container; use the FAKEIMG1 codec for plumbing tests"
+        ) from exc
+    raise NotImplementedError("wire PIL.Image.open(io.BytesIO(blob)) here")
+
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("blob", T.BinaryType(), False),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("channels", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def media_from_ids(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Materialize a media table (media_id, kind, blob) from an id
+    column via mapInPandas — the binary column is born executor-side,
+    never on the driver."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "blob": [encode_fake_image(int(i)) for i in ids],
+                }
+            )
+
+    return ids_df.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def decode_dimensions(media: DataFrame) -> DataFrame:
+    """Decode blob headers -> typed metadata (media_id, width, height,
+    channels, n_bytes). Narrow mapInPandas; blobs stay executor-side."""
+
+    def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                w, h, c, _ = decode_fake_image(bytes(blob))
+                rows.append((int(mid), w, h, c, len(blob)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "channels", "n_bytes"]
+            )
+
+    return media.select("media_id", "blob").mapInPandas(dec, DECODED_SCHEMA)
+
+
+def image_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Per-blob feature vector (byte-histogram moments over ``dim``
+    payload stripes) -> array<float>. Stands in for an embedding model
+    forward pass; identical Spark shape (binary in, vector out)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("features", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+
+    def feats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, vecs = [], []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                _, _, _, pixels = decode_fake_image(bytes(blob))
+                arr = np.frombuffer(pixels, dtype=np.uint8)
+                stripes = np.array_split(arr, dim)
+                vecs.append(
+                    np.array(
+                        [s.mean() / 255.0 if len(s) else 0.0 for s in stripes],
+                        dtype=np.float32,
+                    )
+                )
+                ids.append(int(mid))
+            yield pd.DataFrame({"media_id": ids, "features": vecs})
+
+    return media.select("media_id", "blob").mapInPandas(feats, out_schema)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Re-encode every blob at (width, height): nearest-neighbor
+    sampling over the fake payload — the plumbing (binary in, binary
+    out, metadata updated) is what a real resize shares."""
+
+    def rs(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, kinds, blobs = [], [], []
+            for mid, kind, blob in zip(pdf["media_id"], pdf["kind"], pdf["blob"]):
+                w, h, c, pixels = decode_fake_image(bytes(blob))
+                out = bytearray(pack_header(width, height, c))
+                for y in range(height):
+                    sy = min(h - 1, y * h // height)
+                    for x in range(width):
+                        sx = min(w - 1, x * w // width)
+                        base = (sy * w + sx) * c
+                        out += pixels[base: base + c]
+                ids.append(int(mid))
+                kinds.append(kind)
+                blobs.append(bytes(out))
+            yield pd.DataFrame({"media_id": ids, "kind": kinds, "blob": blobs})
+
+    return media.select("media_id", "kind", "blob").mapInPandas(rs, MEDIA_SCHEMA)
+
+
+def frame_sample_offsets(
+    duration_ms_col: str = "duration_ms", every_ms: int = 1000
+) -> Column:
+    """Video-style frame sampling as a pure column expression:
+    sequence of sample timestamps (ms) for a clip of the given
+    duration — JVM-side, no UDF."""
+    return F.sequence(
+        F.lit(0), F.col(duration_ms_col).cast("long"), F.lit(every_ms).cast("long")
+    )

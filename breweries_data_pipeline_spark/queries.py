@@ -741,6 +741,55 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal binary columns (BASELINE extension; fake codec, real plumbing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_multimodal_decode",
+    """
+    SELECT doc_id AS media_id,
+           CAST(16 + doc_id % 17 AS BIGINT) AS width,
+           CAST(16 + doc_id % 13 AS BIGINT) AS height,
+           CAST(1 + doc_id % 3 AS BIGINT) AS channels,
+           CAST(17 + (16 + doc_id % 17) * (16 + doc_id % 13) * (1 + doc_id % 3)
+                AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: binary blobs born executor-side (mapInPandas),
+    decoded back to typed metadata (mapInPandas). The oracle recomputes
+    the fake codec's id->dimensions arithmetic in SQL, so the full
+    Arrow round-trip (encode -> binary column -> decode) is
+    hash-checked."""
+    from breweries_data_pipeline_spark.operators.multimodal import (
+        decode_dimensions,
+        media_from_ids,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return decode_dimensions(media_from_ids(docs))
+
+
+@register("q_multimodal_features", None)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction: blob -> array<float> via
+    Arrow-batched mapInPandas (the embedding-model-forward-pass shape).
+    Rows-only: byte-histogram floats are not SQL-expressible."""
+    from breweries_data_pipeline_spark.operators.multimodal import (
+        image_features,
+        media_from_ids,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = image_features(media_from_ids(docs))
+    return feats.select(
+        "media_id", F.size("features").alias("dim"), F.col("features")
+    )
+
+
+# ---------------------------------------------------------------------------
 # X10 event-time windows (batch form; streaming in streaming/)
 # ---------------------------------------------------------------------------
 

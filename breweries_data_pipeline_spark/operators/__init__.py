@@ -2,6 +2,7 @@ from breweries_data_pipeline_spark.operators.clean import (  # noqa: F401
     add_literal,
     cast_columns,
     deduplicate,
+    deduplicate_salted,
     drop_null_required,
     normalize_strings,
 )

@@ -41,6 +41,40 @@ def deduplicate(
     )
 
 
+def deduplicate_salted(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str | Column],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant form of ``deduplicate(..., order_by=...)``.
+
+    A single window partitioned by ``keys`` sends EVERY row of a hot
+    key to one task (AQE skew handling does not apply to
+    windows/aggregates). Two-phase instead:
+
+    1. rank within (keys, salt) — the hot key spreads over
+       ``salt_buckets`` tasks; keep each bucket's first row;
+    2. rank the <= salt_buckets survivors per key — a tiny exchange.
+
+    ``order_by`` must be a total order within key groups (it
+    determines the survivor in both phases); the salt assignment is
+    row-arbitrary and never affects the result under that condition.
+    """
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    w1 = Window.partitionBy(*keys, "__salt").orderBy(*order_by)
+    w2 = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__salt", salt)
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__salt")
+    )
+
+
 def drop_null_required(df: DataFrame, required: list[str]) -> DataFrame:
     """Drop rows with nulls in required fields (reference F2:
     ``dropna(subset=[...])``, breweries_transform_silver_notebook.py:74).

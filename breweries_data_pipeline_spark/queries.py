@@ -194,6 +194,24 @@ def q_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_salted",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) = 1
+    """,
+)
+def q_dedup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 skew-resistant two-phase dedup (salt -> local rank -> global
+    rank). Same oracle as q_dedup_by_key: the salted plan must be
+    result-identical to the single-window form."""
+    from breweries_data_pipeline_spark.operators.clean import deduplicate_salted
+
+    df = read_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    return deduplicate_salted(df, ["user_id", "event_type"], order_by=["event_id"])
+
+
+@register(
     "q_dropna_required",
     """
     WITH e AS (

@@ -1,0 +1,210 @@
+"""Unit tests for the non-oracle surface: REST source retry/backoff,
+distributed fetch, schema compiler error paths, quality rule policy,
+sink atomicity, and the salted dedup operator (SURVEY.md §5 — the
+reference's own unit-test level, applied to our engine modules)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from breweries_data_pipeline_spark.operators.clean import (
+    deduplicate,
+    deduplicate_salted,
+)
+from breweries_data_pipeline_spark.operators.quality import rules_dataframe
+from breweries_data_pipeline_spark.schema import build_struct_type, parse_type
+from breweries_data_pipeline_spark.sources.rest_api import (
+    RetryableFetchError,
+    fetch_all,
+    fetch_distributed,
+    records_to_dataframe,
+)
+from breweries_data_pipeline_spark.sources.writers import (
+    write_parquet,
+    write_quality_report,
+)
+
+# ---------------------------------------------------------------- rest_api
+
+
+class FlakyAPI:
+    """Stub transport: 3 pages of data, programmable failures."""
+
+    def __init__(self, fail_times: int = 0, retry_after: float | None = None):
+        self.calls = []
+        self.fail_times = fail_times
+        self.retry_after = retry_after
+
+    def __call__(self, page: int, per_page: int):
+        self.calls.append(page)
+        if self.fail_times > 0:
+            self.fail_times -= 1
+            raise RetryableFetchError("HTTP 503", retry_after=self.retry_after)
+        if page > 3:
+            return []
+        return [{"id": f"p{page}r{i}", "n": page * 10 + i} for i in range(per_page)]
+
+
+def test_fetch_all_pages_until_empty():
+    api = FlakyAPI()
+    records = fetch_all(api, per_page=2, sleep=lambda s: None)
+    assert len(records) == 6
+    assert api.calls == [1, 2, 3, 4]  # stops on first empty page
+
+
+def test_fetch_all_retries_with_exponential_backoff():
+    api = FlakyAPI(fail_times=2)
+    sleeps: list[float] = []
+    records = fetch_all(api, per_page=1, backoff=2.0, sleep=sleeps.append)
+    assert len(records) == 3
+    assert sleeps == [2.0, 4.0]  # backoff * 2**attempt
+
+
+def test_fetch_all_honours_429_retry_after():
+    api = FlakyAPI(fail_times=1, retry_after=7.5)
+    sleeps: list[float] = []
+    fetch_all(api, per_page=1, sleep=sleeps.append)
+    assert sleeps == [7.5]
+
+
+def test_fetch_all_raises_after_exhausted_retries():
+    api = FlakyAPI(fail_times=99)
+    with pytest.raises(RuntimeError, match="failed after 3 retries"):
+        fetch_all(api, per_page=1, retries=3, sleep=lambda s: None)
+
+
+def test_fetch_all_max_pages():
+    api = FlakyAPI()
+    records = fetch_all(api, per_page=2, max_pages=2, sleep=lambda s: None)
+    assert len(records) == 4
+
+
+def test_fetch_distributed_pulls_all_pages(spark):
+    # defined inside the test: cloudpickle then ships it by value, so
+    # executors don't need the tests/ dir on their import path
+    def page_fn(page: int, per_page: int):
+        if page > 4:
+            return []
+        return [{"id": f"p{page}r{i}", "v": i} for i in range(per_page)]
+
+    df = fetch_distributed(spark, page_fn, n_pages=4, per_page=3)
+    rows = df.collect()
+    assert len(rows) == 12
+    parsed = {json.loads(r.json)["id"] for r in rows}
+    assert parsed == {f"p{p}r{i}" for p in range(1, 5) for i in range(3)}
+
+
+def test_records_to_dataframe_infers_schema(spark):
+    df = records_to_dataframe(spark, [{"a": 1, "b": "x"}, {"a": 2, "b": None}])
+    assert dict(df.dtypes) == {"a": "bigint", "b": "string"}
+    assert df.count() == 2
+
+
+# ---------------------------------------------------------------- schema
+
+
+def test_parse_type_nullable_hint_and_compound():
+    assert parse_type("double?")[1] is True
+    assert parse_type("string")[1] is False
+    assert parse_type("array<float>")[0].simpleString() == "array<float>"
+    assert parse_type("decimal(18,6)")[0].simpleString() == "decimal(18,6)"
+
+
+def test_parse_type_unknown_raises():
+    with pytest.raises(ValueError, match="unknown type"):
+        parse_type("strng")
+
+
+def test_build_struct_type_nullability():
+    st = build_struct_type(
+        [
+            {"name": "id", "type": "string", "nullable": False},
+            {"name": "lat", "type": "double?", "nullable": False},
+        ]
+    )
+    assert not st["id"].nullable
+    assert st["lat"].nullable  # '?' hint wins over the record flag
+
+
+# ---------------------------------------------------------------- quality
+
+
+def test_quality_unknown_rule_raises(spark):
+    df = spark.createDataFrame([(1,)], ["x"])
+    with pytest.raises(ValueError, match="unknown quality rule"):
+        rules_dataframe(df, [{"rule": "not_nul", "column": "x"}]).collect()
+
+
+def test_quality_rule_matrix_single_pass(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, -1.0), (2, "b", 0.0), (3, "zz", None)],
+        ["id", "s", "v"],
+    )
+    report = {
+        (r["rule"], r["column"]): r
+        for r in (
+            row.asDict()
+            for row in rules_dataframe(
+                df,
+                [
+                    {"rule": "not_null", "column": "s"},
+                    {"rule": "greater_than_zero", "column": "v"},
+                    {"rule": "in_set", "column": "s", "values": ["a", "b"]},
+                    {"rule": "unique", "column": "id"},
+                ],
+            ).collect()
+        )
+    }
+    assert report[("not_null", "s")]["invalid_count"] == 1
+    assert report[("greater_than_zero", "v")]["invalid_count"] == 2  # -1 and 0; null passes
+    assert report[("in_set", "s")]["invalid_count"] == 2  # null + "zz"
+    assert report[("unique", "id")]["invalid_count"] == 1
+    assert report[("unique", "id")]["passed"] is False
+
+
+# ---------------------------------------------------------------- writers
+
+
+def test_write_quality_report_atomic(tmp_path):
+    path = str(tmp_path / "report" / "gold.json")
+    out = write_quality_report([{"rule": "r", "passed": True}], path)
+    assert out == path
+    assert not os.path.exists(path + ".tmp")
+    with open(path) as f:
+        assert json.load(f)[0]["rule"] == "r"
+
+
+def test_write_parquet_partitioned_layout(spark, tmp_path):
+    df = spark.createDataFrame([("tx", 1), ("or", 2)], ["state", "v"])
+    write_parquet(df, str(tmp_path / "t"), partition_by=["state"])
+    dirs = sorted(d for d in os.listdir(tmp_path / "t") if d.startswith("state="))
+    assert dirs == ["state=or", "state=tx"]
+    back = spark.read.parquet(str(tmp_path / "t"))
+    assert {(r.state, r.v) for r in back.collect()} == {("tx", 1), ("or", 2)}
+
+
+# ---------------------------------------------------------------- salted dedup
+
+
+def test_salted_dedup_matches_plain_on_skew(spark):
+    # 90%-one-key skew fixture
+    rows = [("hot", i, f"v{i}") for i in range(900)]
+    rows += [(f"k{i}", i, f"v{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["k", "ord", "v"])
+    plain = deduplicate(df, ["k"], order_by=["ord"])
+    salted = deduplicate_salted(df, ["k"], order_by=["ord"], salt_buckets=8)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    assert salted.count() == 101
+
+
+def test_salted_dedup_plan_has_two_keyed_exchanges(spark):
+    df = spark.createDataFrame([("a", 1)], ["k", "ord"])
+    plan = (
+        deduplicate_salted(df, ["k"], order_by=["ord"], salt_buckets=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "__salt" in plan  # phase-1 exchange spreads the hot key
+    assert plan.count("Exchange hashpartitioning") >= 2

@@ -22,10 +22,12 @@ Hash family: seeded ``xxhash64(value, i)`` — pure JVM, and avoids
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import random
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from breweries_data_pipeline_spark.functions.text import ngram_jaccard, shingles
+from breweries_data_pipeline_spark.functions.text import ngram_jaccard
 from breweries_data_pipeline_spark.operators.clean import deduplicate
 from breweries_data_pipeline_spark.operators.text import with_fingerprint
 
@@ -38,6 +40,67 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return deduplicate(with_fingerprint(df, text_col), ["fingerprint"], order_by=[id_col])
 
 
+# seeded affine family for the MinHash minima: sig_i = min over
+# shingles of (a_i * h + b_i) in wrapping uint64 arithmetic. Module
+# constants -> identical across sessions/executors.
+_mh_rng = random.Random(1337)
+MAX_MINHASHES = 128
+_MINHASH_A = [(_mh_rng.getrandbits(63) | 1) for _ in range(MAX_MINHASHES)]  # odd
+_MINHASH_B = [_mh_rng.getrandbits(63) for _ in range(MAX_MINHASHES)]
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Compute-heavy narrow maps deserve every core: a small parquet
+    file scans as one split, serializing the whole kernel onto one
+    task. Repartition only when the scan under-splits (at real scale
+    the input already has >= cores partitions and this is a no-op)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _minhash_udf(num_hashes: int, shingle_size: int) -> Column:
+    """Vectorized MinHash kernel over token hashes: shingle hashes are
+    derived NUMERICALLY (affine combination of ``shingle_size``
+    adjacent token hashes — no per-shingle string building), then the
+    ``num_hashes`` family minima come from one numpy broadcast per row.
+    A pandas UDF because Spark's higher-order functions are
+    CodegenFallback (interpreted per row) — 64 fold passes per row
+    would dominate the whole pipeline. Returns a struct with the
+    shingle-hash set (for exact-Jaccard verification) and the minhash
+    signature."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _mh(hs):
+        import numpy as np
+
+        A = np.asarray(_MINHASH_A[:num_hashes], dtype=np.uint64)[:, None]
+        B = np.asarray(_MINHASH_B[:num_hashes], dtype=np.uint64)[:, None]
+        # fixed odd mixing constants for the k-token shingle combine
+        C = np.asarray(_MINHASH_A[:shingle_size], dtype=np.uint64)
+        sh_col, sig_col = [], []
+        with np.errstate(over="ignore"):
+            for row in hs:
+                H = np.asarray(row, dtype=np.int64).astype(np.uint64)
+                k = shingle_size
+                if len(H) >= k:
+                    SH = np.zeros(len(H) - k + 1, dtype=np.uint64)
+                    for j in range(k):
+                        SH += C[j] * H[j: len(H) - k + 1 + j]
+                else:
+                    SH = (C[0] * H).sum(keepdims=True)
+                SH = np.unique(SH)  # set semantics for Jaccard
+                sig = (A * SH[None, :] + B).min(axis=1).astype(np.int64)
+                sh_col.append(SH.astype(np.int64))
+                sig_col.append(sig)
+        return pd.DataFrame({"shingles": sh_col, "minhash": sig_col})
+
+    _mh.__annotations__ = {"hs": pd.Series, "return": pd.DataFrame}
+    return pandas_udf("shingles: array<bigint>, minhash: array<bigint>")(_mh)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -45,24 +108,20 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_size: int = 3,
 ) -> DataFrame:
-    """(id, shingles, minhash signature array<long>). Narrow map —
-    zero shuffle; scan-bound at any scale."""
-    sh = shingles(text_col, shingle_size)
-    out = df.select(F.col(id_col), sh.alias("shingles"))
-    # base 64-bit shingle hashes once; per-function minima re-hash the
-    # longs with the function index as seed input.
-    out = out.withColumn(
-        "_sh_hash", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    """(id, shingles (hash set), minhash signature array<long>).
+    Narrow map — zero shuffle; scan-bound at any scale. Token hashing
+    is one JVM-side xxhash64 pass; shingling + family minima are an
+    Arrow-batched numpy kernel (see _minhash_udf)."""
+    if num_hashes > MAX_MINHASHES:
+        raise ValueError(f"num_hashes > {MAX_MINHASHES}")
+    token_hashes = F.transform(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
     )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("_sh_hash"), lambda h, i=i: F.xxhash64(h, F.lit(i)))
-            )
-            for i in range(num_hashes)
-        ]
-    )
-    return out.withColumn("minhash", sig).drop("_sh_hash")
+    mh = _minhash_udf(num_hashes, shingle_size)
+    out = _ensure_parallelism(df.select(F.col(id_col), token_hashes.alias("_th")))
+    return out.select(
+        id_col, mh(F.col("_th")).alias("_s")
+    ).select(id_col, F.col("_s.shingles").alias("shingles"), F.col("_s.minhash").alias("minhash"))
 
 
 def lsh_candidate_pairs(
@@ -119,14 +178,18 @@ def verified_near_dup_pairs(
     bands: int = 16,
     shingle_size: int = 3,
 ) -> DataFrame:
-    """MinHash-LSH candidates verified with EXACT n-gram Jaccard:
+    """MinHash-LSH candidates verified with exact Jaccard over the
+    shingle-hash sets (collision probability ~n²/2^64 — negligible):
     (id_a, id_b, jaccard) with jaccard >= threshold. False positives
     from banding are eliminated; false negatives bounded by the LSH
     S-curve. Verification is two hash joins of the (small) candidate
     set against the shingle table — broadcast-able when candidates
     are rare, which AQE decides at runtime."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    # persisted: the signature pipeline feeds both self-join sides and
+    # two verification joins — without persist it would recompute 4x
+    # (at 100 TB: MEMORY_AND_DISK, sized ~ (num_hashes*8 + shingles) B/doc)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size).persist()
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     sh = sigs.select(F.col(id_col), "shingles")
     return (
@@ -161,31 +224,44 @@ def near_dedup_minhash(
     return df.join(dup_ids, id_col, "left_anti")
 
 
+def _simhash_udf() -> Column:
+    """Vectorized SimHash kernel: array of 64-bit token hashes -> one
+    packed signature per row (unpack bits, sum +1/-1 over tokens,
+    repack the sign vector) in numpy. Replaces an explode + shuffle +
+    64-way aggregate with a zero-shuffle narrow map."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _sh(hs):
+        import numpy as np
+
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.empty(len(hs), dtype=np.int64)
+        for i, row in enumerate(hs):
+            H = np.asarray(row, dtype=np.int64).astype(np.uint64)[:, None]
+            bits = (H >> shifts) & np.uint64(1)  # (n_tokens, 64)
+            sums = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            out[i] = ((sums > 0).astype(np.uint64) << shifts).sum().astype(np.uint64).view(np.int64)
+        return pd.Series(out)
+
+    _sh.__annotations__ = {"hs": pd.Series, "return": pd.Series}
+    return pandas_udf("bigint")(_sh)
+
+
 def simhash64(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """64-bit SimHash per doc: hash each token to 64 bits; per bit
-    position sum +1/-1 over tokens; the sign vector packs into one
-    long. One explode + one shuffle on the id — at 100 TB the explode
-    is the cost; partial aggregation combines map-side so the shuffle
-    carries 64 ints per doc, not per token."""
-    toks = df.select(
-        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
-    ).withColumn("th", F.xxhash64("tok"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright("th", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    agg = toks.groupBy(id_col).agg(*bit_sums)
-    packed = None
-    for i in range(64):
-        term = F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
-        packed = term if packed is None else packed.bitwiseOR(term)
-    return agg.select(F.col(id_col), packed.alias("simhash"))
+    """64-bit SimHash per doc: hash each token to 64 bits (JVM-side
+    xxhash64, one pass), then per bit position sum +1/-1 over tokens
+    and pack the sign vector — the bit arithmetic runs as an
+    Arrow-batched numpy kernel. Zero shuffle; scan-bound at any
+    scale."""
+    th = F.transform(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
+    )
+    sh = _simhash_udf()
+    pre = _ensure_parallelism(df.select(F.col(id_col), th.alias("_th")))
+    return pre.select(F.col(id_col), sh(F.col("_th")).alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -201,7 +277,9 @@ def simhash_near_dup_pairs(
     never all-pairs."""
     if max_hamming > 3:
         raise ValueError("4-block pigeonhole blocking is exact only for max_hamming <= 3")
-    sigs = simhash64(df, text_col, id_col)
+    # persisted: 4 block self-joins would otherwise recompute the
+    # explode+64-way aggregate 8x
+    sigs = simhash64(df, text_col, id_col).persist()
     mask = F.lit(0xFFFF).cast("long")
     blocks = sigs.select(
         F.col(id_col),

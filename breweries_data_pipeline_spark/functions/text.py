@@ -69,6 +69,27 @@ def ngram_jaccard(a: Column, b: Column) -> Column:
     return inter / union
 
 
+def rolling_fingerprint(
+    col: Column | str,
+    base: int = 31,
+    mod: int = 2_147_483_647,
+    init: int = 7,
+) -> Column:
+    """Polynomial rolling hash (Rabin-Karp family) of the raw text —
+    the classic streaming document fingerprint. Left fold over
+    character codes with per-step mod, so intermediate values stay
+    < 2^36 (ANSI-overflow-safe) and the result is bit-identical to a
+    SQL ``list_reduce`` spelling (oracle-checkable, unlike md5-free
+    engines' opaque hashes)."""
+    c = F.col(col) if isinstance(col, str) else col
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(init).cast("long"),
+        lambda acc, x: (acc * base + x) % mod,
+    )
+
+
 def stopword_count(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
     """Number of tokens that are stopwords (array intersection-free:
     a filter over the token array, one pass)."""

@@ -88,6 +88,63 @@ def cosine_topk(
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    bands: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-banded corpus SELF-join
+    (posexplode of band values, equi-join on (band index, band value),
+    id_a < id_b) then exact cosine filter — never an all-pairs
+    crossJoin. Recall follows the sign-LSH S-curve: at cosine 0.9 the
+    colliding-band probability per 4-bit band is ~0.66, any-of-8
+    ~0.99."""
+    bands_expr = hyperplane_bands(vec_col, n_planes, bands)
+    banded = corpus.select(
+        id_col, vec_col, bands_expr.alias("__bands")
+    ).select(
+        id_col, vec_col, F.posexplode("__bands").alias("__pos", "__val")
+    ).persist()
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vec_b"),
+        F.col("__pos").alias("__pos_b"),
+        F.col("__val").alias("__val_b"),
+    )
+    return (
+        banded.join(
+            b,
+            (F.col("__pos") == F.col("__pos_b"))
+            & (F.col("__val") == F.col("__val_b"))
+            & (F.col(id_col) < F.col("id_b")),
+        )
+        .select(
+            F.col(id_col).alias("id_a"),
+            "id_b",
+            cosine_similarity(F.col(vec_col), F.col("__vec_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def dedup_embeddings(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup dedup: drop every vector with a
+    near-duplicate of smaller id (same single-pass collapse semantics
+    as near_dedup_minhash)."""
+    pairs = embedding_near_dup_pairs(corpus, threshold, id_col, vec_col)
+    dup_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.join(dup_ids, id_col, "left_anti")
+
+
 def hyperplane_signature(vec_col: str | Column, n_planes: int = N_PLANES) -> list[Column]:
     """One sign-bit column per hyperplane: dot(vec, plane) > 0.
     Each plane is a constant array literal zipped against the vector —

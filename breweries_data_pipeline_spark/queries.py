@@ -458,6 +458,46 @@ def q_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_multi",
+    """
+    SELECT n.n_name,
+           count(*) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 multi-join (TPC-H Q5 shape): two fact-fact shuffle joins
+    (customer⋈orders⋈lineitem) + broadcast dims (nation, region) with
+    the region filter pushed through the broadcast side — at scale the
+    dim filter prunes before any fact shuffle."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("n_items"),
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
     "q_join_semi",
     """
     SELECT c_custkey, c_name FROM customer
@@ -744,6 +784,42 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5)
     return cosine_topk(emb, probes, k=5)
+
+
+@register(
+    "q_fingerprint_rolling",
+    """
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(
+                   CAST(7 AS BIGINT),
+                   list_transform(regexp_split_to_array(text, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 2147483647
+           ) AS fp
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7/X9 rolling-hash document fingerprint (Rabin-Karp polynomial
+    fold over character codes) — oracle-checked bit-for-bit against
+    DuckDB's list_reduce."""
+    from breweries_data_pipeline_spark.functions.text import rolling_fingerprint
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return docs.select("doc_id", rolling_fingerprint("text").alias("fp"))
+
+
+@register("q_dedup_embedding", None)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7/X8 embedding-cosine near-dup dedup: LSH-banded corpus
+    self-join (bucketed, no crossJoin) + exact cosine >= 0.9, drop the
+    larger id of each pair. Rows-only (LSH recall < 1 by design);
+    structure asserted in tests/test_similarity.py."""
+    from breweries_data_pipeline_spark.operators.similarity import dedup_embeddings
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return dedup_embeddings(emb, threshold=0.9).select("vec_id", "label")
 
 
 @register("q_similarity_ann", None)

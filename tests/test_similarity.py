@@ -43,3 +43,33 @@ def test_ann_plan_has_no_cartesian_product(spark, sf_dir):
     emb, probes = _probe_set(spark, sf_dir)
     plan = ann_topk(emb, probes, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_dedup_drops_exact_duplicate_vectors(spark, sf_dir):
+    from breweries_data_pipeline_spark.operators.similarity import (
+        dedup_embeddings,
+        embedding_near_dup_pairs,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    # clone vec 0 under a fresh id: an exact duplicate (cosine 1.0)
+    clone = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    corpus = emb.unionByName(clone)
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(corpus, threshold=0.99).collect()
+    }
+    assert pairs.get((0, 1_000_000)) == 1.0
+    survivors = {r.vec_id for r in dedup_embeddings(corpus, threshold=0.99).collect()}
+    assert 0 in survivors and 1_000_000 not in survivors
+
+    plan = (
+        embedding_near_dup_pairs(corpus, threshold=0.99)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -405,6 +405,83 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 cube: all 2^k grouping sets in one pass (Expand + single
+    hash aggregate — k× the shuffle rows of a plain groupBy, but one
+    scan instead of 2^k)."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "q_pivot",
+    """
+    SELECT o_orderstatus,
+           """
+    + ", ".join(
+        # NULLIF: Spark's pivot yields NULL (not 0) for absent combos
+        f"NULLIF(count(*) FILTER (WHERE o_orderpriority = '{p}'), 0) AS \"{p}\""
+        for p in _PRIORITIES
+    )
+    + """
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): explicit value list so the output schema
+    is static (no extra distinct-values job) — the form that scales;
+    compiles to conditional aggregation, same as the oracle spelling."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+
+
+@register(
+    "q_percentiles",
+    """
+    SELECT o_orderstatus,
+           percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+           percentile_cont(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+           percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    SQL percentile_cont semantics: rank (n-1)*p, linear interpolation).
+    At extreme cardinality switch to approx_percentile and drop the
+    oracle — exact percentile holds all group values sorted."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.75)).alias("p75"),
+        )
+    )
+
+
+@register(
     "q_join_broadcast",
     """
     SELECT r.r_name, count(*) AS n_customers,
@@ -917,6 +994,81 @@ def q_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
         "sum_value",
+    )
+
+
+@register(
+    "q_event_window_sliding",
+    """
+    WITH buckets AS (
+        SELECT to_timestamp((epoch_us(ts) // 1800000000) * 1800) AS ws, event_type
+        FROM events
+        UNION ALL
+        SELECT to_timestamp((epoch_us(ts) // 1800000000) * 1800 - 1800), event_type
+        FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events
+    FROM buckets GROUP BY 1, 2
+    """,
+)
+def q_event_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 sliding window (1h window, 30m slide): every event lands in
+    exactly two windows. The oracle materializes the two bucket starts
+    per event explicitly — same row multiset as Spark's Expand-based
+    sliding window."""
+    events = read_table(spark, sf_dir, "events")
+    agg = event_time_window_agg(
+        events,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count("*").alias("n_events")],
+        slide_duration="30 minutes",
+    )
+    return agg.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+@register(
+    "q_session_window",
+    """
+    WITH marks AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    grouped AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marks
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM grouped GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 session windows (10-minute inactivity gap) per user —
+    Spark's session_window merges events with gap < 10 min; the oracle
+    is the classic gaps-and-islands spelling with the same
+    end-exclusive boundary (diff >= gap starts a new session)."""
+    events = read_table(spark, sf_dir, "events")
+    agg = events.groupBy(
+        F.session_window("ts", "10 minutes").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    return agg.select(
+        "user_id",
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
     )
 
 

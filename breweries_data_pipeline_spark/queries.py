@@ -899,6 +899,18 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_embeddings(emb, threshold=0.9).select("vec_id", "label")
 
 
+@register("q_similarity_ivf", None)
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 IVF ANN: inverted lists by nearest centroid, n_probe-list
+    search + exact rerank. Rows-only (recall < 1 by design); recall
+    floor asserted in tests/test_similarity.py."""
+    from breweries_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, probes, k=5)
+
+
 @register("q_similarity_ann", None)
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X8 ANN scale path: random-hyperplane LSH banded candidates

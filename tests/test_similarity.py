@@ -45,6 +45,16 @@ def test_ann_plan_has_no_cartesian_product(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    from breweries_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb, probes = _probe_set(spark, sf_dir)
+    exact = {(r.probe_id, r.vec_id) for r in cosine_topk(emb, probes, k=5).collect()}
+    ivf = {(r.probe_id, r.vec_id) for r in ivf_topk(emb, probes, k=5).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.4, f"IVF recall {recall:.2f} below floor"
+
+
 def test_embedding_dedup_drops_exact_duplicate_vectors(spark, sf_dir):
     from breweries_data_pipeline_spark.operators.similarity import (
         dedup_embeddings,

@@ -49,10 +49,19 @@ EXTENDED = [
     "q_simhash_pairs",
     "q_similarity_topk",
     "q_similarity_ann",
+    "q_similarity_ivf",
+    "q_dedup_embedding",
     "q_text_stats",
     "q_quality_score",
+    "q_fingerprint_rolling",
     "q_multimodal_decode",
     "q_dedup_salted",
+    "q_join_multi",
+    "q_cube",
+    "q_pivot",
+    "q_percentiles",
+    "q_event_window_sliding",
+    "q_session_window",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

@@ -51,9 +51,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
-        # parquet scans: keep files chunked so a 100 TB table still
-        # yields balanced input splits
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # parquet input split size: the local testdata files are a few
+        # MB, so the 128 MB default would hand entire tables to ONE
+        # task — 4 MiB keeps all local cores busy. On a real cluster
+        # export SPARK_GRAFT_MAX_PARTITION_BYTES=134217728 (or higher):
+        # at 100 TB you want fewer, larger splits, not more tasks.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4194304"),
+        )
         # parquet TIMESTAMP(NANOS) is otherwise unreadable (PARQUET_TYPE_ILLEGAL);
         # read as long and normalize in readers.read_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

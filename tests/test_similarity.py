@@ -4,6 +4,7 @@ top-k, and that candidate generation is an equi-join (no cartesian)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from breweries_data_pipeline_spark.operators.similarity import ann_topk, cosine_topk
@@ -73,7 +74,7 @@ def test_embedding_dedup_drops_exact_duplicate_vectors(spark, sf_dir):
         (r.id_a, r.id_b): r.cosine
         for r in embedding_near_dup_pairs(corpus, threshold=0.99).collect()
     }
-    assert pairs.get((0, 1_000_000)) == 1.0
+    assert pairs.get((0, 1_000_000)) == pytest.approx(1.0, abs=1e-12)
     survivors = {r.vec_id for r in dedup_embeddings(corpus, threshold=0.99).collect()}
     assert 0 in survivors and 1_000_000 not in survivors
 

@@ -1084,6 +1084,61 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_streaming_dedup", None)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 streaming dedup (dropDuplicatesWithinWatermark): state
+    evicted at the watermark, so memory is bounded by key-arrival rate
+    x horizon. Rows-only; batch parity asserted in
+    tests/test_streaming_stateful.py."""
+    import tempfile
+
+    from breweries_data_pipeline_spark.streaming import (
+        read_events_stream,
+        streaming_dedup,
+    )
+
+    sdf = read_events_stream(spark, sf_dir)
+    out = streaming_dedup(sdf, ["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("q_streaming_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bdp_sdedup_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q_streaming_dedup")
+
+
+@register("q_stateful_counts", None)
+def q_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 custom stateful operator (applyInPandasWithState): running
+    per-user (count, sum) in explicit group state. Rows-only; batch
+    parity asserted in tests/test_streaming_stateful.py."""
+    import tempfile
+
+    from breweries_data_pipeline_spark.streaming import (
+        read_events_stream,
+        stateful_user_counts,
+    )
+
+    sdf = read_events_stream(spark, sf_dir)
+    q = (
+        stateful_user_counts(sdf)
+        .writeStream.format("memory")
+        .queryName("q_stateful_counts")
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bdp_sstate_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q_stateful_counts")
+
+
 @register("q_event_window_stream", None)
 def q_event_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10 streaming form: the SAME window expression as q_event_window

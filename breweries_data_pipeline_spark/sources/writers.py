@@ -37,6 +37,31 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    *,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table (catalog-registered): rows are hash-
+    partitioned into ``n_buckets`` files by ``bucket_cols`` at write
+    time, so a later join or aggregation on those columns needs NO
+    exchange — the shuffle is paid once at write, amortized over every
+    downstream read (tests/test_bucketing.py asserts the exchange-free
+    join plan).
+
+    The 100 TB join strategy for repeatedly-joined fact tables: bucket
+    both sides by the join key with the same bucket count. Choose
+    n_buckets so each bucket file lands in the 100 MB - 1 GB range."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table_name)
+
+
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSONL sink (reference breweries_fetch_bronze_notebook.py:103-106)."""
     df.write.mode(mode).json(path)

@@ -1,3 +1,7 @@
+from breweries_data_pipeline_spark.streaming.stateful import (  # noqa: F401
+    stateful_user_counts,
+    streaming_dedup,
+)
 from breweries_data_pipeline_spark.streaming.windows import (  # noqa: F401
     read_events_stream,
     run_available_now,

@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis): engine operators vs naive Python
+models on small generated frames. Complements the DuckDB oracle sweep
+with adversarial inputs (empty strings, unicode-free edge ints,
+duplicate keys, all-null columns)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from breweries_data_pipeline_spark.operators.clean import (
+    deduplicate,
+    drop_null_required,
+    normalize_strings,
+)
+from breweries_data_pipeline_spark.operators.quality import rules_dataframe
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key (forced collisions)
+        st.integers(min_value=-100, max_value=100),  # ord
+        st.one_of(st.none(), st.text(alphabet=" aBc\t", max_size=6)),  # s
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_deduplicate_keeps_min_order_row(spark, rows):
+    df = spark.createDataFrame(rows, "k long, o long, s string")
+    got = {
+        (r.k, r.o) for r in deduplicate(df, ["k"], order_by=["o", "s"]).collect()
+    }
+    model: dict[int, tuple] = {}
+    for k, o, s in rows:
+        cand = (o, s if s is not None else None)
+        cur = model.get(k)
+        # row_number orders nulls first for string asc (Spark default)
+        key = (o, (s is None, s))
+        if cur is None or key < cur[0]:
+            model[k] = (key, (k, o))
+    assert got == {v[1] for v in model.values()}
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_drop_null_required_model(spark, rows):
+    df = spark.createDataFrame(rows, "k long, o long, s string")
+    got = sorted((r.k, r.o) for r in drop_null_required(df, ["s"]).collect())
+    want = sorted((k, o) for k, o, s in rows if s is not None)
+    assert got == want
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_normalize_strings_model(spark, rows):
+    df = spark.createDataFrame(rows, "k long, o long, s string")
+    key = lambda t: (t[0], t[1] is None, t[1])  # noqa: E731 — None-safe sort
+    got = sorted(
+        ((r.k, r.s) for r in normalize_strings(df, ["s"]).select("k", "s").collect()),
+        key=key,
+    )
+    # Spark's trim strips SPACES only (not \t), unlike str.strip()
+    want = sorted(
+        ((k, s.lower().strip(" ") if s is not None else None) for k, o, s in rows),
+        key=key,
+    )
+    assert got == want
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_quality_not_null_counts_model(spark, rows):
+    df = spark.createDataFrame(rows, "k long, o long, s string")
+    report = rules_dataframe(
+        df, [{"rule": "not_null", "column": "s"}, {"rule": "unique", "column": "k"}]
+    ).collect()
+    by_rule = {r.rule: r for r in report}
+    assert by_rule["not_null"].invalid_count == sum(1 for _, _, s in rows if s is None)
+    ks = [k for k, _, _ in rows]
+    assert by_rule["unique"].invalid_count == len(ks) - len(set(ks))

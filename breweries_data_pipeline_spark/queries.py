@@ -609,6 +609,94 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_asof_join",
+    """
+    WITH r AS (
+        SELECT user_id, ts, max(event_id) AS last_event_id
+        FROM events GROUP BY user_id, ts
+    ),
+    m AS (
+        SELECT DISTINCT user_id,
+               date_trunc('hour', ts) + INTERVAL 30 MINUTE AS m_ts
+        FROM events
+    )
+    SELECT m.user_id,
+           strftime(m.m_ts, '%Y-%m-%d %H:%M:%S') AS mark_ts,
+           r.last_event_id AS last_event_id_asof
+    FROM m ASOF LEFT JOIN r
+      ON m.user_id = r.user_id AND m.m_ts >= r.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, inclusive): latest event at or before
+    each half-hour mark, per user — the union + carry-forward-window
+    composition (one shuffle on the key), oracle-checked against
+    DuckDB's native ASOF JOIN."""
+    from breweries_data_pipeline_spark.operators.temporal import as_of_join
+
+    events = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    right = events.groupBy("user_id", "ts").agg(
+        F.max("event_id").alias("last_event_id")
+    )
+    marks = events.select(
+        "user_id",
+        (F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 30 MINUTES")).alias("m_ts"),
+    ).distinct()
+    out = as_of_join(marks, right, "user_id", "m_ts", "ts", ["last_event_id"])
+    return out.select(
+        "user_id",
+        F.date_format("m_ts", "yyyy-MM-dd HH:mm:ss").alias("mark_ts"),
+        "last_event_id_asof",
+    )
+
+
+@register(
+    "q_range_join",
+    """
+    WITH m AS (
+        SELECT DISTINCT user_id,
+               date_trunc('hour', ts) + INTERVAL 30 MINUTE AS m_ts
+        FROM events
+    )
+    SELECT m.user_id,
+           strftime(m.m_ts, '%Y-%m-%d %H:%M:%S') AS mark_ts,
+           count(*) AS n_events
+    FROM m JOIN events e
+      ON m.user_id = e.user_id
+     AND e.ts >= m.m_ts - INTERVAL 30 MINUTE
+     AND e.ts <= m.m_ts
+    GROUP BY m.user_id, m.m_ts
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events within the half-hour band before each mark,
+    per user. Key equality keeps the plan a hash/SMJ join (band as
+    post-filter) — never a cartesian."""
+    from breweries_data_pipeline_spark.operators.temporal import range_join
+
+    events = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    marks = events.select(
+        "user_id",
+        (F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 30 MINUTES")).alias("m_ts"),
+    ).distinct()
+    joined = range_join(
+        marks,
+        events,
+        "user_id",
+        "ts",
+        lower=F.col("m_ts") - F.expr("INTERVAL 30 MINUTES"),
+        upper=F.col("m_ts"),
+    )
+    return joined.groupBy("user_id", "m_ts").agg(
+        F.count("*").alias("n_events")
+    ).select(
+        "user_id",
+        F.date_format("m_ts", "yyyy-MM-dd HH:mm:ss").alias("mark_ts"),
+        "n_events",
+    )
+
+
+@register(
     "q_topk_per_group",
     """
     SELECT o_custkey, o_orderkey, o_totalprice,

@@ -62,6 +62,8 @@ EXTENDED = [
     "q_percentiles",
     "q_event_window_sliding",
     "q_session_window",
+    "q_asof_join",
+    "q_range_join",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

@@ -64,6 +64,10 @@ EXTENDED = [
     "q_session_window",
     "q_asof_join",
     "q_range_join",
+    "q_shipping_priority",
+    "q_returned_items",
+    "q_running_total",
+    "q_moving_avg",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

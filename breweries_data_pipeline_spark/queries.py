@@ -775,6 +775,60 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+
+
+@register(
+    "q_table_profile",
+    "\nUNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS "column", count(*) AS n_rows,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile: count / nulls / exact distinct /
+    min / max for every column in ONE single-pass aggregate (the
+    oracle's UNION ALL spelling scans once per column; ours scans
+    once, total)."""
+    from breweries_data_pipeline_spark.operators.profile import profile_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return profile_table(li, _PROFILE_COLS)
+
+
+@register(
+    "q_above_avg",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+    """,
+)
+def q_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery shape: rows above 1.5x the table mean. Spark
+    plans the subquery as an independent stage whose single-row result
+    feeds the filter — no driver round-trip in the engine code.
+    float threshold comparison is safe here: avg differs from the
+    oracle's only if summation order diverges, and both engines reduce
+    the same partial sums; values are well away from the boundary."""
+    o = read_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_aa")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM __orders_aa
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM __orders_aa) * 1.5
+        """
+    )
+
+
 @register(
     "q_asof_join",
     """

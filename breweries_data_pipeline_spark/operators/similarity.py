@@ -211,6 +211,46 @@ def _nearest_centroids_udf(centroids: list[list[float]], n_probe: int) -> Column
     return pandas_udf("array<int>")(_nc)
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    n_iter: int = 3,
+) -> list[list[float]]:
+    """Distributed Lloyd k-means over an embedding column.
+
+    Deterministic init (the k lowest-id vectors); each iteration is
+    one corpus scan: a vectorized nearest-centroid assignment
+    (cosine), then the per-cluster per-dimension mean via posexplode +
+    groupBy(cluster, dim) — the shuffle carries (cluster, dim, partial
+    sums), and only the k x d centroid matrix (model state, a few KB)
+    is collected to the driver per iteration. Empty clusters keep
+    their previous centroid."""
+    cents = [
+        list(r[0]) for r in df.orderBy(id_col).limit(k).select(vec_col).collect()
+    ]
+    for _ in range(n_iter):
+        assign1 = _nearest_centroids_udf(cents, 1)
+        assigned = df.select(
+            F.element_at(assign1(F.col(vec_col)), 1).alias("__cluster"),
+            F.posexplode(vec_col).alias("__dim", "__x"),
+        )
+        means = (
+            assigned.groupBy("__cluster", "__dim")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        new = {c: dict() for c in range(len(cents))}
+        for r in means:
+            new[r["__cluster"]][r["__dim"]] = r["__m"]
+        cents = [
+            [new[c][d] for d in sorted(new[c])] if new.get(c) else cents[c]
+            for c in range(len(cents))
+        ]
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -219,6 +259,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_clusters: int = 16,
     n_probe: int = 4,
+    kmeans_iter: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into ``n_clusters`` inverted
     lists by nearest centroid; each probe searches only its ``n_probe``
@@ -226,16 +267,19 @@ def ivf_topk(
     contract as cosine_topk; recall ~ n_probe/n_clusters coverage of
     the S-curve.
 
-    Centroids here are a deterministic sample (the ``n_clusters``
-    lowest-id vectors); production would fit k-means|| once and reuse —
-    the partition/probe machinery (the part that must scale) is
-    identical. At 100 TB: assignment is a narrow scan-bound map; the
-    probe join shuffles on cluster id, i.e. each probe's work touches
-    n_probe/n_clusters of the corpus instead of all of it."""
-    cents = [
-        list(r[0])
-        for r in corpus.orderBy(id_col).limit(n_clusters).select(vec_col).collect()
-    ]
+    With ``kmeans_iter=0`` centroids are a deterministic sample (the
+    ``n_clusters`` lowest-id vectors); ``kmeans_iter>0`` runs that many
+    distributed Lloyd iterations first (kmeans_centroids). At 100 TB:
+    assignment is a narrow scan-bound map; the probe join shuffles on
+    cluster id, i.e. each probe's work touches n_probe/n_clusters of
+    the corpus instead of all of it."""
+    if kmeans_iter > 0:
+        cents = kmeans_centroids(corpus, vec_col, id_col, n_clusters, kmeans_iter)
+    else:
+        cents = [
+            list(r[0])
+            for r in corpus.orderBy(id_col).limit(n_clusters).select(vec_col).collect()
+        ]
     assign1 = _nearest_centroids_udf(cents, 1)
     c = corpus.select(
         id_col, vec_col, F.element_at(assign1(F.col(vec_col)), 1).alias("__cluster")

@@ -56,6 +56,27 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.4, f"IVF recall {recall:.2f} below floor"
 
 
+def test_ivf_kmeans_centroids_improve_or_match(spark, sf_dir):
+    from breweries_data_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb, probes = _probe_set(spark, sf_dir)
+    cents = kmeans_centroids(emb, k=8, n_iter=2)
+    assert len(cents) == 8
+    dim = len(emb.select("embedding").first()[0])
+    assert all(len(c) == dim for c in cents)
+
+    exact = {(r.probe_id, r.vec_id) for r in cosine_topk(emb, probes, k=5).collect()}
+    ivf = {
+        (r.probe_id, r.vec_id)
+        for r in ivf_topk(emb, probes, k=5, n_clusters=8, n_probe=3, kmeans_iter=2).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.4, f"IVF+kmeans recall {recall:.2f} below floor"
+
+
 def test_embedding_dedup_drops_exact_duplicate_vectors(spark, sf_dir):
     from breweries_data_pipeline_spark.operators.similarity import (
         dedup_embeddings,

@@ -830,6 +830,44 @@ def q_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cdc_merge",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type, value
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY event_id DESC
+        ) AS rn FROM events
+    ) t WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge/upsert: a base snapshot (even event ids) merged with
+    a changelog (odd event ids); latest event per user wins, and users
+    whose final state is an 'error' marker are deleted. One shuffle on
+    the merge key."""
+    from breweries_data_pipeline_spark.operators.merge import merge_upsert
+
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    base = e.filter(F.col("event_id") % 2 == 0)
+    changes = e.filter(F.col("event_id") % 2 == 1)
+    merged = merge_upsert(
+        base,
+        changes,
+        ["user_id"],
+        [F.col("event_id").desc()],
+        delete_predicate=F.col("event_type") == "error",
+    )
+    return merged.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        "event_type",
+        "value",
+    )
+
+
+@register(
     "q_asof_join",
     """
     WITH r AS (

@@ -67,6 +67,42 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+) -> int:
+    """Compact a small-files parquet directory: rewrite with
+    ceil(total_bytes / target) output files, publish via
+    write-new + swap. Returns the new file count.
+
+    The small-files problem is the chronic failure mode of streaming /
+    fine-grained-partition writes at 100 TB scale — metadata pressure
+    and per-file open cost dominate scans. Repartition (not coalesce):
+    coalesce would merge-read without a shuffle but pins parallelism
+    of the WRITE stage to the target count and can skew file sizes;
+    compaction is a rewrite anyway, so pay the shuffle for even files.
+    """
+    import math
+    import shutil
+
+    df = spark.read.parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(dirpath, f))
+        for dirpath, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + ".__compact__"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    bak = path.rstrip("/") + ".__old__"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    return n_files
+
+
 def write_quality_report(results: list[dict[str, Any]], path: str) -> str:
     """Quality-report JSON sink (reference
     breweries_data_quality_gold.py:39-42). Rule results are tiny

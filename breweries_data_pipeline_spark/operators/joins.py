@@ -48,3 +48,37 @@ def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
 def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     """Rows of ``left`` with no match in ``right`` (NOT EXISTS)."""
     return left.join(right, on, "left_anti")
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    *,
+    salt_from: list[str],
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating salted equi-join, result-identical to the plain
+    join on ``key``.
+
+    The skewed probe side gets a deterministic per-row salt (xxhash64 of
+    ``salt_from`` mod ``buckets``); the other side is replicated
+    ``buckets``× with an exploded salt column; joining on
+    ``(key, salt)`` splits each hot key's rows across ``buckets``
+    shuffle partitions instead of landing them all on one reducer.
+
+    Use when ONE side is skewed and the other is small enough that a
+    ``buckets``× replication is cheaper than a straggler task (if the
+    other side is dim-sized, prefer a plain broadcast join — no shuffle
+    at all). AQE's skew-join splitting covers sort-merge joins
+    automatically; salting is the explicit fallback for the cases AQE
+    cannot rewrite (e.g. when the skewed side feeds a window/aggregate
+    next, or AQE is off).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_from]), F.lit(buckets)).cast("int")
+    salted = skewed.withColumn("__salt", salt)
+    replicated = other.withColumn(
+        "__salt", F.explode(F.array([F.lit(i) for i in range(buckets)]))
+    )
+    return salted.join(replicated, [key, "__salt"], how).drop("__salt")

@@ -1519,6 +1519,336 @@ def q_event_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# set operations (round 2: INTERSECT / EXCEPT surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics): nations that have both customers and
+    suppliers. Plans as a left-semi join over distinct keys — only the
+    key column shuffles, never payloads."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersect(supp)
+
+
+@register(
+    "q_except",
+    """
+    SELECT DISTINCT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): customers who placed orders but never a
+    fulfilled ('F') one. Plans as a left-anti join over distinct keys."""
+    orders = read_table(spark, sf_dir, "orders")
+    all_c = orders.select(F.col("o_custkey").alias("custkey"))
+    f_c = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return all_c.subtract(f_c)
+
+
+@register(
+    "q_full_outer",
+    """
+    SELECT nationkey,
+           COALESCE(c.n_cust, 0) AS n_cust,
+           COALESCE(s.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+          FROM customer GROUP BY 1) c
+    FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+                     FROM supplier GROUP BY 1) s USING (nationkey)
+    """,
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of two pre-aggregated sides (customer vs supplier
+    counts per nation), null-coalesced. Aggregating BEFORE the join keeps
+    the outer join over ~25 nation rows instead of raw fact rows."""
+    c = (
+        read_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return c.join(s, "nationkey", "full_outer").select(
+        "nationkey",
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-2 aggregation surface: grouping sets, arg-min/max, filtered aggs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_grouping_sets",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube — X6):
+    per-flag totals, per-status totals, and the grand total in ONE
+    Expand+HashAggregate pass instead of three scans unioned."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus")
+    g = li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(F.count("*").alias("n"))
+    return g.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+        "n",
+    )
+
+
+@register(
+    "q_minmax_by",
+    """
+    WITH ranked AS (
+        SELECT c_nationkey, c_name,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_name DESC) AS rmax,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal ASC, c_name ASC) AS rmin
+        FROM customer)
+    SELECT c_nationkey AS nationkey,
+           max(CASE WHEN rmax = 1 THEN c_name END) AS richest,
+           min(CASE WHEN rmin = 1 THEN c_name END) AS poorest
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max/arg-min as single-pass aggregates: richest and poorest
+    customer name per nation via max_by/min_by over a (acctbal, name)
+    struct (the struct gives a total order, so ties are deterministic).
+    One hash aggregate — no window sort, no self-join; at 100 TB this
+    beats the row_number() formulation by an entire shuffle+sort."""
+    cust = read_table(spark, sf_dir, "customer")
+    return cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.expr("max_by(c_name, struct(c_acctbal, c_name))").alias("richest"),
+        F.expr("min_by(c_name, struct(c_acctbal, c_name))").alias("poorest"),
+    )
+
+
+@register(
+    "q_filtered_agg",
+    """
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_quantity > 25) AS n_high,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                FILTER (WHERE l_quantity <= 25) AS DOUBLE) AS sum_low_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (filtered) aggregation: different predicates per
+    aggregate in one pass — count_if + sum(when) instead of two scans.
+    Decimal accumulation keeps the double sum order-independent."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("count_if(l_quantity > 25)").alias("n_high"),
+        F.sum(
+            F.when(F.col("l_quantity") <= 25, F.col("l_extendedprice").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("sum_low_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-2 sampling + lateral/array surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_hash_sample",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '0c'
+    """,
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (~5% = 13/256 md5-prefix buckets).
+    Unlike TABLESAMPLE/rand(), the sample is a pure function of the key:
+    reproducible across runs, engines, and partitionings — the property
+    a training-data pipeline needs for stable held-out splits. The
+    predicate is a narrow map: no shuffle, and the same expression works
+    as a partition-level filter at any scale."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.where(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) <= "0c"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "q_explode_tokens",
+    """
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+          FROM documents) t
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 20
+    """,
+)
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode: top-20 whitespace tokens across the corpus.
+    Generate (explode) → partial map-side count → final count → top-k via
+    TakeOrderedAndProject; the exploded rows never hit a wide shuffle
+    because partial aggregation collapses them per-partition first."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_higher_order",
+    """
+    SELECT vec_id,
+           list_reduce(list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       (a, b) -> a + b) AS norm_sq,
+           CAST(length(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+    FROM embeddings
+    """,
+)
+def q_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions entirely JVM-side (no UDF): squared
+    L2 norm via transform+aggregate (left fold, bit-identical to the
+    oracle's list_reduce since 0.0 + x == x) and positive-component
+    count via filter+size. This is the hot-path shape for embedding
+    math at scale — a narrow map over array columns."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
+    )
+    return emb.select(
+        "vec_id",
+        F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x).alias("norm_sq"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0))
+        .cast("long")
+        .alias("n_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-2 time series: gap-fill / resample
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_gapfill",
+    """
+    WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                      date_trunc('hour', max(ts)) AS h1 FROM events),
+    hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+              FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+                      count(*) AS n FROM events GROUP BY 1, 2)
+    SELECT strftime(h.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           t.event_type,
+           COALESCE(a.n, 0) AS n_events
+    FROM hours h
+    CROSS JOIN types t
+    LEFT JOIN actual a ON a.hour = h.hour AND a.event_type = t.event_type
+    """,
+)
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill (resample to a dense hourly grid, zero-fill
+    missing buckets). The dense axis is generated with sequence+explode
+    from a 1-row bounds aggregate — never collected to the driver — and
+    the (hours × types) grid side is tiny, so it broadcasts; the only
+    shuffle is the per-bucket count's partial→final aggregation."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    )
+    bounds = ev.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    actual = ev.groupBy("hour", "event_type").agg(F.count("*").alias("n_events"))
+    return F.broadcast(grid).join(actual, ["hour", "event_type"], "left").select(
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-2 skew handling: salted join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_salted",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators/joins.py salted_join): lineitem ⋈
+    orders on orderkey with an 8-way deterministic salt — each hot key's
+    rows land on 8 reducers instead of 1. The oracle is the PLAIN join:
+    salting must be result-invariant."""
+    from breweries_data_pipeline_spark.operators.joins import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(li, o, "l_orderkey", salt_from=["l_orderkey", "l_linenumber"])
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # flagship (entry): TPC-H Q1-shaped pricing summary
 # ---------------------------------------------------------------------------
 

@@ -43,15 +43,23 @@ from breweries_data_pipeline_spark.functions.vectors import (
 from breweries_data_pipeline_spark.operators.windows import topk_per_group
 
 # Fixed pseudo-random hyperplanes over up-to-128-dim embeddings.
-# Seeded so plans are replayable; components in [-1, 1]. 32 planes in
-# 8 bands of 4 bits: for a neighbor at cosine ~0.3 (the testdata
-# regime) collision probability per band ~0.15, any-of-8 ~0.7 —
-# tune bands up for recall / down for candidate volume.
+# Seeded so plans are replayable; components in [-1, 1]. Two operating
+# points share this pool (sign-LSH collision prob per plane is
+# 1 - theta/pi):
+# - ANN top-k hunts LOW-cosine neighbors (~0.3 in the testdata), so it
+#   uses coarse bands: 32 planes in 8 bands of 4 bits, per-band
+#   collision ~0.13, any-of-8 ~0.66.
+# - near-dup dedup filters at cosine >= 0.9 (per-plane p ~0.857), so
+#   it uses FINE bands: 128 planes in 16 bands of 8 bits, per-band
+#   ~0.29, any-of-16 ~0.996 recall — while 2^8 buckets/band keep
+#   candidate volume ~N^2/2^bits instead of the quadratic blowup a
+#   4-bit band gives. At scale, pick bits ~ log2(N / target_bucket).
 _rng = random.Random(42)
 N_PLANES = 32
+MAX_PLANES = 128
 MAX_DIM = 128
 HYPERPLANES: list[list[float]] = [
-    [_rng.uniform(-1.0, 1.0) for _ in range(MAX_DIM)] for _ in range(N_PLANES)
+    [_rng.uniform(-1.0, 1.0) for _ in range(MAX_DIM)] for _ in range(MAX_PLANES)
 ]
 
 
@@ -115,15 +123,19 @@ def embedding_near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = N_PLANES,
-    bands: int = 8,
+    n_planes: int = MAX_PLANES,
+    bands: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH-banded corpus SELF-join
     (posexplode of band values, equi-join on (band index, band value),
     id_a < id_b) then exact cosine filter — never an all-pairs
     crossJoin. Recall follows the sign-LSH S-curve: at cosine 0.9 the
-    colliding-band probability per 4-bit band is ~0.66, any-of-8
-    ~0.99.
+    per-plane collision probability is ~0.857, so an 8-bit band
+    collides with p~0.29 and any-of-16 bands gives ~0.996 recall —
+    while the 2^8 buckets per band keep candidate volume at
+    ~N^2/256 per band instead of the near-quadratic fan-out of a
+    4-bit band. At larger corpora, raise bits-per-band toward
+    log2(N / target_bucket_size) and add bands to hold recall.
 
     Shuffle discipline: the self-join carries ONLY (id, band) pairs;
     candidate id-pairs are deduped BEFORE vectors are re-attached

@@ -68,6 +68,10 @@ EXTENDED = [
     "q_returned_items",
     "q_running_total",
     "q_moving_avg",
+    "q_exists_orders",
+    "q_small_qty_revenue",
+    "q_large_orders",
+    "q_disjunctive_pred",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

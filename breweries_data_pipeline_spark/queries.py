@@ -1849,6 +1849,282 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-2 subquery / decorrelation / predicate shapes (TPC-H Q2/Q4/Q12/
+# Q14/Q17/Q18/Q19 analogs over the testdata schema)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_exists_orders",
+    """
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_exists_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS. Spark-first form is the
+    decorrelated plan directly — a left-semi join on orderkey with the
+    ship-after-order condition folded into the join, then one hash
+    aggregate. No per-row subquery ever executes; at scale this is one
+    shuffle on orderkey (or zero with bucketed layout)."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    matched = semi_join(
+        o,
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "q_priority_share",
+    """
+    SELECT l.l_linestatus,
+           count(*) FILTER (WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             AS high_count,
+           count(*) FILTER (WHERE o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+             AS low_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate
+    GROUP BY l.l_linestatus
+    """,
+)
+def q_priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + per-priority conditional counts in one
+    aggregate pass (count_if), never two scans of the join."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_linestatus").agg(
+        F.count_if(high).alias("high_count"),
+        F.count_if(~high).alias("low_count"),
+    )
+
+
+@register(
+    "q_promo_share",
+    """
+    WITH s AS (
+      SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                           THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                     AS DECIMAL(18,4))
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+               AS promo_revenue,
+             CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT promo_revenue, total_revenue,
+           100.0 * promo_revenue / total_revenue AS promo_pct
+    FROM s
+    """,
+)
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share. The part dim broadcasts
+    (no fact shuffle); both sums accumulate in decimal so the doubles —
+    and the final pct division — are bit-identical cross-engine."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    s = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(zero))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum(disc).cast("double").alias("total_revenue"),
+    )
+    return s.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_pct"
+        ),
+    )
+
+
+@register(
+    "q_small_qty_revenue",
+    """
+    WITH t AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS small_qty_revenue,
+           count(*) AS n_small
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.2 * t.avg_qty
+    """,
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate subquery (per-part mean
+    quantity), decorrelated Spark-first into groupBy + self-join on
+    l_partkey — the aggregate and the rejoin share one hash
+    partitioning, so AQE plans a single co-located exchange. The brand
+    filter broadcasts via the part dim. avg is exact-sum/count so the
+    0.2*avg threshold is the same double in both engines; quantities
+    are integral, away from the boundary."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    t = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_qty")
+    )
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(t, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return j.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("small_qty_revenue"),
+        F.count("*").alias("n_small"),
+    )
+
+
+@register(
+    "q_large_orders",
+    """
+    SELECT c.c_name, o.o_orderkey,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 220)
+    GROUP BY c.c_name, o.o_orderkey
+    ORDER BY total_qty DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a HAVING subquery = aggregate + left-
+    semi join in Spark terms. The big-orders set is aggregated once on
+    l_orderkey and semi-joined back on the same key (shared
+    partitioning); top-20 plans as TakeOrderedAndProject."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .filter(F.col("q") > 220)
+        .select("l_orderkey")
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    o_big = semi_join(o, big, o.o_orderkey == big.l_orderkey)
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = c.join(o_big, c.c_custkey == o_big.o_custkey).join(
+        li, F.col("o_orderkey") == li.l_orderkey
+    )
+    agg = j.groupBy("c_name", "o_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_qty")
+    )
+    return agg.orderBy(F.col("total_qty").desc(), F.col("o_orderkey")).limit(20)
+
+
+@register(
+    "q_disjunctive_pred",
+    """
+    SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs bracket predicates across both join
+    sides. Catalyst extracts the common single-side conjuncts (brand/
+    size on part, quantity bounds on lineitem) and pushes them below
+    the join, so both scans prune before the broadcast join evaluates
+    the residual disjunction."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return j.filter(bracket).agg(
+        F.sum(disc).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "q_min_price_per_type",
+    """
+    SELECT p.p_type, p.p_partkey, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                             WHERE p2.p_type = p.p_type)
+    """,
+)
+def q_min_price_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar MIN subquery. Spark-first
+    form is a window min over the correlation key + equality filter —
+    one shuffle on p_type, no self-join, no subquery re-execution. The
+    equality compares raw stored doubles (no arithmetic), so it is
+    exact cross-engine."""
+    p = read_table(spark, sf_dir, "part").select("p_type", "p_partkey", "p_retailprice")
+    w = Window.partitionBy("p_type")
+    return (
+        p.withColumn("__min_price", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("__min_price"))
+        .select("p_type", "p_partkey", "p_retailprice")
+    )
+
+
+# ---------------------------------------------------------------------------
 # flagship (entry): TPC-H Q1-shaped pricing summary
 # ---------------------------------------------------------------------------
 

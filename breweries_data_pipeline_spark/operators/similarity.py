@@ -36,10 +36,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from breweries_data_pipeline_spark.functions.vectors import (
-    cosine_similarity,
-    l2_norm,
-)
+from breweries_data_pipeline_spark.functions.vectors import l2_norm
 from breweries_data_pipeline_spark.operators.windows import topk_per_group
 
 # Fixed pseudo-random hyperplanes over up-to-128-dim embeddings.
@@ -75,17 +72,31 @@ def cosine_topk(
     ``probes`` must be small (it is broadcast); ``corpus`` is scanned
     once. Returns (probe_id, vec_id, cosine, rank) with deterministic
     (cosine desc, vec_id) tie-break; self-matches excluded.
+
+    Norms are computed ONCE per corpus/probe row (not per pair), and
+    the per-pair dot runs as an Arrow-batched exact-fold kernel —
+    bit-identical to the naive fold (see _exact_dot_udf), ~100x less
+    interpreted work than a per-pair higher-order function.
     """
-    p = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("__probe_vec")
+    dot = _exact_dot_udf()
+    c = corpus.select(
+        id_col,
+        vec_col,
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__cnorm"),
     )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("__probe_vec"),
+    ).withColumn("__pnorm", F.sqrt(dot(F.col("__probe_vec"), F.col("__probe_vec"))))
     scored = (
-        corpus.select(id_col, vec_col)
-        .join(F.broadcast(p), F.col(id_col) != F.col("probe_id"))
+        c.join(F.broadcast(p), F.col(id_col) != F.col("probe_id"))
         .select(
             "probe_id",
             id_col,
-            cosine_similarity(F.col(vec_col), F.col("__probe_vec")).alias("cosine"),
+            (
+                dot(F.col(vec_col), F.col("__probe_vec"))
+                / (F.col("__cnorm") * F.col("__pnorm"))
+            ).alias("cosine"),
         )
     )
     return topk_per_group(
@@ -95,6 +106,33 @@ def cosine_topk(
         k,
         rank_name="rank",
     ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def _exact_dot_udf() -> "object":
+    """Dot product as one numpy kernel per Arrow batch that accumulates
+    STRICTLY left-to-right over dimensions (sequential over dims,
+    vectorized over rows). Each row therefore executes the exact IEEE
+    op sequence ((0 + a0*b0) + a1*b1) + ... — bit-identical to the
+    interpreted zip_with/aggregate fold and to DuckDB's list fold, so
+    oracle hash-parity survives while the kernel runs ~100x faster
+    than the CodegenFallback higher-order functions."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _dot(a, b):
+        import numpy as np
+
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.vstack(a.to_numpy()).astype(np.float64)
+        B = np.vstack(b.to_numpy()).astype(np.float64)
+        acc = np.zeros(len(A), dtype=np.float64)
+        for j in range(A.shape[1]):
+            acc = acc + A[:, j] * B[:, j]
+        return pd.Series(acc)
+
+    _dot.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf("double")(_dot)
 
 
 def _pairwise_dot_udf() -> "object":
@@ -292,14 +330,19 @@ def ivf_topk(
             list(r[0])
             for r in corpus.orderBy(id_col).limit(n_clusters).select(vec_col).collect()
         ]
+    dot = _exact_dot_udf()
     assign1 = _nearest_centroids_udf(cents, 1)
     c = corpus.select(
-        id_col, vec_col, F.element_at(assign1(F.col(vec_col)), 1).alias("__cluster")
+        id_col,
+        vec_col,
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__cnorm"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("__cluster"),
     )
     assign_probe = _nearest_centroids_udf(cents, n_probe)
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("__probe_vec"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__pnorm"),
         F.explode(assign_probe(F.col(vec_col))).alias("__cluster"),
     )
     scored = (
@@ -310,7 +353,10 @@ def ivf_topk(
         .select(
             "probe_id",
             id_col,
-            cosine_similarity(F.col(vec_col), F.col("__probe_vec")).alias("cosine"),
+            (
+                dot(F.col(vec_col), F.col("__probe_vec"))
+                / (F.col("__cnorm") * F.col("__pnorm"))
+            ).alias("cosine"),
         )
         .dropDuplicates(["probe_id", id_col])
     )
@@ -406,19 +452,30 @@ def ann_topk(
     followed by exact cosine ranking of candidates only. Same output
     contract as cosine_topk; recall < 1 by design."""
     bands_expr = hyperplane_bands(vec_col, n_planes, bands)
+    dot = _exact_dot_udf()
     # ONE equi-join on (band_index, band_value) instead of a union of
     # per-band joins: both sides posexplode their band arrays; the
     # probe side stays tiny (|probes| * bands rows) so AQE broadcasts
-    # it and the corpus side never shuffles.
-    c = corpus.select(id_col, vec_col, bands_expr.alias("__bands")).select(
-        id_col, vec_col, F.posexplode("__bands").alias("__pos", "__val")
+    # it and the corpus side never shuffles. Norms are computed before
+    # the explode — once per vector, not once per (vector, band).
+    c = corpus.select(
+        id_col,
+        vec_col,
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__cnorm"),
+        bands_expr.alias("__bands"),
+    ).select(
+        id_col, vec_col, "__cnorm", F.posexplode("__bands").alias("__pos", "__val")
     )
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("__probe_vec"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__pnorm"),
         bands_expr.alias("__bands"),
     ).select(
-        "probe_id", "__probe_vec", F.posexplode("__bands").alias("__ppos", "__pval")
+        "probe_id",
+        "__probe_vec",
+        "__pnorm",
+        F.posexplode("__bands").alias("__ppos", "__pval"),
     )
     # score inside the join and dedupe on scalar keys only: re-deriving
     # a cosine for a pair that collides in several bands is cheap
@@ -432,7 +489,10 @@ def ann_topk(
     ).select(
         "probe_id",
         id_col,
-        cosine_similarity(F.col(vec_col), F.col("__probe_vec")).alias("cosine"),
+        (
+            dot(F.col(vec_col), F.col("__probe_vec"))
+            / (F.col("__cnorm") * F.col("__pnorm"))
+        ).alias("cosine"),
     )
     scored = cand.dropDuplicates(["probe_id", id_col])
     return topk_per_group(

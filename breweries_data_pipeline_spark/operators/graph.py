@@ -1,0 +1,99 @@
+"""Connected components over a distributed edge list — the cluster
+step of near-duplicate deduplication (group every doc that is
+transitively linked by a near-dup edge, keep one representative per
+component).
+
+No reference analog (the reference has no graph ops); driven by the
+training-data-pipeline north star: MinHash/SimHash/Jaccard passes
+produce PAIRS, but dedup policy needs COMPONENTS ("keep the smallest
+id of each dup cluster"), and pair-wise dropping is wrong for chains
+(a~b, b~c, a!~c must still collapse to one survivor).
+
+Algorithm: iterative min-label propagation with pointer jumping.
+Every node starts labeled with itself; each round
+  1. propagates the min label across edges (one shuffle on the edge
+     key — both directions of each undirected edge), and
+  2. pointer-jumps (label <- label's label, a self-join on the label
+     table) which halves label-chain depth,
+so convergence is O(log diameter) rounds, not O(diameter): a
+1M-long chain resolves in ~20 rounds. Each round is two hash
+shuffles of (id, label) pairs — the payload never travels.
+
+Scale notes (100 TB): the label table is one long per node — orders
+of magnitude smaller than the documents it describes. The driver only
+evaluates the per-round convergence count (a 1-row action). Each
+round's label table is localCheckpoint()ed: persistence alone is NOT
+enough for iterative plans — the logical plan doubles per round and
+Catalyst blows the stack around a dozen rounds — so the lineage must
+be cut, not just cached. (On a cluster with unreliable executors,
+swap localCheckpoint for checkpoint() + a checkpoint dir; same
+semantics, survives executor loss.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_col: str = "id",
+    max_iter: int = 25,
+    label_col: str = "cluster_id",
+) -> DataFrame:
+    """(id, cluster_id) where cluster_id is the MIN node id of the
+    connected component — deterministic, so results are oracle-able.
+
+    ``edges`` is an undirected edge list (each pair once, either
+    order); ``nodes`` carries every node id (isolated nodes form
+    singleton components labeled with themselves).
+    """
+    sym = edges.select(
+        F.col(src).alias("__u"), F.col(dst).alias("__v")
+    ).unionByName(edges.select(F.col(dst).alias("__u"), F.col(src).alias("__v")))
+
+    labels = nodes.select(
+        F.col(id_col).alias("__id"), F.col(id_col).alias("__lab")
+    ).localCheckpoint(eager=True)
+    sym = sym.persist()
+
+    for _ in range(max_iter):
+        # 1. edge propagation: min neighbor label per node
+        nbr = (
+            sym.join(labels, sym["__u"] == labels["__id"])
+            .select(F.col("__v").alias("__id"), "__lab")
+            .groupBy("__id")
+            .agg(F.min("__lab").alias("__nlab"))
+        )
+        prop = (
+            labels.join(nbr, "__id", "left")
+            .select("__id", F.least("__lab", "__nlab").alias("__lab"))
+        )
+        # 2. pointer jump: label <- label's label (halves chain depth)
+        as_map = prop.select(
+            F.col("__id").alias("__mid"), F.col("__lab").alias("__mlab")
+        )
+        jumped = (
+            prop.join(as_map, prop["__lab"] == as_map["__mid"], "left")
+            .select("__id", F.least("__lab", "__mlab").alias("__lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), F.col("n.__id") == F.col("o.__id"))
+            .filter(F.col("n.__lab") != F.col("o.__lab"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    result = labels.select(
+        F.col("__id").alias(id_col), F.col("__lab").alias(label_col)
+    )
+    sym.unpersist()
+    return result

@@ -110,6 +110,23 @@ def q_scan_json_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_json(spark, path).select("event_id", "event_type", "user_id")
 
 
+@register(
+    "q_scan_csv_infer",
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey < 1000",
+)
+def q_scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with header + schema inference: a deterministic CSV
+    fixture derived from orders, read back inferred. Doubles survive
+    the text round-trip exactly (Spark writes shortest-round-trip
+    decimal), so the oracle — the same selection on the parquet view —
+    hash-matches. CSV is an ingest-boundary format only; the engine
+    rewrites to parquet at the first layer."""
+    from breweries_data_pipeline_spark.sources import csv_fixture_from_orders, read_csv
+
+    path = csv_fixture_from_orders(spark, sf_dir)
+    return read_csv(spark, path).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
 @register("q_count_rows", "SELECT count(*) AS n_rows FROM lineitem")
 def q_count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 full-table count (parquet metadata-only at best)."""
@@ -1156,6 +1173,58 @@ def q_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dedup_minhash(docs, threshold=0.5).select("doc_id", "lang", "source")
 
 
+@register(
+    "q_dedup_clusters",
+    f"""
+    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents),
+    e AS (
+      SELECT a.doc_id AS src
+      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+      WHERE CAST(len(list_intersect(list_distinct(a.s), list_distinct(b.s))) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+    ),
+    d AS (
+      SELECT doc_id,
+             CASE WHEN EXISTS (SELECT 1 FROM e WHERE e.src = doc_id - 1)
+                  THEN NULL ELSE doc_id END AS start_id
+      FROM documents
+    )
+    SELECT doc_id,
+           max(start_id) OVER (ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cluster_id
+    FROM d
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components (iterative
+    min-label propagation + pointer jumping, operators/graph.py) over
+    a deterministic edge set — consecutive-doc pairs with 3-gram
+    Jaccard >= 0.5. The Spark side runs the GENERAL distributed CC
+    algorithm; the oracle exploits the chain structure of this edge
+    set to compute the same labels with a gaps-and-islands window
+    (component min-id = last edge-less doc at or before it). Both
+    sides share the exact integer-ratio Jaccard, so the edge sets are
+    identical and the hash check proves transitive closure, not just
+    pairing."""
+    from breweries_data_pipeline_spark.operators.graph import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles("text", 3).alias("s"))
+    nxt = sh.select((F.col("doc_id") - 1).alias("doc_id"), F.col("s").alias("s_b"))
+    edges = (
+        sh.join(nxt, "doc_id")
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+            ngram_jaccard(F.col("s"), F.col("s_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return connected_components(
+        edges, docs.select("doc_id"), id_col="doc_id", label_col="cluster_id"
+    )
+
+
 @register("q_simhash_pairs", None)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7 SimHash near-dup pairs (hamming <= 3) via 4-block pigeonhole
@@ -1486,6 +1555,43 @@ def q_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_stateful_counts")
 
 
+@register("q_stream_stream_join", None)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 stream-stream interval join: per-user clicks joined to
+    purchases within 1 hour, both sides watermarked so join state is
+    evicted past watermark + interval. Drained with availableNow;
+    rows-only here, exact batch-parity asserted in
+    tests/test_streaming.py."""
+    import tempfile
+
+    from breweries_data_pipeline_spark.streaming import (
+        interval_join,
+        read_events_stream,
+    )
+
+    sdf = read_events_stream(spark, sf_dir)
+    clicks = sdf.filter(F.col("event_type") == "click").select("user_id", "ts")
+    buys = sdf.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = interval_join(clicks, buys, "user_id").select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("value_r").alias("purchase_value"),
+    )
+    q = (
+        j.writeStream.format("memory")
+        .queryName("q_stream_stream_join")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bdp_ssj_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q_stream_stream_join")
+
+
 @register("q_event_window_stream", None)
 def q_event_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10 streaming form: the SAME window expression as q_event_window
@@ -1732,6 +1838,93 @@ def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(20)
+    )
+
+
+@register(
+    "q_stratified_sample",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) t WHERE rn <= 25
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: exactly 25 docs per language
+    stratum, ordered by a key hash — a pure function of the data (same
+    sample every run, any partitioning), unlike TABLESAMPLE/rand().
+    One hash exchange on the stratum key; row_number stops early per
+    group. The training-data use: per-language balanced subsets for
+    eval/holdout carving."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "q_tfidf",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term <> '' GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM toks
+      WHERE term <> '' GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term,
+           CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    QUALIFY row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, term
+    ) <= 3
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF, top-3 terms per doc. Linear-idf variant
+    (tf * N / df): the score is one exact integer product and one IEEE
+    double division in both engines, so it is hash-checkable — ln()
+    is deliberately avoided because transcendental libm results are
+    not guaranteed bit-equal cross-engine. Plan: one explode feeding
+    TWO aggregations (tf by doc+term, df by term) that reuse the same
+    shuffle key prefix, a broadcast of the 1-row corpus count, and a
+    per-doc top-k window."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "score")
     )
 
 

@@ -1,5 +1,7 @@
 from breweries_data_pipeline_spark.sources.readers import (  # noqa: F401
+    csv_fixture_from_orders,
     json_fixture_from_events,
+    read_csv,
     read_json,
     read_parquet,
     read_table,

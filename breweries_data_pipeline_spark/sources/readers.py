@@ -48,6 +48,26 @@ def read_json(
     return reader.json(path)
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    infer: bool = True,
+) -> DataFrame:
+    """CSV scan: header + schema inference by default, or enforced
+    schema (PERMISSIVE nulls) when ``schema`` is given — same contract
+    as read_json. At scale prefer an explicit schema: inference costs
+    an extra pass, and CSV should only ever be an ingest boundary
+    (rewrite to parquet at the first layer)."""
+    reader = spark.read.option("header", "true" if header else "false")
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan with hive partition-column recovery (reference
     breweries_aggregate_gold_notebook.py:25-30)."""
@@ -100,6 +120,30 @@ def json_fixture_from_events(spark: SparkSession, sf_dir: str) -> str:
         )
         tmp = out + ".tmp"
         df.write.mode("overwrite").json(tmp)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            pass  # lost a concurrent race; winner's output is identical
+    return out
+
+
+def csv_fixture_from_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a deterministic CSV fixture (orders with
+    o_orderkey < 1000, three columns) under /tmp, once per sf_dir, for
+    the CSV-inference scan path. Atomic publish like the JSON fixture."""
+    from pyspark.sql import functions as F
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join("/tmp", "breweries_csv_fixture", tag)
+    if not os.path.exists(out):
+        df = (
+            read_table(spark, sf_dir, "orders")
+            .filter("o_orderkey < 1000")
+            .select("o_orderkey", "o_orderstatus", F.col("o_totalprice"))
+        )
+        tmp = out + ".tmp"
+        df.write.mode("overwrite").option("header", "true").csv(tmp)
         os.makedirs(os.path.dirname(out), exist_ok=True)
         try:
             os.rename(tmp, out)

@@ -84,3 +84,26 @@ def test_lsh_plan_has_no_cartesian_product(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_connected_components_chain_star_isolated(spark):
+    from breweries_data_pipeline_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4, star 10-{11,12,13}, isolated 20
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (10, 12), (13, 10)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 13, 20]], "id long")
+    lab = {r.id: r.cluster_id for r in connected_components(edges, nodes).collect()}
+    assert lab == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20}
+
+
+def test_connected_components_long_chain_converges_by_jumping(spark):
+    from breweries_data_pipeline_spark.operators.graph import connected_components
+
+    n = 200  # chain of 200 nodes; naive propagation would need 200 rounds
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    lab = connected_components(edges, nodes, max_iter=12)
+    assert lab.filter(F.col("cluster_id") != 0).count() == 0

@@ -41,3 +41,24 @@ def test_streaming_matches_batch_event_window(spark, sf_dir, tmp_path):
     batch_rows = sorted(tuple(r) for r in q_event_window(spark, sf_dir).collect())
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    from breweries_data_pipeline_spark.queries import q_stream_stream_join
+    from breweries_data_pipeline_spark.sources import read_table
+    from breweries_data_pipeline_spark.streaming import interval_join
+
+    stream_rows = sorted(tuple(r) for r in q_stream_stream_join(spark, sf_dir).collect())
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    batch = interval_join(clicks, buys, "user_id").select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("value_r").alias("purchase_value"),
+    )
+    batch_rows = sorted(tuple(r) for r in batch.collect())
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0

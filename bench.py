@@ -72,6 +72,9 @@ EXTENDED = [
     "q_small_qty_revenue",
     "q_large_orders",
     "q_disjunctive_pred",
+    "q_dedup_clusters",
+    "q_tfidf",
+    "q_stratified_sample",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

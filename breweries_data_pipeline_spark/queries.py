@@ -1225,6 +1225,83 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_cluster_best",
+    f"""
+    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents),
+    e AS (
+      SELECT a.doc_id AS src
+      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+      WHERE CAST(len(list_intersect(list_distinct(a.s), list_distinct(b.s))) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+    ),
+    d AS (
+      SELECT doc_id,
+             CASE WHEN EXISTS (SELECT 1 FROM e WHERE e.src = doc_id - 1)
+                  THEN NULL ELSE doc_id END AS start_id
+      FROM documents
+    ),
+    clusters AS (
+      SELECT doc_id,
+             max(start_id) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cluster_id
+      FROM d
+    ),
+    scored AS (
+      SELECT doc_id,
+             (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END
+              + (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                 / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.3)
+              + least((CAST({{_stop}} AS DOUBLE)
+                       / CAST(greatest(len({{_toks}}), 1) AS DOUBLE)) * 3, 1.0) * 0.3
+               AS quality_score
+      FROM documents
+    )
+    SELECT c.cluster_id, s.doc_id, s.quality_score
+    FROM clusters c JOIN scored s USING (doc_id)
+    QUALIFY row_number() OVER (
+      PARTITION BY c.cluster_id ORDER BY s.quality_score DESC, s.doc_id
+    ) = 1
+    """.replace("{_stop}", _SQL_STOP_EN).replace("{_toks}", _SQL_TOKENS),
+)
+def q_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup POLICY: cluster (connected components
+    over deterministic Jaccard chain edges) then keep each cluster's
+    best-quality doc (quality desc, doc_id tie-break) — the standard
+    training-data collapse, composed from two independently
+    oracle-proven kernels (q_dedup_clusters + q_quality_score). One
+    extra shuffle on cluster_id for the per-cluster top-1."""
+    from breweries_data_pipeline_spark.operators.graph import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles("text", 3).alias("s"))
+    nxt = sh.select((F.col("doc_id") - 1).alias("doc_id"), F.col("s").alias("s_b"))
+    edges = (
+        sh.join(nxt, "doc_id")
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+            ngram_jaccard(F.col("s"), F.col("s_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    clusters = connected_components(
+        edges, docs.select("doc_id"), id_col="doc_id", label_col="cluster_id"
+    )
+    scored = with_quality_score(docs.select("doc_id", "text")).select(
+        "doc_id", "quality_score"
+    )
+    joined = clusters.join(scored, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", "doc_id", "quality_score")
+    )
+
+
 @register("q_simhash_pairs", None)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7 SimHash near-dup pairs (hamming <= 3) via 4-block pigeonhole

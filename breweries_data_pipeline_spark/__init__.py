@@ -12,11 +12,16 @@ capabilities of the reference medallion ETL pipeline
   one Spark job per rule)
 - pipelines are YAML-declared (the reference's own config shapes) and
   run stage-by-stage in one SparkSession (pipeline.py)
-- extensions: joins, windows, rollup, text analysis, dedup (exact +
-  MinHash-LSH + SimHash + n-gram Jaccard), embedding similarity search
-  (exact broadcast top-k + hyperplane-LSH ANN), multimodal binary
-  columns over Arrow-batched mapInPandas, and Structured Streaming
-  event windows with watermarks
+- extensions: joins (broadcast/shuffle/semi/anti/salted/as-of/range),
+  windows (ranking, frames, sessions, gap-fill), rollup/cube/pivot/
+  grouping sets, subquery decorrelation shapes, text analysis
+  (lang-ID, quality scoring, tf-idf, fingerprinting), dedup (exact +
+  MinHash-LSH + SimHash + n-gram Jaccard + embedding-cosine +
+  connected-components cluster collapse), embedding similarity search
+  (exact broadcast top-k + hyperplane-LSH ANN + IVF), multimodal
+  binary columns over Arrow-batched mapInPandas, CDC merge, and
+  Structured Streaming (watermarked event windows, streaming dedup,
+  stateful counts, stream-stream interval joins)
 
 Everything is built on the public PySpark DataFrame/SQL API; no custom
 Catalyst rules are needed (SURVEY.md §4).

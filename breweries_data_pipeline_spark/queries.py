@@ -2006,6 +2006,97 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_json_extract",
+    """
+    SELECT o_orderkey,
+           json_extract_string(
+             to_json(struct_pack(status := o_orderstatus, total := o_totalprice)),
+             '$.status') AS status,
+           CAST(json_extract(
+             to_json(struct_pack(status := o_orderstatus, total := o_totalprice)),
+             '$.total') AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured round-trip: struct -> JSON string -> path
+    extraction (to_json + get_json_object), all JVM-side. Doubles
+    survive the JSON text round-trip exactly (shortest round-trip
+    decimal in both engines). The training-data use: raw API payloads
+    kept as JSON strings, fields pulled at query time."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    js = o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("total"),
+            )
+        ).alias("js"),
+    )
+    return js.select(
+        "o_orderkey",
+        F.get_json_object("js", "$.status").alias("status"),
+        F.get_json_object("js", "$.total").cast("double").alias("total"),
+    )
+
+
+@register(
+    "q_regexp_extract",
+    r"""
+    SELECT doc_id,
+           regexp_extract(text, '([A-Za-z]{8,})', 1) AS long_word,
+           len(regexp_extract_all(text, '[A-Za-z]{8,}')) AS n_long
+    FROM documents
+    WHERE regexp_matches(text, '[A-Za-z]{8,}')
+    """,
+)
+def q_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface: first 8+-letter word and the count of all
+    of them per doc. Restricted to plain character-class syntax so
+    Java and RE2 regex dialects agree; the regexp_like filter keeps
+    no-match rows out (Spark returns '' where DuckDB returns NULL)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pat = "([A-Za-z]{8,})"
+    return docs.filter(F.col("text").rlike("[A-Za-z]{8,}")).select(
+        "doc_id",
+        F.regexp_extract("text", pat, 1).alias("long_word"),
+        F.size(F.expr("regexp_extract_all(text, '([A-Za-z]{8,})', 1)")).cast(
+            "long"
+        ).alias("n_long"),
+    )
+
+
+@register(
+    "q_ntile",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice,
+             ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders
+    )
+    SELECT quartile, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM t GROUP BY quartile
+    """,
+)
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartiles over a global order (single ordered exchange;
+    at scale prefer range-partitioned approximation or percentile
+    cutoffs — documented trade-off), with a deterministic o_orderkey
+    tie-break so bucket boundaries are stable cross-engine."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = o.withColumn("quartile", F.ntile(4).over(w))
+    return t.groupBy("quartile").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@register(
     "q_higher_order",
     """
     SELECT vec_id,

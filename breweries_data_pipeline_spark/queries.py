@@ -1669,6 +1669,43 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_stream_stream_join")
 
 
+@register("q_streaming_upsert", None)
+def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 streaming CDC upsert: foreachBatch merges each micro-batch
+    into a versioned parquet snapshot (latest event per (user_id,
+    event_type), ts then event_id wins). Idempotent per batch-id, so
+    checkpoint-replay-safe. Rows-only; exact batch-merge parity
+    asserted in tests/test_streaming.py."""
+    import tempfile
+
+    from breweries_data_pipeline_spark.streaming import (
+        read_events_stream,
+        read_snapshot,
+        streaming_upsert,
+    )
+
+    snap = tempfile.mkdtemp(prefix="bdp_upsert_snap_")
+    ckpt = tempfile.mkdtemp(prefix="bdp_upsert_ckpt_")
+    sdf = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    streaming_upsert(
+        sdf,
+        snap,
+        ["user_id", "event_type"],
+        ["ts", "event_id"],
+        checkpoint_dir=ckpt,
+    )
+    out = read_snapshot(spark, snap)
+    return out.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "value",
+    )
+
+
 @register("q_event_window_stream", None)
 def q_event_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10 streaming form: the SAME window expression as q_event_window

@@ -1,6 +1,10 @@
 from breweries_data_pipeline_spark.streaming.joins import (  # noqa: F401
     interval_join,
 )
+from breweries_data_pipeline_spark.streaming.upsert import (  # noqa: F401
+    read_snapshot,
+    streaming_upsert,
+)
 from breweries_data_pipeline_spark.streaming.stateful import (  # noqa: F401
     stateful_user_counts,
     streaming_dedup,

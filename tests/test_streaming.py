@@ -62,3 +62,32 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     batch_rows = sorted(tuple(r) for r in batch.collect())
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_streaming_upsert_matches_batch_merge(spark, sf_dir):
+    from breweries_data_pipeline_spark.queries import q_streaming_upsert
+    from breweries_data_pipeline_spark.operators.merge import merge_upsert
+    from breweries_data_pipeline_spark.sources import read_table
+
+    stream_rows = sorted(tuple(r) for r in q_streaming_upsert(spark, sf_dir).collect())
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    empty = spark.createDataFrame([], ev.schema)
+    batch = merge_upsert(
+        empty,
+        ev,
+        ["user_id", "event_type"],
+        [F.col("ts").desc(), F.col("event_id").desc(),
+         F.col("user_id").asc(), F.col("event_type").asc()],
+    ).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "value",
+    )
+    batch_rows = sorted(tuple(r) for r in batch.collect())
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0

@@ -127,6 +127,32 @@ def q_scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_csv(spark, path).select("o_orderkey", "o_orderstatus", "o_totalprice")
 
 
+@register(
+    "q_scan_evolved",
+    """
+    SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey < 500
+    UNION ALL
+    SELECT o_orderkey, CAST(NULL AS VARCHAR), o_totalprice
+    FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1000
+    """,
+)
+def q_scan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: two parquet generations with different
+    column sets (one adds o_totalprice, drops o_orderstatus), merged
+    by mergeSchema into one superset-schema table with nulls where a
+    generation lacks the column."""
+    from breweries_data_pipeline_spark.sources import (
+        evolving_parquet_fixture,
+        read_parquet_evolved,
+    )
+
+    v1, v2 = evolving_parquet_fixture(spark, sf_dir)
+    return read_parquet_evolved(spark, v1, v2).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
 @register("q_count_rows", "SELECT count(*) AS n_rows FROM lineitem")
 def q_count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 full-table count (parquet metadata-only at best)."""

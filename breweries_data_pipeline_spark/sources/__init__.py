@@ -1,9 +1,11 @@
 from breweries_data_pipeline_spark.sources.readers import (  # noqa: F401
     csv_fixture_from_orders,
+    evolving_parquet_fixture,
     json_fixture_from_events,
     read_csv,
     read_json,
     read_parquet,
+    read_parquet_evolved,
     read_table,
     read_tables,
 )

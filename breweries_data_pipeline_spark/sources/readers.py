@@ -74,6 +74,43 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution scan: merge the footers of every file across
+    ``paths`` into one superset schema (by column NAME); files missing
+    a column yield nulls for it. This is how a long-lived dataset whose
+    writers added columns over time stays readable as one table.
+
+    Scale note: mergeSchema reads every file footer up front (a
+    driver-side listing + parallel footer fetch) — fine per layer
+    publish, wasteful on hot paths; long-lived 100 TB tables should
+    persist the merged schema in a catalog and pass it explicitly."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def evolving_parquet_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Two parquet generations under /tmp, once per sf_dir: v1 holds
+    (o_orderkey, o_orderstatus) for keys < 500; v2 adds a column and
+    drops another — (o_orderkey, o_totalprice) for keys 500..999.
+    Atomic publish per generation."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.path.join("/tmp", "breweries_evolve_fixture", tag)
+    v1, v2 = os.path.join(base, "gen1"), os.path.join(base, "gen2")
+    for out, flt, cols in (
+        (v1, "o_orderkey < 500", ["o_orderkey", "o_orderstatus"]),
+        (v2, "o_orderkey >= 500 AND o_orderkey < 1000", ["o_orderkey", "o_totalprice"]),
+    ):
+        if not os.path.exists(out):
+            df = read_table(spark, sf_dir, "orders").filter(flt).select(*cols)
+            tmp = out + ".tmp"
+            df.write.mode("overwrite").parquet(tmp)
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            try:
+                os.rename(tmp, out)
+            except OSError:
+                pass  # lost a concurrent race; winner's output is identical
+    return v1, v2
+
+
 # tables whose parquet files store TIMESTAMP(NANOS) — Spark reads them
 # as long (spark.sql.legacy.parquet.nanosAsLong) and we convert to
 # microsecond TimestampType here (truncation, matching how µs-native

@@ -72,3 +72,27 @@ def union_views(
     if stamp_column is not None and stamp_value is not None:
         out = out.withColumn(stamp_column, F.lit(stamp_value))
     return out
+
+
+def mode_agg(df: DataFrame, keys: list[str], value_col: str, out: str = "mode") -> DataFrame:
+    """Deterministic MODE (most frequent value, lexicographic
+    tie-break) per key group, as a grouped-agg pandas UDF — the
+    engine's custom-UDAF surface. One shuffle on the keys; each group's
+    values stream to one Arrow batch.
+
+    The same result is expressible as count + row_number (two hash
+    exchanges); the UDAF form exists for aggregates that DON'T reduce
+    to SQL (weighted medians, streaming sketches over ordered values)
+    and for parity-testing that surface. Skew note: a grouped-agg UDF
+    materializes each group in memory — bound group cardinality first
+    (here: values per key), or fall back to the SQL composition."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _mode(v):
+        counts = v.value_counts()
+        top = counts[counts == counts.max()]
+        return sorted(top.index)[0]
+
+    _mode.__annotations__ = {"v": pd.Series, "return": str}
+    return df.groupBy(*keys).agg(pandas_udf("string")(_mode)(F.col(value_col)).alias(out))

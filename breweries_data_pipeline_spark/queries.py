@@ -953,6 +953,60 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_asof_next",
+    """
+    SELECT c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime((SELECT min(p.ts) FROM events p
+                     WHERE p.event_type = 'purchase'
+                       AND p.user_id = c.user_id
+                       AND p.ts >= c.ts),
+                    '%Y-%m-%d %H:%M:%S') AS next_purchase_ts
+    FROM events c WHERE c.event_type = 'click'
+    """,
+)
+def q_asof_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of via cogrouped applyInPandas (merge_asof per key
+    group): each click paired with the first purchase at/after it per
+    user. The oracle is the correlated scalar-min subquery — same
+    semantics, so the cogroup kernel is hash-verified."""
+    from breweries_data_pipeline_spark.operators.temporal import as_of_join_cogroup
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts").distinct()
+    out = as_of_join_cogroup(clicks, buys, "user_id", "ts", "ts", suffix="_next")
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("ts_next", "yyyy-MM-dd HH:mm:ss").alias("next_purchase_ts"),
+    )
+
+
+@register(
+    "q_mode_udaf",
+    """
+    SELECT user_id, event_type AS mode_event FROM (
+      SELECT user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY count(*) DESC, event_type
+             ) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) t WHERE rn = 1
+    """,
+)
+def q_mode_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-UDAF surface: deterministic MODE (most frequent
+    event_type, lexicographic tie-break) per user as a grouped-agg
+    pandas UDF, hash-verified against the SQL count+row_number
+    composition."""
+    from breweries_data_pipeline_spark.operators.aggregate import mode_agg
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type")
+    return mode_agg(ev, ["user_id"], "event_type", out="mode_event")
+
+
+@register(
     "q_range_join",
     """
     WITH m AS (

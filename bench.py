@@ -75,6 +75,8 @@ EXTENDED = [
     "q_dedup_clusters",
     "q_tfidf",
     "q_stratified_sample",
+    "q_asof_next",
+    "q_mode_udaf",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

@@ -1528,6 +1528,40 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_dimensions(media_from_ids(docs))
 
 
+@register(
+    "q_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           CAST(1000 + (doc_id % 10) * 700 AS BIGINT) AS duration_ms,
+           CAST((1000 + (doc_id % 10) * 700) // 1000 + 1 AS BIGINT) AS n_frames,
+           CAST(((1000 + (doc_id % 10) * 700) // 1000) * 1000 AS BIGINT)
+             AS last_offset_ms
+    FROM documents
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video-style frame sampling: per-clip sample-offset
+    sequence (every 1000 ms over the clip duration) as a pure JVM-side
+    column expression — no UDF, no explode shuffle; the downstream
+    frame-decode step would map each offset through the env-gated
+    codec. Oracle recomputes the sequence arithmetic."""
+    from breweries_data_pipeline_spark.operators.multimodal import (
+        frame_sample_offsets,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(1000) + (F.col("doc_id") % 10) * 700).cast("long").alias("duration_ms"),
+    )
+    with_offsets = docs.withColumn("offsets", frame_sample_offsets("duration_ms", 1000))
+    return with_offsets.select(
+        "media_id",
+        "duration_ms",
+        F.size("offsets").cast("long").alias("n_frames"),
+        F.element_at("offsets", -1).alias("last_offset_ms"),
+    )
+
+
 @register("q_multimodal_features", None)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction: blob -> array<float> via

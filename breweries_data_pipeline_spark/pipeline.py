@@ -259,8 +259,16 @@ def run_transform_stage(
     part = p.get("partition_by") or meta.partition_by
     if isinstance(part, str):
         part = [part]
+    # row-count metric rides the write via Observation — zero extra
+    # jobs, unlike the reference's triple re-execution
+    # (breweries_transform_silver_notebook.py:81,112 recompute the
+    # clean plan for every count)
+    from pyspark.sql import Observation
+
+    obs = Observation(f"silver_{stage.task_id}")
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     write_parquet(df, out, partition_by=part or None)
-    return {"output_path": out, "partition_by": part}
+    return {"output_path": out, "partition_by": part, "rows": obs.get["rows"]}
 
 
 def run_aggregate_stage(
@@ -279,8 +287,12 @@ def run_aggregate_stage(
         )
     gold = union_views(views, stamp_value=paths.variables.get("ds"))
     out = paths.resolve(p["output_path"])
+    from pyspark.sql import Observation
+
+    obs = Observation(f"gold_{stage.task_id}")
+    gold = gold.observe(obs, F.count(F.lit(1)).alias("rows"))
     write_parquet(gold, out)
-    return {"output_path": out, "views": sorted(views)}
+    return {"output_path": out, "views": sorted(views), "rows": obs.get["rows"]}
 
 
 def run_quality_stage(

@@ -1,0 +1,71 @@
+"""Physical-plan regression tests: the scale properties the engine
+claims (broadcasts, pushdown, top-k without global sort, no cartesian
+products) are asserted against the ACTUAL executed plans, so a future
+edit that silently degrades a plan fails here — not at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from breweries_data_pipeline_spark.queries import REGISTRY
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name][0](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_broadcast_join_plan_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_global_avoids_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_topk_global")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_disjunctive_pred_pushes_per_side_conjuncts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_disjunctive_pred")
+    # the OR-bracket must reach BOTH scans as data filters, not sit
+    # above the join as a residual-only filter
+    assert plan.count("l_quantity") >= 2
+    assert "PushedFilters" in plan
+
+
+def test_exists_decorrelates_to_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_exists_orders")
+    assert "LeftSemi" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_groupby_count_2key")
+    # grouping two columns from the wide orders table must not read
+    # the rest; ReadSchema shows the pruned projection
+    assert "o_totalprice" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_similarity_ann", "q_similarity_topk", "q_dedup_embedding", "q_tfidf"],
+)
+def test_no_cartesian_products_anywhere(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_whole_stage_codegen_covers_flagship(spark, sf_dir):
+    # codegen spans only materialize in the FINAL adaptive plan, so
+    # execute first, then read the same query execution back
+    df = REGISTRY["q_pricing_summary"][0](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # codegen spans print as "*(n) Operator" in the final plan
+    assert "*(1)" in plan and "HashAggregate" in plan

@@ -2156,6 +2156,23 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_approx_percentile", None)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the Greenwald-Khanna sketch
+    (percentile_approx): mergeable partial sketches, one narrow pass +
+    tiny final merge — the 100 TB path where the exact interpolated
+    form (q_percentiles) would need a full sort. Rows-only: sketch
+    merge order is partition-dependent; the rank-error bound
+    (<= n/accuracy) is asserted in tests/test_units.py."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias(
+            "pcts"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
 @register(
     "q_json_extract",
     """

@@ -208,3 +208,26 @@ def test_salted_dedup_plan_has_two_keyed_exchanges(spark):
     )
     assert "__salt" in plan  # phase-1 exchange spreads the hot key
     assert plan.count("Exchange hashpartitioning") >= 2
+
+
+def test_approx_percentile_within_rank_error(spark, sf_dir):
+    """percentile_approx(accuracy=A) guarantees rank error <= n/A:
+    the returned value's TRUE rank must lie within [q*n - n/A, q*n + n/A]."""
+    from breweries_data_pipeline_spark.sources import read_table
+    from pyspark.sql import functions as F
+
+    o = read_table(spark, sf_dir, "orders").select("o_totalprice")
+    vals = sorted(r.o_totalprice for r in o.collect())
+    n = len(vals)
+    acc = 10000
+    approx = o.agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], acc).alias("p")
+    ).collect()[0].p
+    import bisect
+
+    for q, a in zip([0.5, 0.9, 0.99], approx):
+        lo = bisect.bisect_left(vals, a)
+        hi = bisect.bisect_right(vals, a)
+        target = q * n
+        slack = n / acc + 1
+        assert lo - slack <= target <= hi + slack, (q, a, lo, hi, target)

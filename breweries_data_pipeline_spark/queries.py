@@ -2070,6 +2070,51 @@ def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_pack_sequences",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             doc_id % 8 AS shard,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(COALESCE(sum(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) // 2048 AS BIGINT) AS pack_id
+    FROM t
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: assign docs to ~2048-token packs
+    (streaming bin-fill: a pack may overflow by its last doc, the
+    standard truncate-later discipline). Shard-parallel: docs hash into
+    8 shards, the cumulative token window runs PER SHARD — at 100 TB
+    raise the shard count with the cluster, never a single global
+    ordered window."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return docs.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 2048).alias(
+            "pack_id"
+        ),
+    )
+
+
+@register(
     "q_stratified_sample",
     """
     SELECT doc_id, lang FROM (

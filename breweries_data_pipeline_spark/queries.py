@@ -21,6 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from breweries_data_pipeline_spark.operators import (
     add_literal,
@@ -125,6 +126,47 @@ def q_scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = csv_fixture_from_orders(spark, sf_dir)
     return read_csv(spark, path).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "q_scan_corrupt",
+    """
+    SELECT count(*) FILTER (WHERE event_id % 10 <> 0) AS n_good,
+           count(*) FILTER (WHERE event_id % 10 = 0) AS n_corrupt,
+           max(event_id) FILTER (WHERE event_id % 10 <> 0) AS max_good_id
+    FROM events WHERE event_id < 1000
+    """,
+)
+def q_scan_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode scan over a feed with malformed lines: bad rows
+    land in _corrupt_record (schema columns null) instead of failing
+    the job, and the query accounts for both populations in one pass.
+    The fixture corrupts exactly the event_id%10==0 lines, so the
+    oracle recomputes both counts from the clean table. (A data column
+    must appear alongside _corrupt_record — Spark rejects queries that
+    reference only the internal corrupt column.)"""
+    from breweries_data_pipeline_spark.sources.readers import corrupt_json_fixture
+
+    path = corrupt_json_fixture(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return df.agg(
+        F.count_if(F.col("_corrupt_record").isNull()).alias("n_good"),
+        F.count_if(F.col("_corrupt_record").isNotNull()).alias("n_corrupt"),
+        F.max("event_id").alias("max_good_id"),
+    )
 
 
 @register(

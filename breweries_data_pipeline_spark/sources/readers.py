@@ -165,6 +165,44 @@ def json_fixture_from_events(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+def corrupt_json_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """JSONL fixture with deterministic corruption: events with
+    event_id < 1000, but every line whose event_id is a multiple of 10
+    is truncated mid-object (invalid JSON). Exercises PERMISSIVE-mode
+    reads where malformed lines land in ``_corrupt_record`` instead of
+    failing the scan — the posture an ingest boundary needs when the
+    upstream feed cannot be trusted."""
+    import json as _json
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join("/tmp", "breweries_corrupt_fixture", tag, "raw.jsonl")
+    if not os.path.exists(out):
+        rows = (
+            read_table(spark, sf_dir, "events")
+            .filter("event_id < 1000")
+            .select("event_id", "event_type", "user_id")
+            .orderBy("event_id")
+            .collect()
+        )
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        tmp = out + ".tmp"
+        with open(tmp, "w") as f:
+            for r in rows:
+                line = _json.dumps(
+                    {"event_id": r.event_id, "event_type": r.event_type,
+                     "user_id": r.user_id},
+                    sort_keys=True,
+                )
+                if r.event_id % 10 == 0:
+                    line = line[: len(line) // 2]  # truncate mid-object
+                f.write(line + "\n")
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            pass  # lost a concurrent race; winner's output is identical
+    return out
+
+
 def csv_fixture_from_orders(spark: SparkSession, sf_dir: str) -> str:
     """Materialize a deterministic CSV fixture (orders with
     o_orderkey < 1000, three columns) under /tmp, once per sf_dir, for

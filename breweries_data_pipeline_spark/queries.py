@@ -1275,6 +1275,69 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_containment",
+    f"""
+    WITH sh AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS s FROM documents)
+    SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(greatest(len(a.s), 1) AS DOUBLE) AS containment
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 shingle CONTAINMENT (|A∩B| / |A|) between consecutive docs —
+    the asymmetric near-dup signal (detects A-inside-B where Jaccard
+    dilutes); integer-ratio double, hash-exact."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("s")
+    )
+    nxt = sh.select((F.col("doc_id") - 1).alias("doc_id"), F.col("s").alias("s_b"))
+    return sh.join(nxt, "doc_id").select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1).alias("id_b"),
+        (
+            F.size(F.array_intersect("s", "s_b")).cast("double")
+            / F.greatest(F.size("s"), F.lit(1)).cast("double")
+        ).alias("containment"),
+    )
+
+
+@register(
+    "q_repetition",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           CAST(len(list_distinct(toks)) AS DOUBLE)
+             / CAST(greatest(len(toks), 1) AS DOUBLE) AS distinct_ratio
+    FROM t
+    """,
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 repetitiveness signal: distinct-token ratio per doc (low =
+    boilerplate/spam; the entropy-style filter without transcendental
+    functions, so it stays hash-exact cross-engine). Pure narrow map —
+    zero shuffle at any scale."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)).cast("double")
+        ).alias("distinct_ratio"),
+    )
+
+
 @register("q_neardup_pairs_minhash", None)
 def q_neardup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7 MinHash-LSH near-dup candidate pairs, verified with exact

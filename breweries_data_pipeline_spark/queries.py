@@ -2350,6 +2350,21 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_freq_items", None)
+def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the Karp-Shenker-Papadimitriou single-pass
+    sketch (df.stat.freqItems): every value with frequency > support
+    is GUARANTEED present (possible false positives, no false
+    negatives) — the 100 TB substitute for an exact groupBy-count-sort
+    when only the hot keys matter. Rows-only (sketch contents depend
+    on merge order); the superset guarantee is asserted in
+    tests/test_units.py."""
+    ev = read_table(spark, sf_dir, "events").select("event_type")
+    return ev.stat.freqItems(["event_type"], support=0.1).select(
+        F.explode("event_type_freqItems").alias("candidate_hot_value")
+    )
+
+
 @register("q_approx_percentile", None)
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles via the Greenwald-Khanna sketch

@@ -231,3 +231,22 @@ def test_approx_percentile_within_rank_error(spark, sf_dir):
         target = q * n
         slack = n / acc + 1
         assert lo - slack <= target <= hi + slack, (q, a, lo, hi, target)
+
+
+def test_freq_items_superset_guarantee(spark, sf_dir):
+    """freqItems(support=s) must return EVERY value with relative
+    frequency > s (false positives allowed, false negatives not)."""
+    from breweries_data_pipeline_spark.queries import q_freq_items
+    from breweries_data_pipeline_spark.sources import read_table
+    from pyspark.sql import functions as F
+
+    got = {r.candidate_hot_value for r in q_freq_items(spark, sf_dir).collect()}
+    ev = read_table(spark, sf_dir, "events")
+    n = ev.count()
+    truly_hot = {
+        r.event_type
+        for r in ev.groupBy("event_type").count().collect()
+        if r["count"] / n > 0.1
+    }
+    assert truly_hot <= got, (truly_hot, got)
+    assert len(truly_hot) > 0

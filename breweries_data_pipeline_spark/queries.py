@@ -2175,6 +2175,36 @@ def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_minmax_scale",
+    """
+    SELECT user_id, event_id, value,
+           CASE WHEN max(value) OVER w = min(value) OVER w THEN 0.5
+                ELSE (value - min(value) OVER w)
+                     / (max(value) OVER w - min(value) OVER w)
+           END AS value_scaled
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity min-max feature scaling (ML prep): value mapped to
+    [0,1] within each user's range, constant groups pinned to 0.5.
+    One hash exchange on the entity key; the arithmetic is two stored
+    doubles and one IEEE division — hash-exact cross-engine."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    w = Window.partitionBy("user_id")
+    mn, mx = F.min("value").over(w), F.max("value").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.when(mx == mn, F.lit(0.5))
+        .otherwise((F.col("value") - mn) / (mx - mn))
+        .alias("value_scaled"),
+    )
+
+
+@register(
     "q_fill_forward",
     """
     WITH nulled AS (

@@ -2623,6 +2623,38 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '2002-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + aggregate, zero joins — the query
+    that measures scan + pushdown quality alone. All four predicates
+    reach the parquet reader; at 100 TB this is bandwidth-bound and
+    the plan has exactly one exchange (the 1-row final agg)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2002-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
     "q_exists_orders",
     """
     SELECT o.o_orderpriority, count(*) AS n_orders

@@ -1796,6 +1796,42 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_session_window_stream", None)
+def q_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 streaming session windows: the SAME session_window
+    expression as the batch q_session_window over a watermarked
+    stream, drained with availableNow. Session state merges adjacent
+    windows as events arrive and finalizes past the watermark.
+    Rows-only; exact batch parity asserted in tests/test_streaming.py."""
+    import tempfile
+
+    from breweries_data_pipeline_spark.streaming import read_events_stream
+
+    sdf = read_events_stream(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("q_session_window_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bdp_sess_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q_session_window_stream")
+
+
 @register("q_streaming_dedup", None)
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10 streaming dedup (dropDuplicatesWithinWatermark): state
@@ -2201,6 +2237,48 @@ def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(mx == mn, F.lit(0.5))
         .otherwise((F.col("value") - mn) / (mx - mn))
         .alias("value_scaled"),
+    )
+
+
+@register(
+    "q_zscore",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, value,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_v,
+             CAST(sum(CAST(value * value AS DECIMAL(28,8))) OVER w AS DOUBLE)
+               AS sum_sq,
+             CAST(count(*) OVER w AS DOUBLE) AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT user_id, event_id, value,
+           (value - sum_v / n)
+             / sqrt(sum_sq / n - (sum_v / n) * (sum_v / n)) AS zscore
+    FROM s
+    """,
+)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity z-score standardization (ML prep). Mean and variance
+    come from decimal-exact sum / sum-of-squares windows cast to
+    double, then a pinned-order double expression — so the score is
+    hash-exact without engine-native stddev (whose reduction order
+    differs). One hash exchange on the entity key."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    w = Window.partitionBy("user_id")
+    sum_v = F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+    sum_sq = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,8)"))
+        .over(w)
+        .cast("double")
+    )
+    n = F.count("*").over(w).cast("double")
+    mean = sum_v / n
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        ((F.col("value") - mean) / F.sqrt(sum_sq / n - mean * mean)).alias("zscore"),
     )
 
 

@@ -91,3 +91,17 @@ def test_streaming_upsert_matches_batch_merge(spark, sf_dir):
     batch_rows = sorted(tuple(r) for r in batch.collect())
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_streaming_session_window_matches_batch(spark, sf_dir):
+    from breweries_data_pipeline_spark.queries import (
+        q_session_window,
+        q_session_window_stream,
+    )
+
+    stream_rows = sorted(
+        tuple(r) for r in q_session_window_stream(spark, sf_dir).collect()
+    )
+    batch_rows = sorted(tuple(r) for r in q_session_window(spark, sf_dir).collect())
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0

@@ -366,6 +366,67 @@ def q_quality_gt_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_quality_report",
+    """
+    SELECT 'not_null' AS rule, 'o_custkey' AS column,
+           count(*) FILTER (WHERE o_custkey IS NULL) AS invalid_count,
+           count(*) FILTER (WHERE o_custkey IS NULL) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'greater_than_zero', 'o_totalprice',
+           count(*) FILTER (WHERE o_totalprice <= 0),
+           count(*) FILTER (WHERE o_totalprice <= 0) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'in_set', 'o_orderstatus',
+           count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')
+                            OR o_orderstatus IS NULL),
+           count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')
+                            OR o_orderstatus IS NULL) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'between', 'o_totalprice',
+           count(*) FILTER (WHERE o_totalprice NOT BETWEEN 0 AND 1000000
+                            OR o_totalprice IS NULL),
+           count(*) FILTER (WHERE o_totalprice NOT BETWEEN 0 AND 1000000
+                            OR o_totalprice IS NULL) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'matches_regex', 'o_orderpriority',
+           count(*) FILTER (WHERE NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                            OR o_orderpriority IS NULL),
+           count(*) FILTER (WHERE NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                            OR o_orderpriority IS NULL) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'unique', 'o_orderkey',
+           count(o_orderkey) - count(DISTINCT o_orderkey),
+           count(o_orderkey) - count(DISTINCT o_orderkey) = 0
+    FROM orders
+    """,
+)
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3-F5 full rule surface: six rule types (not_null,
+    greater_than_zero, in_set, between, matches_regex, unique)
+    compiled to ONE single-pass aggregate + inline pivot — the scan
+    appears once in the plan regardless of rule count, vs the
+    reference's job-per-rule. The oracle spells each rule as its own
+    filtered aggregate; row order is irrelevant to the hash check."""
+    from breweries_data_pipeline_spark.operators.quality import rules_dataframe
+
+    o = read_table(spark, sf_dir, "orders")
+    rules = [
+        {"rule": "not_null", "column": "o_custkey"},
+        {"rule": "greater_than_zero", "column": "o_totalprice"},
+        {"rule": "in_set", "column": "o_orderstatus", "values": ["O", "F", "P"]},
+        {"rule": "between", "column": "o_totalprice", "min": 0, "max": 1000000},
+        {"rule": "matches_regex", "column": "o_orderpriority", "pattern": "^[1-5]-"},
+        {"rule": "unique", "column": "o_orderkey"},
+    ]
+    return rules_dataframe(o, rules)
+
+
+@register(
     "q_groupby_count_2key",
     """
     SELECT l_returnflag, l_linestatus, count(*) AS total_count

@@ -1603,6 +1603,45 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_embedding_dim_stats",
+    """
+    WITH ex AS (
+      SELECT CAST(t.i AS INTEGER) - 1 AS dim,
+             CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS x
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    )
+    SELECT dim,
+           CAST(sum(CAST(round(x * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS sum_x_micro,
+           min(x) AS min_x,
+           max(x) AS max_x,
+           count(*) AS n
+    FROM ex GROUP BY dim
+    """,
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics over the embedding column (the
+    normalization-stats pass an ANN index build needs): posexplode ->
+    one partial+final hash aggregate keyed by dimension — 64 groups,
+    so the final exchange is trivial; the heavy work is the map-side
+    partial agg, which scales linearly with corpus size. The sum is
+    fixed-point (micro-units, integer accumulation) — decimal-cast of
+    float32-promoted doubles rounds differently per engine at the last
+    digit, while round()-to-integer is the same IEEE double op and
+    away-from-zero rule in both."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).select("dim", F.col("x").cast("double").alias("x"))
+    return exploded.groupBy("dim").agg(
+        F.sum(F.round(F.col("x") * 1000000.0).cast("long")).alias("sum_x_micro"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "q_fingerprint_rolling",
     """
     SELECT doc_id,

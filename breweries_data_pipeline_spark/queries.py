@@ -2528,16 +2528,17 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tf * N / df): the score is one exact integer product and one IEEE
     double division in both engines, so it is hash-checkable — ln()
     is deliberately avoided because transcendental libm results are
-    not guaranteed bit-equal cross-engine. Plan: one explode feeding
-    TWO aggregations (tf by doc+term, df by term) that reuse the same
-    shuffle key prefix, a broadcast of the 1-row corpus count, and a
-    per-doc top-k window."""
+    not guaranteed bit-equal cross-engine. Plan: ONE explode feeding
+    the (doc, term) tf aggregate; document frequency derives from tf
+    itself (rows per term == distinct docs per term), so the corpus is
+    exploded once, not once per aggregate — at 100 TB the explode
+    dominates and df runs over the much smaller tf table."""
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
     ).where(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(df_, "term")

@@ -105,3 +105,35 @@ def test_streaming_session_window_matches_batch(spark, sf_dir):
     batch_rows = sorted(tuple(r) for r in q_session_window(spark, sf_dir).collect())
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_streaming_upsert_checkpoint_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-running the drained stream against the SAME checkpoint must
+    process nothing new: the snapshot version set and contents stay
+    identical (exactly-once via checkpoint + idempotent merge)."""
+    from breweries_data_pipeline_spark.streaming import (
+        read_events_stream,
+        read_snapshot,
+        streaming_upsert,
+    )
+    from breweries_data_pipeline_spark.streaming.upsert import latest_snapshot_version
+
+    snap, ckpt = str(tmp_path / "snap"), str(tmp_path / "ckpt")
+
+    def run():
+        sdf = read_events_stream(spark, sf_dir).select(
+            "user_id", "event_type", "event_id", "ts", "value"
+        )
+        streaming_upsert(
+            sdf, snap, ["user_id", "event_type"], ["ts", "event_id"],
+            checkpoint_dir=ckpt,
+        )
+
+    run()
+    v1 = latest_snapshot_version(snap)
+    rows1 = sorted(tuple(r) for r in read_snapshot(spark, snap).collect())
+    run()  # same checkpoint: no new files -> no new batch
+    v2 = latest_snapshot_version(snap)
+    rows2 = sorted(tuple(r) for r in read_snapshot(spark, snap).collect())
+    assert v1 == v2
+    assert rows1 == rows2

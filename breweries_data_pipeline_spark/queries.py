@@ -2559,6 +2559,30 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_hll_rollup", None)
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Datasketches HLL): one pass builds a
+    per-status distinct-customer sketch; the global count then comes
+    from UNIONING the sketches, not rescanning — the re-aggregation
+    property exact distinct counts lack, and the reason sketches win
+    at 100 TB (cube/rollup/incremental refresh all reuse the same
+    partials). Rows-only (sketch estimates); the error bound vs exact
+    distinct is asserted in tests/test_units.py."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderstatus", "o_custkey")
+    per = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    per_counts = per.select(
+        "o_orderstatus",
+        F.hll_sketch_estimate("sk").cast("long").alias("approx_customers"),
+    )
+    total = per.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("o_orderstatus"),
+        F.hll_sketch_estimate("sk").cast("long").alias("approx_customers"),
+    )
+    return per_counts.unionByName(total)
+
+
 @register("q_freq_items", None)
 def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via the Karp-Shenker-Papadimitriou single-pass

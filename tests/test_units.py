@@ -250,3 +250,24 @@ def test_freq_items_superset_guarantee(spark, sf_dir):
     }
     assert truly_hot <= got, (truly_hot, got)
     assert len(truly_hot) > 0
+
+
+def test_hll_rollup_error_bound(spark, sf_dir):
+    """HLL estimates (default lgK=12) are within ~2% standard error;
+    assert 5% against exact distincts, per group AND for the unioned
+    global sketch."""
+    from breweries_data_pipeline_spark.queries import q_hll_rollup
+    from breweries_data_pipeline_spark.sources import read_table
+    from pyspark.sql import functions as F
+
+    got = {r.o_orderstatus: r.approx_customers for r in q_hll_rollup(spark, sf_dir).collect()}
+    o = read_table(spark, sf_dir, "orders")
+    exact = {
+        r.o_orderstatus: r.d
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .collect()
+    }
+    exact["ALL"] = o.select("o_custkey").distinct().count()
+    for k, e in exact.items():
+        assert abs(got[k] - e) / e < 0.05, (k, got[k], e)

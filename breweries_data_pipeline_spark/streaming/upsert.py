@@ -42,11 +42,19 @@ def latest_snapshot_version(snapshot_dir: str) -> int | None:
     return max(versions) if versions else None
 
 
-def read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame | None:
-    v = latest_snapshot_version(snapshot_dir)
+def read_snapshot(
+    spark: SparkSession, snapshot_dir: str, version: int | None = None
+) -> DataFrame | None:
+    """Read the latest snapshot, or time-travel to an explicit
+    ``version`` — retained versions stay readable until pruned, the
+    poor-man's form of table-format time travel."""
+    v = version if version is not None else latest_snapshot_version(snapshot_dir)
     if v is None:
         return None
-    return spark.read.parquet(os.path.join(snapshot_dir, f"v{v}"))
+    path = os.path.join(snapshot_dir, f"v{v}")
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"snapshot version v{v} not found in {snapshot_dir}")
+    return spark.read.parquet(path)
 
 
 def streaming_upsert(

@@ -137,3 +137,18 @@ def test_streaming_upsert_checkpoint_replay_is_idempotent(spark, sf_dir, tmp_pat
     rows2 = sorted(tuple(r) for r in read_snapshot(spark, snap).collect())
     assert v1 == v2
     assert rows1 == rows2
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Writing two snapshot versions by hand: latest read returns v1,
+    version=0 time-travels, missing versions raise."""
+    import pytest
+    from breweries_data_pipeline_spark.streaming import read_snapshot
+
+    snap = str(tmp_path / "snap")
+    spark.range(3).write.parquet(f"{snap}/v0")
+    spark.range(5).write.parquet(f"{snap}/v1")
+    assert read_snapshot(spark, snap).count() == 5
+    assert read_snapshot(spark, snap, version=0).count() == 3
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, snap, version=7)

@@ -98,3 +98,25 @@ def streaming_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+def prune_snapshots(snapshot_dir: str, keep_last: int = 2) -> list[int]:
+    """Delete all but the newest ``keep_last`` snapshot versions
+    (bounds storage; removes time-travel reach for pruned versions).
+    Returns the pruned version numbers. Never touches the latest
+    version or incomplete ``.tmp`` writes."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    if not os.path.isdir(snapshot_dir):
+        return []
+    versions = sorted(
+        int(d[1:])
+        for d in os.listdir(snapshot_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    doomed = versions[:-keep_last]
+    for v in doomed:
+        shutil.rmtree(os.path.join(snapshot_dir, f"v{v}"), ignore_errors=True)
+    return doomed

@@ -152,3 +152,20 @@ def test_snapshot_time_travel(spark, tmp_path):
     assert read_snapshot(spark, snap, version=0).count() == 3
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, snap, version=7)
+
+
+def test_prune_snapshots_keeps_newest(spark, tmp_path):
+    from breweries_data_pipeline_spark.streaming.upsert import (
+        latest_snapshot_version,
+        prune_snapshots,
+    )
+
+    snap = str(tmp_path / "snap")
+    for v in range(4):
+        spark.range(v + 1).write.parquet(f"{snap}/v{v}")
+    pruned = prune_snapshots(snap, keep_last=2)
+    assert pruned == [0, 1]
+    assert latest_snapshot_version(snap) == 3
+    import os
+
+    assert sorted(os.listdir(snap)) == ["v2", "v3"]

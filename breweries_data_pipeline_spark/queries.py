@@ -129,6 +129,27 @@ def q_scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scan_xml",
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey < 1000",
+)
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scan (Spark 4 native source) with schema inference over a
+    deterministic fixture; doubles survive the text round-trip
+    exactly, so the oracle — the same selection on the parquet view —
+    hash-matches. Completes the format family: parquet, JSON, CSV,
+    XML."""
+    from breweries_data_pipeline_spark.sources import (
+        read_xml,
+        xml_fixture_from_orders,
+    )
+
+    path = xml_fixture_from_orders(spark, sf_dir)
+    return read_xml(spark, path, row_tag="order").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@register(
     "q_scan_corrupt",
     """
     SELECT count(*) FILTER (WHERE event_id % 10 <> 0) AS n_good,

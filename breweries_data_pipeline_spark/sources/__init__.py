@@ -8,6 +8,8 @@ from breweries_data_pipeline_spark.sources.readers import (  # noqa: F401
     read_parquet_evolved,
     read_table,
     read_tables,
+    read_xml,
+    xml_fixture_from_orders,
 )
 from breweries_data_pipeline_spark.sources.writers import (  # noqa: F401
     write_json,

@@ -203,6 +203,46 @@ def corrupt_json_fixture(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """XML scan (Spark 4 native source): one DataFrame row per
+    ``row_tag`` element, schema inferred unless given. Same posture as
+    JSON/CSV: an ingest-boundary format, rewritten to parquet at the
+    first layer."""
+    reader = spark.read.option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.xml(path)
+
+
+def xml_fixture_from_orders(spark: SparkSession, sf_dir: str) -> str:
+    """XML fixture (orders with o_orderkey < 1000, three columns)
+    under /tmp, once per sf_dir. Atomic publish like the other
+    fixtures."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join("/tmp", "breweries_xml_fixture", tag)
+    if not os.path.exists(out):
+        df = (
+            read_table(spark, sf_dir, "orders")
+            .filter("o_orderkey < 1000")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        )
+        tmp = out + ".tmp"
+        df.write.mode("overwrite").option("rootTag", "orders").option(
+            "rowTag", "order"
+        ).xml(tmp)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            pass  # lost a concurrent race; winner's output is identical
+    return out
+
+
 def csv_fixture_from_orders(spark: SparkSession, sf_dir: str) -> str:
     """Materialize a deterministic CSV fixture (orders with
     o_orderkey < 1000, three columns) under /tmp, once per sf_dir, for

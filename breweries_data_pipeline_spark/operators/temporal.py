@@ -79,6 +79,67 @@ def as_of_join(
     )
 
 
+def as_of_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+    *,
+    suffix: str = "_next",
+    include_right_ts: bool = True,
+) -> DataFrame:
+    """FORWARD as-of join (inclusive: a right row at exactly
+    ``left_ts`` matches): for each left row, the FIRST right row with
+    ``right.ts >= left.ts`` per key. Same union + window composition
+    as ``as_of_join`` with the direction reversed: sort ascending by
+    (ts, left-before-right-at-ties) and carry the nearest FOLLOWING
+    right value back with ``first(value, ignorenulls)`` over
+    [currentRow, unboundedFollowing]. ONE shuffle on the key; the
+    exchange is AQE-splittable, unlike the cogroup form where a hot
+    key serializes into a single pandas task.
+
+    ``include_right_ts`` additionally carries the matched right
+    timestamp as ``{right_ts}{suffix}``. Right rows must be unique per
+    (key, right_ts) for deterministic results, as with ``as_of_join``.
+    """
+    value_cols = value_cols or []
+    carried: list[tuple[str, object, str]] = []
+    if include_right_ts:
+        carried.append((right_ts, right.schema[right_ts].dataType, f"{right_ts}{suffix}"))
+    carried += [(c, right.schema[c].dataType, f"{c}{suffix}") for c in value_cols]
+    extra = [c for c in left.columns if c not in (key, left_ts)]
+    lt = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(dt).alias(out) for (_, dt, out) in carried],
+        *[F.col(c) for c in extra],
+    )
+    rt = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(src).alias(out) for (src, _, out) in carried],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in extra],
+    )
+    # left rows sort BEFORE right rows at equal timestamps (desc on the
+    # flag), so an exactly-simultaneous right row is inside the left
+    # row's forward frame
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__t"), F.col("__is_left").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    unioned = lt.unionByName(rt)
+    for (_, _, out) in carried:
+        unioned = unioned.withColumn(out, F.first(F.col(out), ignorenulls=True).over(w))
+    return unioned.filter(F.col("__is_left") == 1).drop("__is_left").withColumnRenamed(
+        "__t", left_ts
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -1090,16 +1090,19 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_asof_next(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FORWARD as-of via cogrouped applyInPandas (merge_asof per key
-    group): each click paired with the first purchase at/after it per
-    user. The oracle is the correlated scalar-min subquery — same
-    semantics, so the cogroup kernel is hash-verified."""
-    from breweries_data_pipeline_spark.operators.temporal import as_of_join_cogroup
+    """FORWARD as-of via the union + carry-forward window (reverse of
+    the backward form: first purchase at/after each click per user,
+    carried back with first(ignorenulls) over the forward frame). ONE
+    AQE-splittable shuffle on the key — no applyInPandas, no hot-key
+    single-task serialization. The cogroup merge_asof kernel remains
+    available as ``as_of_join_cogroup`` for multi-column / custom
+    tolerance logic. Oracle: the correlated scalar-min subquery."""
+    from breweries_data_pipeline_spark.operators.temporal import as_of_join_forward
 
     ev = read_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
     buys = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts").distinct()
-    out = as_of_join_cogroup(clicks, buys, "user_id", "ts", "ts", suffix="_next")
+    out = as_of_join_forward(clicks, buys, "user_id", "ts", "ts", suffix="_next")
     return out.select(
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),

@@ -47,9 +47,19 @@ def test_exists_decorrelates_to_semi_join(spark, sf_dir):
 
 def test_column_pruning_reaches_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_groupby_count_2key")
-    # grouping two columns from the wide orders table must not read
-    # the rest; ReadSchema shows the pruned projection
-    assert "o_totalprice" not in plan
+    # grouping two lineitem columns must not read the rest of the wide
+    # table; the scan's ReadSchema shows the pruned projection
+    assert "l_extendedprice" not in plan
+    assert "l_returnflag" in plan
+
+
+def test_asof_forward_uses_window_not_cogroup(spark, sf_dir):
+    # the forward as-of must stay on the union + carry-forward-window
+    # plan: one AQE-splittable exchange, no per-key pandas task
+    plan = _plan(spark, sf_dir, "q_asof_next")
+    assert "InPandas" not in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
 
 
 @pytest.mark.parametrize(

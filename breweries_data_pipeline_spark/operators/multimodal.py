@@ -7,12 +7,14 @@ with Arrow-batched ``mapInPandas`` / ``pandas_udf`` — the correct
 Spark shape for per-blob Python work: whole Arrow record batches cross
 the JVM<->Python boundary once, not row-at-a-time pickling.
 
-The container has no image/audio libraries, so the *codec* is a
-deterministic fake (``FAKEIMG1`` header + seeded payload), while every
-piece of Spark plumbing — schemas, binary transport, batch iteration,
-partition-preserving narrow execution — is real and tested. The
-real-decoder entry point (``decode_real_image``) raises
-NotImplementedError until PIL/opencv exist in the runtime.
+Two codecs behind one dispatcher (``decode_image``): a deterministic
+fake (``FAKEIMG1`` header + seeded payload) that needs no libraries,
+and a real PIL path (``decode_real_image``) for PNG/JPEG/... bytes
+when pillow is present. The CI container ships neither PIL nor
+opencv, so the real path's test is env-gated (skips cleanly) while
+every piece of Spark plumbing — schemas, binary transport, batch
+iteration, partition-preserving narrow execution — runs on the fake
+codec either way.
 
 Scale notes: all operators here are narrow (no shuffle); throughput is
 bounded by Arrow serialization + Python. Size partitions so a batch of
@@ -64,16 +66,34 @@ def decode_fake_image(blob: bytes) -> tuple[int, int, int, bytes]:
     return width, height, channels, blob[_HEADER.size:]
 
 
-def decode_real_image(blob: bytes):  # pragma: no cover - env-gated
-    """Real-codec path: requires an image library in the runtime."""
+def decode_real_image(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Real-codec path: decode PNG/JPEG/WebP/... bytes via PIL into the
+    same (width, height, channels, pixels) shape as the fake codec, so
+    the downstream operators are codec-agnostic. Raises
+    NotImplementedError only when no image library exists in the
+    runtime (the CI container has none — the env-gated test skips
+    cleanly there and the FAKEIMG1 codec covers the Spark plumbing)."""
     try:
-        import PIL.Image  # noqa: F401
+        import PIL.Image
     except ImportError as exc:
         raise NotImplementedError(
-            "real image decoding needs PIL/opencv, not present in this "
+            "real image decoding needs PIL (pillow), not present in this "
             "container; use the FAKEIMG1 codec for plumbing tests"
         ) from exc
-    raise NotImplementedError("wire PIL.Image.open(io.BytesIO(blob)) here")
+    import io
+
+    with PIL.Image.open(io.BytesIO(blob)) as img:
+        img.load()
+        return img.width, img.height, len(img.getbands()), img.tobytes()
+
+
+def decode_image(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Codec dispatch: FAKEIMG1 blobs take the no-deps path, anything
+    else the PIL path — one entry point for both synthetic fixtures
+    and real image bytes."""
+    if blob[: len(FAKE_MAGIC)] == FAKE_MAGIC:
+        return decode_fake_image(blob)
+    return decode_real_image(blob)
 
 
 MEDIA_SCHEMA = T.StructType(
@@ -126,7 +146,7 @@ def decode_dimensions(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
-                w, h, c, _ = decode_fake_image(bytes(blob))
+                w, h, c, _ = decode_image(bytes(blob))
                 rows.append((int(mid), w, h, c, len(blob)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "channels", "n_bytes"]
@@ -153,7 +173,7 @@ def image_features(media: DataFrame, dim: int = 8) -> DataFrame:
         for pdf in batches:
             ids, vecs = [], []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
-                _, _, _, pixels = decode_fake_image(bytes(blob))
+                _, _, _, pixels = decode_image(bytes(blob))
                 arr = np.frombuffer(pixels, dtype=np.uint8)
                 stripes = np.array_split(arr, dim)
                 vecs.append(
@@ -179,7 +199,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
         for pdf in batches:
             ids, kinds, blobs = [], [], []
             for mid, kind, blob in zip(pdf["media_id"], pdf["kind"], pdf["blob"]):
-                w, h, c, pixels = decode_fake_image(bytes(blob))
+                w, h, c, pixels = decode_image(bytes(blob))
                 out = bytearray(pack_header(width, height, c))
                 for y in range(height):
                     sy = min(h - 1, y * h // height)

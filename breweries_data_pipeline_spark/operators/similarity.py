@@ -178,7 +178,10 @@ def embedding_near_dup_pairs(
     Shuffle discipline: the self-join carries ONLY (id, band) pairs;
     candidate id-pairs are deduped BEFORE vectors are re-attached
     (two hash joins), norms are precomputed once per vector, and the
-    pair dot products run as one numpy kernel per Arrow batch."""
+    pair dot products run as one numpy kernel per Arrow batch. The
+    kernel is the exact left-fold dot (_exact_dot_udf), so surviving
+    pairs are bit-comparable to a DuckDB list-fold recompute — the
+    threshold test can never flip between engines."""
     bands_expr = hyperplane_bands(vec_col, n_planes, bands)
     base = corpus.select(
         F.col(id_col),
@@ -208,7 +211,7 @@ def embedding_near_dup_pairs(
     vb = base.select(
         F.col(id_col).alias("id_b"), F.col("__vec").alias("__vb"), F.col("__norm").alias("__nb")
     )
-    dot = _pairwise_dot_udf()
+    dot = _exact_dot_udf()
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")

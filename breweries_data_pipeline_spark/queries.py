@@ -1689,16 +1689,67 @@ def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", rolling_fingerprint("text").alias("fp"))
 
 
-@register("q_dedup_embedding", None)
+@register(
+    "q_dedup_embedding",
+    f"""
+    WITH aug AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding,
+             label
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(range(1, len(embedding) + 1),
+                            i -> CAST(embedding[i] AS DOUBLE)
+                                 * (1.0 + CAST((vec_id + i - 1) % 7 AS DOUBLE)
+                                          * 0.0001)) AS embedding,
+             label
+      FROM embeddings
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      WHERE {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+            / (sqrt({_SQL_DOT.format(a='a.embedding', b='a.embedding')})
+               * sqrt({_SQL_DOT.format(a='b.embedding', b='b.embedding')}))
+            >= 0.9
+    )
+    SELECT vec_id, label FROM aug
+    WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+    """,
+)
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7/X8 embedding-cosine near-dup dedup: LSH-banded corpus
     self-join (bucketed, no crossJoin) + exact cosine >= 0.9, drop the
-    larger id of each pair. Rows-only (LSH recall < 1 by design);
-    structure asserted in tests/test_similarity.py."""
+    larger id of each pair. The synthetic embeddings are random (no
+    true pairs at 0.9), so the query PLANTS one near-duplicate per
+    vector — a deterministically perturbed copy at vec_id + 100000,
+    elementwise x * (1 + ((vec_id + dim) % 7) * 1e-4), identical
+    arithmetic in both engines — and dedups the augmented corpus.
+    Full oracle: DuckDB recomputes exact all-pairs cosine, so a single
+    LSH-missed pair or a flipped threshold test breaks the hash (the
+    pair kernel is the exact left-fold dot, bit-equal to DuckDB's
+    list fold; planted cosines sit near 1, random ones below 0.52, so
+    the 0.9 test is decided by >0.38 margins)."""
     from breweries_data_pipeline_spark.operators.similarity import dedup_embeddings
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return dedup_embeddings(emb, threshold=0.9).select("vec_id", "label")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    )
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            * (F.lit(1.0) + ((F.col("vec_id") + i) % 7).cast("double") * F.lit(0.0001)),
+        ).alias("embedding"),
+        "label",
+    )
+    aug = base.unionByName(pert)
+    return dedup_embeddings(aug, threshold=0.9).select("vec_id", "label")
 
 
 @register("q_similarity_ivf", None)
@@ -1791,11 +1842,45 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_multimodal_features", None)
+@register(
+    "q_multimodal_features",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             (16 + doc_id % 17) * (16 + doc_id % 13) * (1 + doc_id % 3) AS n,
+             (doc_id * 2654435761) % 4294967296 AS seed
+      FROM documents
+    ),
+    b AS (
+      SELECT media_id, n, CAST(t.i AS BIGINT) AS i,
+             ((seed + CAST(t.i AS BIGINT) * 40503) >> 3) & 255 AS v
+      FROM m, unnest(generate_series(0, n - 1)) AS t(i)
+    ),
+    s AS (
+      SELECT media_id,
+             CASE WHEN i < (n % 8) * (n // 8 + 1)
+                  THEN i // (n // 8 + 1)
+                  ELSE (n % 8) + (i - (n % 8) * (n // 8 + 1)) // (n // 8)
+             END AS stripe,
+             v
+      FROM b
+    )
+    SELECT media_id,
+           CAST(stripe AS BIGINT) AS stripe,
+           CAST(CAST(CAST(sum(v) AS DOUBLE) / count(*) / 255.0 AS REAL) AS DOUBLE)
+             AS feature
+    FROM s GROUP BY media_id, stripe
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction: blob -> array<float> via
-    Arrow-batched mapInPandas (the embedding-model-forward-pass shape).
-    Rows-only: byte-histogram floats are not SQL-expressible."""
+    Arrow-batched mapInPandas (the embedding-model-forward-pass shape),
+    exploded to (media_id, stripe, feature) scalars. Full oracle: the
+    FAKEIMG1 payload is pure id-derived arithmetic, so DuckDB
+    regenerates every byte, replays numpy's array_split stripe bounds,
+    and recomputes each stripe mean with the same two IEEE double
+    divisions + one float32 rounding — bit-exact through the whole
+    encode -> Arrow -> decode -> feature path."""
     from breweries_data_pipeline_spark.operators.multimodal import (
         image_features,
         media_from_ids,
@@ -1804,7 +1889,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     feats = image_features(media_from_ids(docs))
     return feats.select(
-        "media_id", F.size("features").alias("dim"), F.col("features")
+        "media_id", F.posexplode("features").alias("stripe", "feature")
+    ).select(
+        "media_id",
+        F.col("stripe").cast("long").alias("stripe"),
+        F.col("feature").cast("double").alias("feature"),
     )
 
 

@@ -9,6 +9,7 @@ import pytest
 from breweries_data_pipeline_spark.operators.multimodal import (
     decode_dimensions,
     decode_fake_image,
+    decode_image,
     decode_real_image,
     encode_fake_image,
     frame_sample_offsets,
@@ -62,6 +63,30 @@ def test_frame_sample_offsets_is_jvm_side(spark):
     assert df.collect()[0].offs == [0, 1000, 2000, 3000]
 
 
-def test_real_decoder_is_env_gated():
-    with pytest.raises(NotImplementedError):
-        decode_real_image(b"\x89PNG...")
+def test_decode_image_dispatches_on_magic():
+    blob = encode_fake_image(3)
+    assert decode_image(blob) == decode_fake_image(blob)
+
+
+def test_real_decoder_raises_only_without_pil():
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            decode_real_image(b"\x89PNG...")
+    else:
+        pytest.skip("PIL present; covered by test_real_decoder_decodes_png")
+
+
+def test_real_decoder_decodes_png():
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    img = Image.new("RGB", (5, 3), (10, 20, 30))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    w, h, c, pixels = decode_real_image(buf.getvalue())
+    assert (w, h, c) == (5, 3, 3)
+    assert len(pixels) == 5 * 3 * 3
+    # the dispatcher routes non-FAKEIMG1 bytes to the real codec
+    assert decode_image(buf.getvalue())[:3] == (5, 3, 3)

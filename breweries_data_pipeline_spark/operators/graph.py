@@ -20,8 +20,11 @@ so convergence is O(log diameter) rounds, not O(diameter): a
 shuffles of (id, label) pairs — the payload never travels.
 
 Scale notes (100 TB): the label table is one long per node — orders
-of magnitude smaller than the documents it describes. The driver only
-evaluates the per-round convergence count (a 1-row action). Each
+of magnitude smaller than the documents it describes. Each round runs
+ONE heavy action (the eager localCheckpoint); the convergence probe
+rides on it — the previous label is carried through the checkpoint so
+detecting "no label changed" is a filter + isEmpty over materialized
+partitions, not another join. Each
 round's label table is localCheckpoint()ed: persistence alone is NOT
 enough for iterative plans — the logical plan doubles per round and
 Catalyst blows the stack around a dozen rounds — so the lineage must
@@ -62,35 +65,36 @@ def connected_components(
     sym = sym.persist()
 
     for _ in range(max_iter):
-        # 1. edge propagation: min neighbor label per node
+        # 1. edge propagation: min neighbor label per node. The
+        # round's previous label rides along as __prev so convergence
+        # is read off the checkpointed result below — no second join.
         nbr = (
             sym.join(labels, sym["__u"] == labels["__id"])
             .select(F.col("__v").alias("__id"), "__lab")
             .groupBy("__id")
             .agg(F.min("__lab").alias("__nlab"))
         )
-        prop = (
-            labels.join(nbr, "__id", "left")
-            .select("__id", F.least("__lab", "__nlab").alias("__lab"))
+        prop = labels.join(nbr, "__id", "left").select(
+            "__id",
+            F.least("__lab", "__nlab").alias("__plab"),
+            F.col("__lab").alias("__prev"),
         )
         # 2. pointer jump: label <- label's label (halves chain depth)
         as_map = prop.select(
-            F.col("__id").alias("__mid"), F.col("__lab").alias("__mlab")
+            F.col("__id").alias("__mid"), F.col("__plab").alias("__mlab")
         )
         jumped = (
-            prop.join(as_map, prop["__lab"] == as_map["__mid"], "left")
-            .select("__id", F.least("__lab", "__mlab").alias("__lab"))
+            prop.join(as_map, prop["__plab"] == as_map["__mid"], "left")
+            .select(
+                "__id", F.least("__plab", "__mlab").alias("__lab"), "__prev"
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), F.col("n.__id") == F.col("o.__id"))
-            .filter(F.col("n.__lab") != F.col("o.__lab"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
+        labels = jumped.select("__id", "__lab")
+        # convergence probe: a filter over the ALREADY-materialized
+        # checkpoint partitions — no join, no shuffle, stops at the
+        # first changed row
+        if jumped.filter(F.col("__lab") != F.col("__prev")).isEmpty():
             break
     result = labels.select(
         F.col("__id").alias(id_col), F.col("__lab").alias(label_col)

@@ -10,9 +10,14 @@ Methodology:
 - queries materialize through the noop sink, which evaluates every
   projected column (a count() would let Catalyst prune the projection
   and under-measure narrow-transform queries);
+- every query runs REPS times; the reported point value is the MEDIAN
+  and "spread" records [min, max] per query, so sub-second local-bench
+  noise (GC, page-cache misses, JIT) is visible instead of read as a
+  regression;
 - "value" sums the SAME 10 queries as round 1 (BASELINE.md
   comparability); newer operator families are timed in "queries" and
-  summed separately under "extended_total".
+  summed separately under "extended_total" (same set and order every
+  round for round-over-round comparability).
 """
 
 from __future__ import annotations
@@ -106,12 +111,19 @@ def main() -> None:
 
     _materialize(spark.range(1000).repartition(32).mapInPandas(_noop_batch, "id long"))
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE + [q for q in EXTENDED if q in REGISTRY]:
         fn, _ = REGISTRY[name]
-        start = time.perf_counter()
-        _materialize(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - start, 4)
+        runs = []
+        for _ in range(reps):
+            start = time.perf_counter()
+            _materialize(fn(spark, sf_dir))
+            runs.append(time.perf_counter() - start)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 4)
+        spread[name] = [round(runs[0], 4), round(runs[-1], 4)]
 
     total = round(sum(timings[q] for q in HEADLINE), 4)
     ext_total = round(sum(v for q, v in timings.items() if q not in HEADLINE), 4)
@@ -123,6 +135,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "reps": reps,
                 "extended_total": ext_total,
                 "sf": float(sf) if sf else None,
             }

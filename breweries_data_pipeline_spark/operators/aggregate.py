@@ -90,7 +90,9 @@ def mode_agg(df: DataFrame, keys: list[str], value_col: str, out: str = "mode") 
     from pyspark.sql.functions import pandas_udf
 
     def _mode(v):
-        counts = v.value_counts()
+        counts = v.value_counts()  # drops NaN: an all-null group is empty
+        if counts.empty:
+            return None
         top = counts[counts == counts.max()]
         return sorted(top.index)[0]
 

@@ -60,7 +60,11 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-mitigating salted equi-join, result-identical to the plain
-    join on ``key``.
+    join on ``key`` for ``how`` in {'inner', 'left'} — the only
+    accepted types: with the other side replicated ``buckets``×,
+    right/full outer would emit each unmatched replica (``buckets``
+    phantom rows) and semi/anti read replicated matches, so those
+    joins are rejected rather than silently wrong.
 
     The skewed probe side gets a deterministic per-row salt (xxhash64 of
     ``salt_from`` mod ``buckets``); the other side is replicated
@@ -76,6 +80,11 @@ def salted_join(
     cannot rewrite (e.g. when the skewed side feeds a window/aggregate
     next, or AQE is off).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "replication breaks right/full/semi/anti semantics"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_from]), F.lit(buckets)).cast("int")
     salted = skewed.withColumn("__salt", salt)
     replicated = other.withColumn(

@@ -101,13 +101,18 @@ def evolving_parquet_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str
     ):
         if not os.path.exists(out):
             df = read_table(spark, sf_dir, "orders").filter(flt).select(*cols)
-            tmp = out + ".tmp"
+            # per-process tmp path: two concurrent publishers must not
+            # overwrite each other's half-written tmp before the rename
+            tmp = f"{out}.{os.getpid()}.tmp"
             df.write.mode("overwrite").parquet(tmp)
             os.makedirs(os.path.dirname(out), exist_ok=True)
             try:
                 os.rename(tmp, out)
             except OSError:
-                pass  # lost a concurrent race; winner's output is identical
+                # lost the publish race; winner's output is identical
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
     return v1, v2
 
 
@@ -155,13 +160,16 @@ def json_fixture_from_events(spark: SparkSession, sf_dir: str) -> str:
             .filter("event_id < 1000")
             .select("event_id", "event_type", "user_id")
         )
-        tmp = out + ".tmp"
+        tmp = f"{out}.{os.getpid()}.tmp"
         df.write.mode("overwrite").json(tmp)
         os.makedirs(os.path.dirname(out), exist_ok=True)
         try:
             os.rename(tmp, out)
         except OSError:
-            pass  # lost a concurrent race; winner's output is identical
+            # lost the publish race; winner's output is identical
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 
@@ -185,7 +193,7 @@ def corrupt_json_fixture(spark: SparkSession, sf_dir: str) -> str:
             .collect()
         )
         os.makedirs(os.path.dirname(out), exist_ok=True)
-        tmp = out + ".tmp"
+        tmp = f"{out}.{os.getpid()}.tmp"
         with open(tmp, "w") as f:
             for r in rows:
                 line = _json.dumps(
@@ -196,10 +204,9 @@ def corrupt_json_fixture(spark: SparkSession, sf_dir: str) -> str:
                 if r.event_id % 10 == 0:
                     line = line[: len(line) // 2]  # truncate mid-object
                 f.write(line + "\n")
-        try:
-            os.rename(tmp, out)
-        except OSError:
-            pass  # lost a concurrent race; winner's output is identical
+        # single FILE publish: os.replace atomically overwrites, so a
+        # concurrent-race loser just rewrites identical bytes
+        os.replace(tmp, out)
     return out
 
 
@@ -231,7 +238,7 @@ def xml_fixture_from_orders(spark: SparkSession, sf_dir: str) -> str:
             .filter("o_orderkey < 1000")
             .select("o_orderkey", "o_orderstatus", "o_totalprice")
         )
-        tmp = out + ".tmp"
+        tmp = f"{out}.{os.getpid()}.tmp"
         df.write.mode("overwrite").option("rootTag", "orders").option(
             "rowTag", "order"
         ).xml(tmp)
@@ -239,7 +246,10 @@ def xml_fixture_from_orders(spark: SparkSession, sf_dir: str) -> str:
         try:
             os.rename(tmp, out)
         except OSError:
-            pass  # lost a concurrent race; winner's output is identical
+            # lost the publish race; winner's output is identical
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 
@@ -257,13 +267,16 @@ def csv_fixture_from_orders(spark: SparkSession, sf_dir: str) -> str:
             .filter("o_orderkey < 1000")
             .select("o_orderkey", "o_orderstatus", F.col("o_totalprice"))
         )
-        tmp = out + ".tmp"
+        tmp = f"{out}.{os.getpid()}.tmp"
         df.write.mode("overwrite").option("header", "true").csv(tmp)
         os.makedirs(os.path.dirname(out), exist_ok=True)
         try:
             os.rename(tmp, out)
         except OSError:
-            pass  # lost a concurrent race; winner's output is identical
+            # lost the publish race; winner's output is identical
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 

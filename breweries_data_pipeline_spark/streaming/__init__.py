@@ -2,6 +2,8 @@ from breweries_data_pipeline_spark.streaming.joins import (  # noqa: F401
     interval_join,
 )
 from breweries_data_pipeline_spark.streaming.upsert import (  # noqa: F401
+    commit_snapshot_version,
+    committed_versions,
     read_snapshot,
     streaming_upsert,
 )

@@ -8,11 +8,16 @@ batch; on recovery a batch may be REDELIVERED, so the merge must be
 idempotent — latest-record-wins merging is: re-merging the same rows
 changes nothing).
 
-Snapshot layout: ``dir/v{batch_id}`` directories, each a complete
-snapshot, written to ``.tmp`` and atomically renamed (the repo's
-atomic-publish convention). Readers resolve the highest complete
-version — never a partial write. Old versions are retained for
-time-travel until pruned.
+Snapshot layout: ``dir/v{batch_id}`` data directories plus a
+``dir/_commits`` manifest — one marker file per published version. A
+version becomes visible ONLY when its marker lands, and the marker is
+a single-file publish (tmp + rename locally; one PUT on an object
+store) — atomic where directory rename is not (S3 et al.). Readers
+resolve versions from the manifest, so a half-written data directory
+is never readable; layouts assembled by hand without a manifest fall
+back to directory listing (no partial-write protection — legacy
+convenience only). Old versions are retained for time-travel until
+pruned.
 
 Scale notes: each micro-batch rewrites the snapshot (read + union +
 window + write) — right for moderate snapshot sizes or low cadence; at
@@ -30,16 +35,43 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from breweries_data_pipeline_spark.operators.merge import merge_upsert
 
 
-def latest_snapshot_version(snapshot_dir: str) -> int | None:
-    """Highest complete (published, non-.tmp) snapshot version."""
-    if not os.path.isdir(snapshot_dir):
-        return None
-    versions = [
+_COMMITS = "_commits"
+
+
+def commit_snapshot_version(snapshot_dir: str, version: int) -> None:
+    """Atomically publish ``version``: write its one-line manifest
+    marker under ``_commits/`` via tmp-file + rename (single-FILE
+    publish — the operation object stores make atomic, unlike the
+    directory rename the data write would need). Idempotent: a
+    redelivered batch re-commits the same version harmlessly."""
+    cdir = os.path.join(snapshot_dir, _COMMITS)
+    os.makedirs(cdir, exist_ok=True)
+    tmp = os.path.join(cdir, f".v{version}.{os.getpid()}.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"v{version}\n")
+    os.replace(tmp, os.path.join(cdir, f"v{version}"))
+
+
+def committed_versions(snapshot_dir: str) -> list[int]:
+    """Published versions in ascending order, resolved from the
+    ``_commits`` manifest. Layouts with no manifest (assembled by
+    hand) fall back to listing data directories — a legacy path with
+    no partial-write protection."""
+    cdir = os.path.join(snapshot_dir, _COMMITS)
+    src = cdir if os.path.isdir(cdir) else snapshot_dir
+    if not os.path.isdir(src):
+        return []
+    return sorted(
         int(d[1:])
-        for d in os.listdir(snapshot_dir)
+        for d in os.listdir(src)
         if d.startswith("v") and d[1:].isdigit()
-    ]
-    return max(versions) if versions else None
+    )
+
+
+def latest_snapshot_version(snapshot_dir: str) -> int | None:
+    """Highest published snapshot version (manifest-resolved)."""
+    versions = committed_versions(snapshot_dir)
+    return versions[-1] if versions else None
 
 
 def read_snapshot(
@@ -48,13 +80,17 @@ def read_snapshot(
     """Read the latest snapshot, or time-travel to an explicit
     ``version`` — retained versions stay readable until pruned, the
     poor-man's form of table-format time travel."""
-    v = version if version is not None else latest_snapshot_version(snapshot_dir)
-    if v is None:
-        return None
-    path = os.path.join(snapshot_dir, f"v{v}")
-    if not os.path.isdir(path):
-        raise FileNotFoundError(f"snapshot version v{v} not found in {snapshot_dir}")
-    return spark.read.parquet(path)
+    if version is not None:
+        if version not in committed_versions(snapshot_dir):
+            raise FileNotFoundError(
+                f"snapshot version v{version} not published in {snapshot_dir}"
+            )
+        v = version
+    else:
+        v = latest_snapshot_version(snapshot_dir)
+        if v is None:
+            return None
+    return spark.read.parquet(os.path.join(snapshot_dir, f"v{v}"))
 
 
 def streaming_upsert(
@@ -83,13 +119,14 @@ def streaming_upsert(
         merged = merge_upsert(
             base, batch_df, keys, order, delete_predicate=delete_predicate
         )
-        tmp = os.path.join(snapshot_dir, f"v{batch_id}.tmp")
-        final = os.path.join(snapshot_dir, f"v{batch_id}")
-        merged.write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, final)
-        except OSError:
-            pass  # redelivered batch already published this version
+        # the data directory is INVISIBLE until its manifest marker
+        # lands, so it can be written in place (overwrite also makes a
+        # redelivered batch's rewrite safe); the marker is the atomic
+        # commit point
+        merged.write.mode("overwrite").parquet(
+            os.path.join(snapshot_dir, f"v{batch_id}")
+        )
+        commit_snapshot_version(snapshot_dir, batch_id)
 
     q = (
         sdf.writeStream.foreachBatch(_merge_batch)
@@ -109,14 +146,12 @@ def prune_snapshots(snapshot_dir: str, keep_last: int = 2) -> list[int]:
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    if not os.path.isdir(snapshot_dir):
-        return []
-    versions = sorted(
-        int(d[1:])
-        for d in os.listdir(snapshot_dir)
-        if d.startswith("v") and d[1:].isdigit()
-    )
-    doomed = versions[:-keep_last]
+    doomed = committed_versions(snapshot_dir)[:-keep_last]
     for v in doomed:
+        # marker first: a reader never resolves a version whose data
+        # directory is mid-delete
+        marker = os.path.join(snapshot_dir, _COMMITS, f"v{v}")
+        if os.path.exists(marker):
+            os.remove(marker)
         shutil.rmtree(os.path.join(snapshot_dir, f"v{v}"), ignore_errors=True)
     return doomed

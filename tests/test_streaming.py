@@ -169,3 +169,31 @@ def test_prune_snapshots_keeps_newest(spark, tmp_path):
     import os
 
     assert sorted(os.listdir(snap)) == ["v2", "v3"]
+
+
+def test_uncommitted_snapshot_version_is_invisible(spark, tmp_path):
+    """Manifest commit protocol: a fully-written data directory stays
+    unreadable until its _commits marker lands (the object-store-safe
+    publish point); committing flips visibility atomically."""
+    import pytest
+    from breweries_data_pipeline_spark.streaming.upsert import (
+        commit_snapshot_version,
+        latest_snapshot_version,
+        prune_snapshots,
+        read_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    spark.range(3).write.parquet(f"{snap}/v0")
+    commit_snapshot_version(snap, 0)
+    spark.range(9).write.parquet(f"{snap}/v1")  # written, never committed
+    assert latest_snapshot_version(snap) == 0
+    assert read_snapshot(spark, snap).count() == 3
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, snap, version=1)
+    commit_snapshot_version(snap, 1)
+    assert latest_snapshot_version(snap) == 1
+    assert read_snapshot(spark, snap).count() == 9
+    # prune consults the manifest and removes marker + data together
+    assert prune_snapshots(snap, keep_last=1) == [0]
+    assert latest_snapshot_version(snap) == 1

@@ -271,3 +271,25 @@ def test_hll_rollup_error_bound(spark, sf_dir):
     exact["ALL"] = o.select("o_custkey").distinct().count()
     for k, e in exact.items():
         assert abs(got[k] - e) / e < 0.05, (k, got[k], e)
+
+
+def test_mode_agg_all_null_group_returns_null(spark):
+    from breweries_data_pipeline_spark.operators.aggregate import mode_agg
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", None), ("b", None)], ["k", "v"]
+    )
+    out = {r.k: r.mode for r in mode_agg(df, ["k"], "v", out="mode").collect()}
+    assert out == {"a": "x", "b": None}
+
+
+def test_salted_join_rejects_replication_breaking_how(spark):
+    import pytest
+    from breweries_data_pipeline_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([(1, "l")], ["k", "lv"])
+    right = spark.createDataFrame([(1, "r")], ["k", "rv"])
+    for how in ("right", "full", "left_semi", "left_anti"):
+        with pytest.raises(ValueError):
+            salted_join(left, right, "k", salt_from=["lv"], how=how)
+    assert salted_join(left, right, "k", salt_from=["lv"], how="inner").count() == 1

@@ -293,3 +293,39 @@ def test_salted_join_rejects_replication_breaking_how(spark):
         with pytest.raises(ValueError):
             salted_join(left, right, "k", salt_from=["lv"], how=how)
     assert salted_join(left, right, "k", salt_from=["lv"], how="inner").count() == 1
+
+
+def test_asof_forward_window_vs_cogroup_on_hot_key(spark):
+    """SCALE.md's as-of claim, executed: on a 90%-one-key timeline the
+    window form and the cogroup form agree row-for-row, but their
+    plans differ where it matters at 100 TB — the window form's only
+    wide op is a hash exchange (AQE can split a skewed partition),
+    while the cogroup form pins each key to ONE FlatMapCoGroupsInPandas
+    task, so the hot key serializes no matter how many executors
+    exist."""
+    from pyspark.sql import functions as F
+    from breweries_data_pipeline_spark.operators.temporal import (
+        as_of_join_cogroup,
+        as_of_join_forward,
+    )
+
+    n = 20000
+    base = spark.range(n).select(
+        "id",
+        # 90% of rows land on user 0; the rest spread over 100 users
+        F.when(F.col("id") % 10 < 9, 0)
+        .otherwise((F.col("id") % 100) + 1)
+        .alias("user_id"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+    )
+    clicks = base.filter(F.col("id") % 2 == 0).select("user_id", "ts")
+    buys = base.filter(F.col("id") % 2 == 1).select("user_id", "ts").distinct()
+
+    w = as_of_join_forward(clicks, buys, "user_id", "ts", "ts", suffix="_next")
+    c = as_of_join_cogroup(clicks, buys, "user_id", "ts", "ts", suffix="_next")
+    assert sorted(map(tuple, w.collect())) == sorted(map(tuple, c.collect()))
+
+    wplan = w._jdf.queryExecution().executedPlan().toString()
+    cplan = c._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in wplan and "hashpartitioning(user_id" in wplan
+    assert "FlatMapCoGroupsInPandas" in cplan

@@ -84,6 +84,15 @@ EXTENDED = [
     "q_mode_udaf",
 ]
 
+# round-3+ corpus-management family — summed under "corpus_total" so
+# "extended_total" stays round-over-round comparable with round 2
+CORPUS = [
+    "q_split_assign",
+    "q_shuffle_shards",
+    "q_decontaminate",
+    "q_pii_redact",
+]
+
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",
                  "documents", "embeddings")
 
@@ -114,7 +123,7 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name in HEADLINE + [q for q in EXTENDED if q in REGISTRY]:
+    for name in HEADLINE + [q for q in EXTENDED + CORPUS if q in REGISTRY]:
         fn, _ = REGISTRY[name]
         runs = []
         for _ in range(reps):
@@ -126,7 +135,8 @@ def main() -> None:
         spread[name] = [round(runs[0], 4), round(runs[-1], 4)]
 
     total = round(sum(timings[q] for q in HEADLINE), 4)
-    ext_total = round(sum(v for q, v in timings.items() if q not in HEADLINE), 4)
+    ext_total = round(sum(timings[q] for q in EXTENDED if q in timings), 4)
+    corpus_total = round(sum(timings[q] for q in CORPUS if q in timings), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -138,6 +148,7 @@ def main() -> None:
                 "spread": spread,
                 "reps": reps,
                 "extended_total": ext_total,
+                "corpus_total": corpus_total,
                 "sf": float(sf) if sf else None,
             }
         )

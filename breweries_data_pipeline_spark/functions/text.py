@@ -104,3 +104,21 @@ def stopword_count(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN)
     toks = tokens(col)
     arr = F.array(*[F.lit(s) for s in stopwords])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+# PII patterns kept to character classes + bounded quantifiers so the
+# same pattern string is valid (and matches identically) under Java
+# regex and RE2-family engines — no lookaround, no backreferences.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}"
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Redact email addresses then phone numbers with typed
+    placeholder tags — the scrubbing pass a training-data pipeline
+    runs before packing. Pure regexp_replace chain: JVM-side, one
+    narrow projection, and oracle-checkable because the patterns are
+    engine-portable (see above)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")

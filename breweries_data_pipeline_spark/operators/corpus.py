@@ -1,0 +1,114 @@
+"""Training-corpus management operators (BASELINE.json LLM-pipeline
+surface; no reference analog — the reference is a tabular ELT
+pipeline). The operations a 100 TB pretraining-data build needs after
+dedup/quality filtering: deterministic split assignment, global
+shuffle + sharding, and benchmark decontamination.
+
+Design rules shared by all three:
+
+- **Hash-derived pseudo-randomness, never RNG state.** Split and
+  shuffle keys are md5 of (id, salt) — reproducible across runs,
+  sessions, engines and partitionings, and oracle-checkable (DuckDB
+  computes the identical digest). A seeded RNG would tie results to
+  iteration order, which no distributed plan guarantees.
+- **Narrow where possible.** Split assignment is a pure projection.
+  The shuffle is one hash exchange on the shard id (each shard sorts
+  locally — never a global sort). Decontamination broadcasts the
+  (small) benchmark shingle set and anti-joins — one corpus scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from breweries_data_pipeline_spark.functions.text import shingles
+
+
+def hash_bucket(col: Column, salt: str, buckets: int) -> Column:
+    """Deterministic bucket in [0, buckets): the first 8 hex chars of
+    md5(col || ':' || salt) parsed as an integer, mod buckets. 32 bits
+    of digest keeps the parse inside a long while leaving bucket skew
+    at ~2^-16 for any realistic bucket count."""
+    digest = F.md5(F.concat(col.cast("string"), F.lit(":" + salt)))
+    return F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % buckets
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    salt: str = "split",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Assign every row a deterministic train/val/test split label by
+    hash bucket — the standard leakage-safe split: membership depends
+    only on the id, so re-running over a grown corpus never moves an
+    existing document between splits (a positional split would).
+    Narrow projection; zero shuffle."""
+    b = hash_bucket(F.col(id_col), salt, 100)
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    salt: str = "shuffle",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Deterministic global shuffle materialized as (shard, pos):
+    shard = hash bucket of the id, pos = rank of the full md5 digest
+    within the shard (digest, id tie-break). Reading shards in order
+    of (shard, pos) visits the corpus in hash order — equivalent to a
+    seeded permutation but reproducible under any partitioning.
+
+    Scale shape: ONE hash exchange on shard + a per-shard sort —
+    never a global sort / single-partition window; shards are
+    independent, so a 1000-executor cluster writes them in parallel.
+    """
+    digest = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy("shard").orderBy("__digest", id_col)
+    return (
+        df.withColumn("__digest", digest)
+        .withColumn("shard", hash_bucket(F.col(id_col), salt, n_shards))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__digest")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: drop every training document that
+    shares at least one token ``n``-gram with the benchmark corpus —
+    the standard eval-leakage filter for pretraining data.
+
+    Plan: the benchmark's distinct shingles (small by assumption) are
+    broadcast; training docs explode to (id, shingle) and inner-join
+    to find contaminated ids, then a broadcast anti-join removes them.
+    One corpus scan, no shuffle of document text; at 100 TB the
+    explode is the only amplification and it carries (long, short
+    string) pairs."""
+    bench_sh = (
+        benchmark.select(F.explode(shingles(text_col, n)).alias("__sh")).distinct()
+    )
+    contaminated = (
+        docs.select(id_col, F.explode(shingles(text_col, n)).alias("__sh"))
+        .join(F.broadcast(bench_sh), "__sh")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(F.broadcast(contaminated), id_col, "left_anti")

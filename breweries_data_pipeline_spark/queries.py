@@ -2615,6 +2615,155 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_shingles_n(n: int) -> str:
+    """DuckDB spelling of functions.text.shingles(text, n) — token
+    ``n``-grams with the whole-document fallback for short docs."""
+    toks = r"regexp_split_to_array(trim(text), '\s+')"
+    return (
+        f"CASE WHEN len({toks}) >= {n} "
+        f"THEN list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')) "
+        f"ELSE [array_to_string({toks}, ' ')] END"
+    )
+
+
+@register(
+    "q_split_assign",
+    """
+    SELECT doc_id,
+           CASE WHEN b < 90 THEN 'train'
+                WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))::BIGINT
+               % 100 AS b
+      FROM documents
+    )
+    """,
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5) by md5 hash bucket
+    of the doc id — leakage-safe: membership is a pure function of the
+    id, so growing the corpus never moves an existing doc between
+    splits. Narrow projection, zero shuffle; oracle recomputes the
+    identical digest arithmetic."""
+    from breweries_data_pipeline_spark.operators.corpus import split_assign
+
+    docs = read_table(spark, sf_dir, "documents")
+    return split_assign(docs).select("doc_id", "split")
+
+
+@register(
+    "q_shuffle_shards",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || ':shuffle') AS d,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle'), 1, 8))::BIGINT
+               % 16 AS shard
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY d, doc_id)
+                AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle materialized as (shard, pos):
+    shard by hash bucket, position by full-digest rank within the
+    shard — a reproducible pseudo-random permutation of the corpus
+    with ONE hash exchange and per-shard sorts (never a global sort /
+    single-partition window), so 1000 executors write shards in
+    parallel."""
+    from breweries_data_pipeline_spark.operators.corpus import shuffle_shards
+
+    docs = read_table(spark, sf_dir, "documents")
+    return shuffle_shards(docs).select("doc_id", "shard", "pos")
+
+
+@register(
+    "q_decontaminate",
+    f"""
+    WITH sh5 AS (
+      SELECT doc_id, {_sql_shingles_n(5)} AS s FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(s) AS sh FROM sh5 WHERE doc_id % 97 = 0
+    ),
+    bad AS (
+      SELECT DISTINCT t.doc_id
+      FROM (SELECT doc_id, unnest(s) AS sh FROM sh5 WHERE doc_id % 97 <> 0) t
+      JOIN bench b ON t.sh = b.sh
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id % 97 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs whose id is a multiple of 97
+    stand in for the eval set; every training doc sharing a token
+    5-gram with them is dropped (the standard eval-leakage filter).
+    Plan: benchmark shingles broadcast, one corpus scan + explode of
+    (id, shingle) pairs, anti-join of contaminated ids. Oracle
+    recomputes the same shingle sets and overlap in SQL."""
+    from breweries_data_pipeline_spark.operators.corpus import decontaminate
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, bench, n=5).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_SQL_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_SQL_PHONE_RE = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}"
+
+
+@register(
+    "q_pii_redact",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(
+                 text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or +1-555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                 '"""
+    + _SQL_EMAIL_RE
+    + """', '<EMAIL>', 'g'),
+                 '"""
+    + _SQL_PHONE_RE
+    + """', '<PHONE>', 'g')) AS fp
+    FROM documents
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: every doc gets a planted email + phone number
+    (deterministic, id-derived — the corpus itself has none), then the
+    redaction pass replaces both with typed tags. Output is the md5
+    fingerprint of the redacted text, so the oracle proves BYTE
+    equality of the full scrubbed corpus, not just counts. The
+    patterns use only character classes + bounded quantifiers, which
+    behave identically under Java regex and RE2 (no lookaround)."""
+    from breweries_data_pipeline_spark.functions.text import pii_redact
+
+    docs = read_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return docs.select(
+        "doc_id", F.md5(pii_redact(planted)).alias("fp")
+    )
+
+
 @register(
     "q_tfidf",
     """

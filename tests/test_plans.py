@@ -71,6 +71,22 @@ def test_no_cartesian_products_anywhere(spark, sf_dir, name):
     assert "CartesianProduct" not in plan
 
 
+def test_decontaminate_broadcasts_benchmark_shingles(spark, sf_dir):
+    # the benchmark shingle set and the contaminated-id set are both
+    # broadcast — the corpus never shuffles its text
+    plan = _plan(spark, sf_dir, "q_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shuffle_shards_sorts_per_shard_not_globally(spark, sf_dir):
+    # the permutation materializes via hashpartitioning(shard) + a
+    # per-shard sort; a global (rangepartitioning) sort would bottleneck
+    plan = _plan(spark, sf_dir, "q_shuffle_shards")
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan
+
+
 def test_whole_stage_codegen_covers_flagship(spark, sf_dir):
     # codegen spans only materialize in the FINAL adaptive plan, so
     # execute first, then read the same query execution back

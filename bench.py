@@ -91,6 +91,8 @@ CORPUS = [
     "q_shuffle_shards",
     "q_decontaminate",
     "q_pii_redact",
+    "q_dedup_incremental",
+    "q_quantize_embeddings",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

@@ -310,3 +310,26 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dedup_incremental(
+    new_batch: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: drop every new document whose
+    normalized-text fingerprint already exists in the historical
+    corpus, then collapse remaining within-batch duplicates — the
+    daily-crawl ingest shape, where re-fingerprinting history is free
+    (store the fingerprint column) but re-deduping it is not.
+
+    Plan: anti-join on the md5 fingerprint (uniform key, no skew),
+    then the usual deterministic keep-smallest-id collapse inside the
+    batch. History contributes ONLY its fingerprint column to the
+    shuffle; at 100 TB that column lives precomputed in the corpus
+    table and the anti-join is exchange-free under bucketing."""
+    new_fp = with_fingerprint(new_batch, text_col)
+    hist_fp = with_fingerprint(history, text_col).select("fingerprint").distinct()
+    fresh = new_fp.join(hist_fp, "fingerprint", "left_anti")
+    return deduplicate(fresh, ["fingerprint"], order_by=[id_col])

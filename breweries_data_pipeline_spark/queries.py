@@ -2765,6 +2765,74 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_incremental",
+    f"""
+    WITH hist AS (
+      SELECT DISTINCT {_SQL_FINGERPRINT} AS fingerprint
+      FROM documents WHERE doc_id % 10 <> 0
+    ),
+    fresh AS (
+      SELECT doc_id, {_SQL_FINGERPRINT} AS fingerprint
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id, fingerprint FROM (
+      SELECT f.doc_id, f.fingerprint,
+             row_number() OVER (
+               PARTITION BY f.fingerprint ORDER BY f.doc_id
+             ) AS rn
+      FROM fresh f
+      WHERE f.fingerprint NOT IN (SELECT fingerprint FROM hist)
+    ) t WHERE rn = 1
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 incremental exact dedup — the daily-crawl ingest shape: the
+    new batch (doc_id multiple of 10 stands in for today's crawl) is
+    anti-joined against the historical corpus's fingerprint set, then
+    collapsed within-batch (keep smallest id). History contributes
+    only its fingerprint column to the shuffle; at scale that column
+    is stored precomputed and the anti-join is exchange-free under
+    bucketing."""
+    from breweries_data_pipeline_spark.operators.dedup import dedup_incremental
+
+    docs = read_table(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 10 == 0)
+    history = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup_incremental(new_batch, history).select("doc_id", "fingerprint")
+
+
+@register(
+    "q_quantize_embeddings",
+    """
+    WITH ex AS (
+      SELECT vec_id, CAST(t.i AS INTEGER) - 1 AS dim,
+             CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS x
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    stats AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM ex GROUP BY dim)
+    SELECT e.vec_id, e.dim,
+           CASE WHEN s.hi = s.lo THEN 0
+                ELSE CAST(round((e.x - s.lo) * 255.0 / (s.hi - s.lo)) AS INTEGER)
+           END AS q
+    FROM ex e JOIN stats s USING (dim)
+    """,
+)
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 scalar int8 quantization of the embedding corpus (the
+    storage half of an ANN index build): per-dimension min/max from
+    one posexplode aggregate (64 groups, broadcast back), then a
+    zero-shuffle recode pass. The code arithmetic is one fixed IEEE
+    double op sequence + half-away-from-zero round in both engines,
+    so codes hash-match bit-for-bit."""
+    from breweries_data_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb).select("vec_id", "dim", "q")
+
+
+@register(
     "q_tfidf",
     """
     WITH toks AS (

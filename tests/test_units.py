@@ -329,3 +329,82 @@ def test_asof_forward_window_vs_cogroup_on_hot_key(spark):
     cplan = c._jdf.queryExecution().executedPlan().toString()
     assert "InPandas" not in wplan and "hashpartitioning(user_id" in wplan
     assert "FlatMapCoGroupsInPandas" in cplan
+
+
+def test_asof_forward_carries_value_columns(spark):
+    from pyspark.sql import functions as F
+    from breweries_data_pipeline_spark.operators.temporal import as_of_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 25, "b"), (2, 5, "c")], ["k", "t", "payload"]
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 30, 300.0), (2, 1, 10.0)], ["k", "t", "price"]
+    )
+    out = {
+        (r.k, r.t): (r.t_next, r.price_next, r.payload)
+        for r in as_of_join_forward(
+            left, right, "k", "t", "t", ["price"], suffix="_next"
+        ).collect()
+    }
+    # exact-timestamp match is inclusive; left extras survive; no
+    # following right row -> nulls
+    assert out[(1, 10)] == (10, 100.0, "a")
+    assert out[(1, 25)] == (30, 300.0, "b")
+    assert out[(2, 5)] == (None, None, "c")
+
+
+def test_split_assign_fractions_and_stability(spark):
+    from pyspark.sql import functions as F
+    from breweries_data_pipeline_spark.operators.corpus import split_assign
+
+    df = spark.range(20000).withColumnRenamed("id", "doc_id")
+    counts = {
+        r.split: r.n
+        for r in split_assign(df).groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(counts["train"] / 20000 - 0.90) < 0.02
+    assert abs(counts["val"] / 20000 - 0.05) < 0.01
+    assert abs(counts["test"] / 20000 - 0.05) < 0.01
+    # leakage safety: membership is a pure function of the id — a
+    # grown corpus never reassigns an existing doc
+    small = {r.doc_id: r.split for r in split_assign(
+        spark.range(1000).withColumnRenamed("id", "doc_id")).collect()}
+    big = {r.doc_id: r.split for r in split_assign(df).filter(F.col("doc_id") < 1000).collect()}
+    assert small == big
+
+
+def test_shuffle_shards_is_a_permutation(spark):
+    from pyspark.sql import functions as F
+    from breweries_data_pipeline_spark.operators.corpus import shuffle_shards
+
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    out = shuffle_shards(df, n_shards=8)
+    rows = out.select("doc_id", "shard", "pos").collect()
+    # every doc appears once; (shard, pos) is a bijection with pos
+    # contiguous from 1 per shard
+    assert len(rows) == 5000 and len({r.doc_id for r in rows}) == 5000
+    assert len({(r.shard, r.pos) for r in rows}) == 5000
+    from collections import defaultdict
+    per = defaultdict(list)
+    for r in rows:
+        per[r.shard].append(r.pos)
+    for shard, ps in per.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_decontaminate_removes_verbatim_leak(spark):
+    from breweries_data_pipeline_spark.operators.corpus import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words then alpha beta gamma delta epsilon copied here"),
+            (2, "completely unrelated clean document with many words"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = [r.doc_id for r in decontaminate(train, bench, n=5).collect()]
+    assert kept == [2]

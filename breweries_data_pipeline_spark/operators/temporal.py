@@ -159,6 +159,53 @@ def range_join(
     ).drop(right[key])
 
 
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    band: str,
+) -> DataFrame:
+    """Scale variant of ``range_join`` for the band predicate
+    ``left.ts - band <= right.ts <= left.ts``: both sides join on
+    (key, coarse time bucket) with the left side duplicated into the
+    two buckets its band can touch, then the exact inequality filters
+    the fine boundary. With bucket width == band width, each left row
+    meets only right rows from ~2 buckets instead of the key's whole
+    timeline — on a key whose history spans years, the per-key fanout
+    drops from O(|key rows|^2) to O(|key rows| x band density).
+
+    ``band`` is an INTERVAL literal string (e.g. ``'30 MINUTES'``).
+    Result-identical to the plain key-equality range join (executed
+    equivalence test in tests/test_units.py); prefer this form when
+    keys are long-lived and the band is narrow relative to history.
+    """
+    width = F.expr(f"INTERVAL {band}")
+    # bucket index = floor(epoch / band_seconds); band_seconds derives
+    # from the interval itself so callers pass ONE literal (extract
+    # (epoch FROM interval) doesn't exist in Spark — anchor-subtract
+    # instead; Catalyst constant-folds the whole expression)
+    band_sec = F.expr(
+        "unix_timestamp(timestamp '1970-01-02 00:00:00' + "
+        f"INTERVAL {band}) - unix_timestamp(timestamp '1970-01-02 00:00:00')"
+    )
+    r = right.withColumn(
+        "__bucket", F.floor(F.unix_timestamp(F.col(right_ts)) / band_sec).cast("long")
+    )
+    l_base = left.withColumn(
+        "__b0", F.floor(F.unix_timestamp(F.col(left_ts)) / band_sec).cast("long")
+    )
+    l_dup = l_base.withColumn(
+        "__bucket", F.explode(F.array(F.col("__b0") - 1, F.col("__b0")))
+    ).drop("__b0")
+    joined = l_dup.join(r, [key, "__bucket"]).drop("__bucket")
+    return joined.filter(
+        (F.col(right_ts) >= F.col(left_ts) - width)
+        & (F.col(right_ts) <= F.col(left_ts))
+    )
+
+
 def as_of_join_cogroup(
     left: DataFrame,
     right: DataFrame,

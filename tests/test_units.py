@@ -408,3 +408,31 @@ def test_decontaminate_removes_verbatim_leak(spark):
     )
     kept = [r.doc_id for r in decontaminate(train, bench, n=5).collect()]
     assert kept == [2]
+
+
+def test_range_join_bucketed_matches_plain(spark):
+    """The coarse-bucket range join is result-identical to the plain
+    key-equality form on the marks/events band shape (and cheaper per
+    hot key: each left row meets ~2 buckets, not the key's whole
+    timeline)."""
+    from pyspark.sql import functions as F
+    from breweries_data_pipeline_spark.operators.temporal import (
+        range_join,
+        range_join_bucketed,
+    )
+    from breweries_data_pipeline_spark.sources import read_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    events = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    marks = events.select(
+        "user_id",
+        (F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 30 MINUTES")).alias("m_ts"),
+    ).distinct()
+    plain = range_join(
+        marks, events, "user_id", "ts",
+        lower=F.col("m_ts") - F.expr("INTERVAL 30 MINUTES"), upper=F.col("m_ts"),
+    ).select("user_id", "m_ts", "ts")
+    bucketed = range_join_bucketed(
+        marks, events, "user_id", "m_ts", "ts", band="30 MINUTES"
+    ).select("user_id", "m_ts", "ts")
+    assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, plain.collect()))

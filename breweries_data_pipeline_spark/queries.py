@@ -502,8 +502,8 @@ def q_gold_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            count(*) AS n_rows,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           CAST((sum(CAST(round((l_quantity) * 100.0) AS BIGINT)) / 100.0) AS DOUBLE) AS sum_qty,
+           CAST((sum(CAST(round((l_extendedprice) * 100.0) AS BIGINT)) / 100.0) AS DOUBLE) AS sum_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -515,10 +515,13 @@ def q_agg_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_by=["l_returnflag"],
         metrics=[
             {"name": "n_rows", "expr": "count(*)"},
-            {"name": "sum_qty", "expr": "cast(sum(cast(l_quantity as decimal(18,2))) as double)"},
+            {
+                "name": "sum_qty",
+                "expr": "cast(sum(cast(round(l_quantity * 100.0) as bigint)) as double) / 100.0",
+            },
             {
                 "name": "sum_price",
-                "expr": "cast(sum(cast(l_extendedprice as decimal(18,2))) as double)",
+                "expr": "cast(sum(cast(round(l_extendedprice * 100.0) as bigint)) as double) / 100.0",
             },
         ],
     )
@@ -575,7 +578,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cube",
     """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           CAST((sum(CAST(round((o_totalprice) * 100.0) AS BIGINT)) / 100.0) AS DOUBLE) AS sum_price
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
@@ -588,7 +591,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+            (F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).cast("double") / 100.0).alias("sum_price"),
         )
     )
 
@@ -652,7 +655,7 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_broadcast",
     """
     SELECT r.r_name, count(*) AS n_customers,
-           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+           CAST((sum(CAST(round((c.c_acctbal) * 100.0) AS BIGINT)) / 100.0) AS DOUBLE) AS sum_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -672,7 +675,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("r_name").agg(
         F.count("*").alias("n_customers"),
-        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"),
+        (F.sum(F.round(F.col("c_acctbal") * 100.0).cast("long")).cast("double") / 100.0).alias("sum_acctbal"),
     )
 
 
@@ -681,7 +684,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o.o_orderstatus,
            count(*) AS n_items,
-           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+           CAST((sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 10000.0) AS BIGINT)) / 10000.0) AS DOUBLE)
              AS revenue
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderstatus
@@ -694,10 +697,12 @@ def q_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     lineitem = read_table(spark, sf_dir, "lineitem")
     joined = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    rev = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000.0
+    ).cast("long")
     return joined.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_items"),
-        F.sum(rev).cast("double").alias("revenue"),
+        (F.sum(rev).cast("double") / 10000.0).alias("revenue"),
     )
 
 
@@ -706,7 +711,7 @@ def q_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n.n_name,
            count(*) AS n_items,
-           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+           CAST((sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 10000.0) AS BIGINT)) / 10000.0)
                 AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -735,9 +740,14 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("n_name").agg(
         F.count("*").alias("n_items"),
-        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
-        .cast("double")
-        .alias("revenue"),
+        (
+            F.sum(
+                F.round(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000.0
+                ).cast("long")
+            ).cast("double")
+            / 10000.0
+        ).alias("revenue"),
     )
 
 
@@ -779,7 +789,7 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_shipping_priority",
     """
     SELECT l.l_orderkey,
-           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+           CAST((sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 10000.0) AS BIGINT)) / 10000.0)
                 AS DOUBLE) AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
     FROM customer c
@@ -807,9 +817,14 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.col("o_orderdate"))
     )
     agg = j.groupBy("l_orderkey", "o_orderdate").agg(
-        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
-        .cast("double")
-        .alias("revenue")
+        (
+            F.sum(
+                F.round(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000.0
+                ).cast("long")
+            ).cast("double")
+            / 10000.0
+        ).alias("revenue")
     )
     return agg.select(
         "l_orderkey",
@@ -822,7 +837,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_returned_items",
     """
     SELECT c.c_custkey, c.c_name,
-           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+           CAST((sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 10000.0) AS BIGINT)) / 10000.0)
                 AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM customer c
@@ -845,11 +860,14 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-            )
-            .cast("double")
-            .alias("revenue"),
+            (
+                F.sum(
+                    F.round(
+                        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000.0
+                    ).cast("long")
+                ).cast("double")
+                / 10000.0
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -2348,23 +2366,28 @@ def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            count(*) FILTER (WHERE l_quantity > 25) AS n_high,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-                FILTER (WHERE l_quantity <= 25) AS DOUBLE) AS sum_low_price
+           CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+                FILTER (WHERE l_quantity <= 25) AS DOUBLE) / 100.0 AS sum_low_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def q_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional (filtered) aggregation: different predicates per
     aggregate in one pass — count_if + sum(when) instead of two scans.
-    Decimal accumulation keeps the double sum order-independent."""
+    Fixed-point (cent) accumulation keeps the double sum
+    order-independent."""
     li = read_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.expr("count_if(l_quantity > 25)").alias("n_high"),
-        F.sum(
-            F.when(F.col("l_quantity") <= 25, F.col("l_extendedprice").cast("decimal(18,2)"))
-        )
-        .cast("double")
-        .alias("sum_low_price"),
+        (
+            F.sum(
+                F.when(
+                    F.col("l_quantity") <= 25,
+                    F.round(F.col("l_extendedprice") * 100.0).cast("long"),
+                )
+            ).cast("double")
+            / 100.0
+        ).alias("sum_low_price"),
     )
 
 
@@ -3016,7 +3039,7 @@ def q_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT quartile, count(*) AS n,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           CAST((sum(CAST(round((o_totalprice) * 100.0) AS BIGINT)) / 100.0) AS DOUBLE) AS sum_price
     FROM t GROUP BY quartile
     """,
 )
@@ -3030,9 +3053,8 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = o.withColumn("quartile", F.ntile(4).over(w))
     return t.groupBy("quartile").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("sum_price"),
+        (F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).cast("double")
+         / 100.0).alias("sum_price"),
     )
 
 
@@ -3122,7 +3144,7 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            count(*) AS n,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           CAST((sum(CAST(round((l_extendedprice) * 100.0) AS BIGINT)) / 100.0) AS DOUBLE) AS sum_price
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -3143,9 +3165,8 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = salted_join(li, o, "l_orderkey", salt_from=["l_orderkey", "l_linenumber"])
     return j.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("sum_price"),
+        (F.sum(F.round(F.col("l_extendedprice") * 100.0).cast("long")).cast("double")
+         / 100.0).alias("sum_price"),
     )
 
 
@@ -3158,7 +3179,7 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_forecast_revenue",
     """
-    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+    SELECT CAST((sum(CAST(round((l_extendedprice * l_discount) * 10000.0) AS BIGINT)) / 10000.0)
                 AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem
@@ -3180,9 +3201,13 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
-        .cast("double")
-        .alias("revenue"),
+        (
+            F.sum(
+                F.round((F.col("l_extendedprice") * F.col("l_discount")) * 10000.0)
+                .cast("long")
+            ).cast("double")
+            / 10000.0
+        ).alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
@@ -3295,11 +3320,11 @@ def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT l_partkey,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+             CAST((sum(CAST(round((l_quantity) * 100.0) AS BIGINT)) / 100.0) AS DOUBLE) / count(*)
                AS avg_qty
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+    SELECT CAST((sum(CAST(round((l.l_extendedprice) * 100.0) AS BIGINT)) / 100.0) AS DOUBLE)
              AS small_qty_revenue,
            count(*) AS n_small
     FROM lineitem l
@@ -3321,7 +3346,8 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = li.groupBy("l_partkey").agg(
         (
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            F.sum(F.round(F.col("l_quantity") * 100.0).cast("long")).cast("double")
+            / 100.0
             / F.count("*")
         ).alias("avg_qty")
     )
@@ -3334,9 +3360,8 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
     )
     return j.agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("small_qty_revenue"),
+        (F.sum(F.round(F.col("l_extendedprice") * 100.0).cast("long")).cast("double")
+         / 100.0).alias("small_qty_revenue"),
         F.count("*").alias("n_small"),
     )
 
@@ -3345,13 +3370,13 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_large_orders",
     """
     SELECT c.c_name, o.o_orderkey,
-           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+           CAST((sum(CAST(round((l.l_quantity) * 100.0) AS BIGINT)) / 100.0) AS DOUBLE) AS total_qty
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
                            GROUP BY l_orderkey
-                           HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 220)
+                           HAVING (sum(CAST(round((l_quantity) * 100.0) AS BIGINT)) / 100.0) > 220)
     GROUP BY c.c_name, o.o_orderkey
     ORDER BY total_qty DESC, o.o_orderkey
     LIMIT 20
@@ -3365,7 +3390,7 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .agg((F.sum(F.round(F.col("l_quantity") * 100.0).cast("long")) / 100.0).alias("q"))
         .filter(F.col("q") > 220)
         .select("l_orderkey")
     )
@@ -3376,9 +3401,8 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, F.col("o_orderkey") == li.l_orderkey
     )
     agg = j.groupBy("c_name", "o_orderkey").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("total_qty")
+        (F.sum(F.round(F.col("l_quantity") * 100.0).cast("long")).cast("double")
+         / 100.0).alias("total_qty")
     )
     return agg.orderBy(F.col("total_qty").desc(), F.col("o_orderkey")).limit(20)
 
@@ -3386,7 +3410,7 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_disjunctive_pred",
     """
-    SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+    SELECT CAST((sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 10000.0) AS BIGINT)) / 10000.0)
                 AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
@@ -3426,9 +3450,11 @@ def q_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(20, 40)
         )
     )
-    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    disc = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000.0
+    ).cast("long")
     return j.filter(bracket).agg(
-        F.sum(disc).cast("double").alias("revenue"),
+        (F.sum(disc).cast("double") / 10000.0).alias("revenue"),
         F.count("*").alias("n_items"),
     )
 

@@ -3460,6 +3460,174 @@ def q_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(CAST(round(volume * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0
+             AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume by year between two
+    nations. Two fact-fact shuffle joins (lineitem⋈orders⋈customer on
+    their keys) + supplier and BOTH nation sides broadcast; the
+    nation-pair disjunction applies after the cheap broadcast joins so
+    the fact shuffles carry only matching rows. Fixed-point revenue."""
+    s = read_table(spark, sf_dir, "supplier")
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    vol = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000.0
+    ).cast("long")
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg((F.sum(vol).cast("double") / 10000.0).alias("revenue"))
+
+
+@register(
+    "q_waiting_suppliers",
+    """
+    WITH l1 AS (
+      SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (returnflag standing in for the late-delivery
+    predicate — the testdata carries no commit/receipt dates): per
+    supplier, count returned lines on multi-supplier orders where it
+    is the ONLY supplier with a return. The correlated EXISTS and NOT
+    EXISTS decorrelate to a left-semi and a left-anti join on the
+    order key with a supplier-inequality residual — two hash joins,
+    no per-row subquery re-execution; top-20 via
+    TakeOrderedAndProject."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    cand = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    sole = cand.join(
+        l3,
+        (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    agg = (
+        sole.join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+    return agg.orderBy(F.col("numwait").desc(), F.col("s_name")).limit(20)
+
+
+@register(
+    "q_sales_opportunity",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) AS DOUBLE)
+               / 100.0 / count(*) AS a
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT code, count(*) AS numcust,
+           CAST(sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+             AS totacctbal
+    FROM (
+      SELECT c_custkey % 10 AS code, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT a FROM avg_bal)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    ) t
+    GROUP BY code
+    """,
+)
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no
+    RECENT orders (none since 2001), grouped by a derived code. The scalar average broadcasts
+    (one-row crossJoin); the NOT EXISTS decorrelates to a left-anti
+    join on the customer key. The average threshold is fixed-point
+    cents / exact count — the same two IEEE divisions in both
+    engines, so the boundary comparison can never flip."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100.0).cast("long")).cast("double")
+            / 100.0
+            / F.count("*")
+        ).alias("__a")
+    )
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp"))
+        .select(F.col("o_custkey"))
+    )
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return rich.groupBy((F.col("c_custkey") % 10).alias("code")).agg(
+        F.count("*").alias("numcust"),
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100.0).cast("long")).cast("double")
+            / 100.0
+        ).alias("totacctbal"),
+    )
+
+
+@register(
     "q_min_price_per_type",
     """
     SELECT p.p_type, p.p_partkey, p.p_retailprice

@@ -2155,6 +2155,42 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_stream_stream_join")
 
 
+@register(
+    "q_streaming_corpus_ingest",
+    f"""
+    SELECT doc_id, fingerprint FROM (
+        SELECT doc_id,
+               {_SQL_FINGERPRINT} AS fingerprint,
+               row_number() OVER (
+                   PARTITION BY {_SQL_FINGERPRINT} ORDER BY doc_id
+               ) AS rn
+        FROM documents
+    ) t WHERE rn = 1
+    """,
+)
+def q_streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7/X10 streaming corpus ingestion: documents stream through
+    foreachBatch, each micro-batch fingerprint-anti-joined against the
+    accepted store and published as a committed (manifest) version.
+    FULL oracle — rare for streaming: with the availableNow drain over
+    one parquet source the accepted corpus equals batch exact dedup
+    (smallest doc_id per fingerprint), which SQL recomputes; replay
+    idempotency is separately tested in tests/test_streaming.py."""
+    import tempfile
+
+    from breweries_data_pipeline_spark.streaming import (
+        read_corpus,
+        read_documents_stream,
+        streaming_corpus_ingest,
+    )
+
+    store = tempfile.mkdtemp(prefix="bdp_corpus_store_")
+    ckpt = tempfile.mkdtemp(prefix="bdp_corpus_ckpt_")
+    sdf = read_documents_stream(spark, sf_dir)
+    streaming_corpus_ingest(sdf, store, checkpoint_dir=ckpt)
+    return read_corpus(spark, store).select("doc_id", "fingerprint")
+
+
 @register("q_streaming_upsert", None)
 def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10 streaming CDC upsert: foreachBatch merges each micro-batch

@@ -16,3 +16,8 @@ from breweries_data_pipeline_spark.streaming.windows import (  # noqa: F401
     run_available_now,
     streaming_event_window_agg,
 )
+from breweries_data_pipeline_spark.streaming.corpus_ingest import (  # noqa: F401
+    read_corpus,
+    read_documents_stream,
+    streaming_corpus_ingest,
+)

@@ -1,0 +1,97 @@
+"""Streaming corpus ingestion with incremental exact dedup — the
+streaming half of ``operators/dedup.dedup_incremental`` (BASELINE
+LLM-pipeline surface; the reference has no streaming).
+
+Each micro-batch of documents is fingerprinted (md5 of normalized
+text), anti-joined against everything the store has already accepted,
+collapsed within-batch (keep smallest id), and the survivors are
+published as one committed version of the store — the continuous form
+of the daily-crawl dedup shape.
+
+Commit protocol: versions publish through the same ``_commits``
+manifest as the snapshot store (streaming/upsert.py) — data directory
+first, one-line marker last — so readers never see a half-written
+addition and the publish is object-store-safe. Idempotency: a
+redelivered batch id is detected via the manifest and skipped BEFORE
+any dedup runs; without that guard a replayed batch would anti-join
+against its own prior output, emit zero survivors, and overwrite the
+good version with an empty one.
+
+Scale notes: the anti-join carries only the fingerprint column of the
+accepted corpus (uniform md5 key — no skew); at 100 TB the store keeps
+a compacted fingerprint index table alongside the document versions
+instead of re-reading every version's fingerprints per batch (same
+semantics, one narrow column scan).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from breweries_data_pipeline_spark.operators.clean import deduplicate
+from breweries_data_pipeline_spark.operators.text import with_fingerprint
+from breweries_data_pipeline_spark.streaming.upsert import (
+    commit_snapshot_version,
+    committed_versions,
+)
+
+
+def read_corpus(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    """Union of every committed addition version (manifest-resolved),
+    i.e. the accepted corpus so far."""
+    versions = committed_versions(store_dir)
+    if not versions:
+        return None
+    return spark.read.parquet(
+        *[os.path.join(store_dir, f"v{v}") for v in versions]
+    )
+
+
+def streaming_corpus_ingest(
+    sdf: DataFrame,
+    store_dir: str,
+    *,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Drain ``sdf`` (a stream of documents) with availableNow,
+    appending each micro-batch's genuinely-new documents to the store.
+    Read the accepted corpus back with ``read_corpus``."""
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_id in committed_versions(store_dir):
+            return  # redelivered batch: already published, skip
+        fresh = with_fingerprint(batch_df, text_col)
+        existing = read_corpus(spark, store_dir)
+        if existing is not None:
+            seen = existing.select("fingerprint").distinct()
+            fresh = fresh.join(seen, "fingerprint", "left_anti")
+        fresh = deduplicate(fresh, ["fingerprint"], order_by=[id_col])
+        fresh.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"v{batch_id}")
+        )
+        commit_snapshot_version(store_dir, batch_id)
+
+    q = (
+        sdf.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (schema from a
+    footer-only batch peek, as with read_events_stream)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )

@@ -87,6 +87,20 @@ def test_shuffle_shards_sorts_per_shard_not_globally(spark, sf_dir):
     assert "rangepartitioning" not in plan
 
 
+def test_waiting_suppliers_decorrelates_both_subqueries(spark, sf_dir):
+    # EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, no nested-loop blowup
+    plan = _plan(spark, sf_dir, "q_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_volume_shipping_broadcasts_both_nation_sides(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier + 2 nations
+    assert "CartesianProduct" not in plan
+
+
 def test_whole_stage_codegen_covers_flagship(spark, sf_dir):
     # codegen spans only materialize in the FINAL adaptive plan, so
     # execute first, then read the same query execution back

@@ -197,3 +197,55 @@ def test_uncommitted_snapshot_version_is_invisible(spark, tmp_path):
     # prune consults the manifest and removes marker + data together
     assert prune_snapshots(snap, keep_last=1) == [0]
     assert latest_snapshot_version(snap) == 1
+
+
+def test_streaming_corpus_ingest_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Same checkpoint, second drain: no new versions, store contents
+    unchanged — the manifest guard keeps a redelivered batch from
+    anti-joining against its own output and publishing empty."""
+    from breweries_data_pipeline_spark.streaming import (
+        read_corpus,
+        read_documents_stream,
+        streaming_corpus_ingest,
+    )
+    from breweries_data_pipeline_spark.streaming.upsert import committed_versions
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    streaming_corpus_ingest(
+        read_documents_stream(spark, sf_dir), store, checkpoint_dir=ckpt
+    )
+    v1 = committed_versions(store)
+    rows1 = sorted(r.doc_id for r in read_corpus(spark, store).collect())
+    assert len(v1) >= 1 and len(rows1) > 0
+    streaming_corpus_ingest(
+        read_documents_stream(spark, sf_dir), store, checkpoint_dir=ckpt
+    )
+    assert committed_versions(store) == v1
+    rows2 = sorted(r.doc_id for r in read_corpus(spark, store).collect())
+    assert rows2 == rows1
+
+
+def test_streaming_corpus_ingest_second_wave_drops_known_fingerprints(
+    spark, sf_dir, tmp_path
+):
+    """A later drain (fresh checkpoint, same documents) adds NOTHING:
+    every fingerprint is already accepted, so the new version is
+    empty — cross-batch incremental dedup works against the store."""
+    from breweries_data_pipeline_spark.streaming import (
+        read_corpus,
+        read_documents_stream,
+        streaming_corpus_ingest,
+    )
+
+    store = str(tmp_path / "store")
+    streaming_corpus_ingest(
+        read_documents_stream(spark, sf_dir), store,
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    n1 = read_corpus(spark, store).count()
+    streaming_corpus_ingest(
+        read_documents_stream(spark, sf_dir), store,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert read_corpus(spark, store).count() == n1

@@ -2027,13 +2027,36 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_session_window_stream", None)
+@register(
+    "q_session_window_stream",
+    """
+    WITH marks AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    grouped AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marks
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM grouped GROUP BY user_id, sid
+    """,
+)
 def q_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10 streaming session windows: the SAME session_window
     expression as the batch q_session_window over a watermarked
     stream, drained with availableNow. Session state merges adjacent
-    windows as events arrive and finalizes past the watermark.
-    Rows-only; exact batch parity asserted in tests/test_streaming.py."""
+    windows as events arrive and finalizes past the watermark. FULL
+    oracle — the drain finalizes every session, so the gaps-and-
+    islands SQL of the batch twin applies verbatim."""
     import tempfile
 
     from breweries_data_pipeline_spark.streaming import read_events_stream
@@ -2118,13 +2141,26 @@ def q_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_stateful_counts")
 
 
-@register("q_stream_stream_join", None)
+@register(
+    "q_stream_stream_join",
+    """
+    SELECT c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10 stream-stream interval join: per-user clicks joined to
     purchases within 1 hour, both sides watermarked so join state is
-    evicted past watermark + interval. Drained with availableNow;
-    rows-only here, exact batch-parity asserted in
-    tests/test_streaming.py."""
+    evicted past watermark + interval. Drained with availableNow.
+    FULL oracle — the drained inner interval join emits exactly the
+    batch inequality-join rows (purchase values pass through
+    unarithmeticked, so the hash is safe)."""
     import tempfile
 
     from breweries_data_pipeline_spark.streaming import (
@@ -2191,13 +2227,29 @@ def q_streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_corpus(spark, store).select("doc_id", "fingerprint")
 
 
-@register("q_streaming_upsert", None)
+@register(
+    "q_streaming_upsert",
+    """
+    SELECT user_id, event_type, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           value
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+)
 def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10 streaming CDC upsert: foreachBatch merges each micro-batch
     into a versioned parquet snapshot (latest event per (user_id,
     event_type), ts then event_id wins). Idempotent per batch-id, so
-    checkpoint-replay-safe. Rows-only; exact batch-merge parity
-    asserted in tests/test_streaming.py."""
+    checkpoint-replay-safe. FULL oracle — latest-record-wins merging
+    is associative across micro-batches, so the drained snapshot
+    equals the one-shot SQL row_number pick regardless of how the
+    stream was batched."""
     import tempfile
 
     from breweries_data_pipeline_spark.streaming import (
@@ -2228,12 +2280,23 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_event_window_stream", None)
+@register(
+    "q_event_window_stream",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
 def q_event_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10 streaming form: the SAME window expression as q_event_window
     over a file-source stream, drained with an availableNow trigger.
-    Rows-only check here; exact batch-parity is asserted in
-    tests/test_streaming.py (streaming state has no SQL oracle)."""
+    FULL oracle — the complete-mode drain finalizes every window, so
+    the result equals the batch aggregate, which SQL recomputes
+    (decimal value sums are reduction-order-independent, so streaming
+    vs batch accumulation order cannot flip the hash)."""
     from breweries_data_pipeline_spark.streaming import (
         read_events_stream,
         run_available_now,

@@ -2115,11 +2115,21 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_streaming_dedup")
 
 
-@register("q_stateful_counts", None)
+@register(
+    "q_stateful_counts",
+    """
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
 def q_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10 custom stateful operator (applyInPandasWithState): running
-    per-user (count, sum) in explicit group state. Rows-only; batch
-    parity asserted in tests/test_streaming_stateful.py."""
+    per-user (count, sum) in explicit group state. FULL oracle: the
+    state accumulates fixed-point micro-units (rounded JVM-side with
+    the proven-parity F.round), so the drained totals are exact,
+    arrival-order-free, and equal the one-shot SQL aggregate."""
     import tempfile
 
     from breweries_data_pipeline_spark.streaming import (

@@ -48,7 +48,7 @@ USER_COUNT_OUTPUT = T.StructType(
 _USER_COUNT_STATE = T.StructType(
     [
         T.StructField("n", T.LongType(), False),
-        T.StructField("s", T.DoubleType(), True),
+        T.StructField("s_micro", T.LongType(), True),
     ]
 )
 
@@ -56,19 +56,35 @@ _USER_COUNT_STATE = T.StructType(
 def _update_user_counts(key, pdfs, state: GroupState):
     import pandas as pd
 
-    n, s = state.get if state.exists else (0, 0.0)
+    n, s_micro = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        s += float(pdf["value"].sum())
-    state.update((n, s))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+        # fixed-point micro-units: integer accumulation is exact and
+        # order-independent, so the emitted total is deterministic no
+        # matter how rows were batched or which partition delivered
+        # them first (a float += here would drift with arrival order
+        # and break both replay determinism and the SQL oracle). The
+        # rounding itself happens JVM-side (F.round, HALF_UP) before
+        # the kernel, where its cross-engine parity is already proven.
+        s_micro += int(pdf["value_micro"].sum())
+    state.update((n, s_micro))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [s_micro / 1e6]}
+    )
 
 
 def stateful_user_counts(sdf: DataFrame) -> DataFrame:
     """Running per-user (count, sum(value)) maintained in explicit
-    group state; emits the updated totals each micro-batch."""
+    group state; emits the updated totals each micro-batch. The sum
+    accumulates in fixed-point micro-units (see _update_user_counts),
+    so totals are exact to 6 decimals and reduction-order-free."""
+    from pyspark.sql import functions as F
+
     return (
-        sdf.select("user_id", "value")
+        sdf.select(
+            "user_id",
+            F.round(F.col("value") * 1000000.0).cast("long").alias("value_micro"),
+        )
         .groupBy("user_id")
         .applyInPandasWithState(
             _update_user_counts,

@@ -66,4 +66,5 @@ def test_stateful_user_counts_matches_batch_agg(spark, sf_dir, tmp_path):
     assert set(final) == set(batch)
     for uid, (n, s) in batch.items():
         assert final[uid][0] == n
-        assert abs(final[uid][1] - s) < 1e-6
+        # per-row micro-unit quantization bounds the drift at 0.5e-6 * n
+        assert abs(final[uid][1] - s) <= 5e-7 * (n + 1)

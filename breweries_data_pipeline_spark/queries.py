@@ -3736,6 +3736,35 @@ def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one SQL text, two engines: executed verbatim by spark.sql() AND by
+# the DuckDB oracle — the query restricts itself to the shared ANSI
+# subset (joins, group by, round/cast arithmetic)
+_SQL_API_TEXT = """
+    SELECT n.n_name AS nation,
+           count(*) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000.0)
+                         AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+
+@register("q_sql_api", _SQL_API_TEXT)
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-API entry path: tables registered as temp views, the
+    query text handed to ``spark.sql`` VERBATIM — and the oracle runs
+    the IDENTICAL string on DuckDB, demonstrating that the engine's
+    SQL surface (and the fixed-point money arithmetic) is
+    engine-portable ANSI. Catalyst plans it exactly like the
+    DataFrame spelling (same joins, same aggregate)."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_API_TEXT)
+
+
 @register(
     "q_min_price_per_type",
     """

@@ -3835,6 +3835,291 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_customer_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT n_orders, count(*) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    """,
+)
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count histogram over customers,
+    including zero-order customers (the LEFT join is the point — an
+    inner join silently drops them). Two-level aggregate: the first
+    shuffles on c_custkey (high cardinality, spreads evenly), the
+    second groups the per-customer counts by count value (tiny).
+    The join predicate filter (o_orderpriority) is applied to orders
+    BEFORE the join, so the probe side shrinks first."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "q_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0)
+                      AS BIGINT)) AS rev_fp
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '2000-04-01 00:00:00'
+      GROUP BY l_suppkey
+    ), m AS (SELECT max(rev_fp) AS max_fp FROM rev)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.rev_fp AS DOUBLE) / 10000.0 AS total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    CROSS JOIN m WHERE r.rev_fp = m.max_fp
+    """,
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue over a
+    quarter. The scalar subquery becomes ONE extra reduction over the
+    already-computed per-supplier aggregate (a 1-row broadcast), not a
+    second lineitem scan — the classic Q15 view is computed once and
+    reused for both the ranking and the max. The tie filter compares
+    FIXED-POINT longs (exact), so 'equal revenue' is integer equality
+    in both engines, never a double epsilon."""
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-04-01 00:00:00").cast("timestamp"))
+    )
+    rev_fp = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000.0
+    ).cast("long")
+    rev = li.groupBy("l_suppkey").agg(F.sum(rev_fp).alias("rev_fp"))
+    m = rev.agg(F.max("rev_fp").alias("max_fp"))
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        s.join(rev, s.s_suppkey == rev.l_suppkey)
+        .crossJoin(F.broadcast(m))
+        .where(F.col("rev_fp") == F.col("max_fp"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_fp").cast("double") / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q_nation_profit",
+    """
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000.0)
+                         AS BIGINT)) AS DOUBLE) / 10000.0 AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY nation, o_year
+    """,
+)
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp table in the testdata, so
+    profit is discounted revenue): per-nation per-year profit for a
+    part family. Join order matters at 100 TB: the selective part
+    filter broadcasts FIRST (shrinking lineitem before anything
+    else), supplier->nation broadcast next, and only then the
+    unavoidable big-big orders join shuffles — the one exchange in
+    the plan carries pre-filtered rows."""
+    p = (
+        read_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    profit_fp = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000.0
+    ).cast("long")
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg((F.sum(profit_fp).cast("double") / 10000.0).alias("profit"))
+    )
+
+
+@register(
+    "q_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size <= 25
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: lineitem stands in for the absent
+    partsupp relation): distinct suppliers per part family, with an
+    exclusion predicate on the dim side. The dim filter broadcasts;
+    count(DISTINCT) runs as Spark's two-phase expand/aggregate —
+    partial distinct per partition, then a final merge — so no single
+    reducer ever sees all (group, suppkey) pairs."""
+    p = (
+        read_table(spark, sf_dir, "part")
+        .where((F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 25))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_important_parts",
+    """
+    WITH v AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS value_c
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (SELECT CAST(sum(value_c) AS BIGINT) AS total_c FROM v)
+    SELECT l_partkey, CAST(value_c AS DOUBLE) / 100.0 AS part_value
+    FROM v CROSS JOIN tot
+    WHERE value_c * 2000 > total_c
+    """,
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose stocked value exceeds a fraction
+    (1/2000) of the global total — the scalar-subquery-vs-global-sum
+    pattern. The global total is ONE extra reduction over the
+    per-part aggregate, broadcast back as a 1-row table; the share
+    test runs in integer cents (value_c * 2000 > total_c), so the
+    threshold is exact in both engines — no double ratio, no epsilon."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    v = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100.0).cast("long")).alias("value_c")
+    )
+    tot = v.agg(F.sum("value_c").alias("total_c"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .where(F.col("value_c") * 2000 > F.col("total_c"))
+        .select(
+            "l_partkey",
+            (F.col("value_c").cast("double") / 100.0).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "q_bm25",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks WHERE term <> ''
+      GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(sum(dl) AS BIGINT) AS total_tokens,
+             count(*) AS n_docs FROM dl
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('spark', 'join', 'merge') GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    )
+    SELECT tf.doc_id, tf.term,
+           ((CAST(stats.n_docs - df.df AS DOUBLE) + 0.5)
+              / (CAST(df.df AS DOUBLE) + 0.5))
+           * ((CAST(tf.tf AS DOUBLE) * 2.2)
+              / (CAST(tf.tf AS DOUBLE)
+                 + (1.2 * (0.25 + (0.75 * (CAST(dl.dl AS DOUBLE)
+                    / (CAST(stats.total_tokens AS DOUBLE) / stats.n_docs)))))))
+             AS score
+    FROM tf JOIN df ON tf.term = df.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    QUALIFY row_number() OVER (
+      PARTITION BY tf.term ORDER BY score DESC, tf.doc_id
+    ) <= 10
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75): top-10 documents per
+    query term — the retrieval scorer a decontamination / RAG-curation
+    pipeline runs against the training corpus. The idf uses the
+    RATIONAL form (N - df + 0.5)/(df + 0.5), not ln() of it, so the
+    score is a fixed tree of IEEE ops both engines evaluate
+    identically (libm transcendentals are not bit-portable; monotone
+    transforms preserve the ranking anyway). Plan: ONE corpus explode
+    feeds both the doc-length aggregate and the (filtered) term
+    frequencies; df derives from the tiny tf table; doc-length stats
+    collapse to a 1-row broadcast. Scoring touches only docs
+    containing a query term — the corpus-wide work is the dl
+    aggregate, one shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").alias("total_tokens"), F.count("*").alias("n_docs")
+    )
+    tf = (
+        toks.where(F.col("term").isin("spark", "join", "merge"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
+    idf = (
+        (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    tf_part = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf").cast("double")
+        + (
+            F.lit(1.2)
+            * (F.lit(0.25) + (F.lit(0.75) * (F.col("dl").cast("double") / avgdl)))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", (idf * tf_part).alias("score"))
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "term", "score")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

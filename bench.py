@@ -11,9 +11,11 @@ Methodology:
   projected column (a count() would let Catalyst prune the projection
   and under-measure narrow-transform queries);
 - every query runs REPS times; the reported point value is the MEDIAN
-  and "spread" records [min, max] per query, so sub-second local-bench
-  noise (GC, page-cache misses, JIT) is visible instead of read as a
-  regression;
+  and [min, max] per-query spread is recorded in BENCH_DETAILS.json
+  (written next to this script), so sub-second local-bench noise (GC,
+  page-cache misses, JIT) is visible instead of read as a regression.
+  The PRINTED line stays compact (<2000 chars) because the driver
+  captures only the output tail — spread/details never go to stdout;
 - "value" sums the SAME 10 queries as round 1 (BASELINE.md
   comparability); newer operator families are timed in "queries" and
   summed separately under "extended_total" (same set and order every
@@ -133,28 +135,38 @@ def main() -> None:
             _materialize(fn(spark, sf_dir))
             runs.append(time.perf_counter() - start)
         runs.sort()
-        timings[name] = round(runs[len(runs) // 2], 4)
-        spread[name] = [round(runs[0], 4), round(runs[-1], 4)]
+        timings[name] = round(runs[len(runs) // 2], 3)
+        spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
 
-    total = round(sum(timings[q] for q in HEADLINE), 4)
-    ext_total = round(sum(timings[q] for q in EXTENDED if q in timings), 4)
-    corpus_total = round(sum(timings[q] for q in CORPUS if q in timings), 4)
+    total = round(sum(timings[q] for q in HEADLINE), 3)
+    ext_total = round(sum(timings[q] for q in EXTENDED if q in timings), 3)
+    corpus_total = round(sum(timings[q] for q in CORPUS if q in timings), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "reps": reps,
-                "extended_total": ext_total,
-                "corpus_total": corpus_total,
-                "sf": float(sf) if sf else None,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "reps": reps,
+        "extended_total": ext_total,
+        "corpus_total": corpus_total,
+        "sf": float(sf) if sf else None,
+    }
+    # full detail (per-query [min,max] spread) goes to a side file; the
+    # stdout line must stay small enough to survive tail-capture intact
+    details_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
     )
+    with open(details_path, "w") as f:
+        json.dump({**payload, "spread": spread}, f, indent=1)
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1800:
+        # drop the slowest-changing detail first rather than emit an
+        # unparseable line: keep only the headline per-query timings
+        payload["queries"] = {q: timings[q] for q in HEADLINE}
+        payload["queries_truncated_see"] = "BENCH_DETAILS.json"
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -139,10 +139,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANOS_TS_COLUMNS.get(name, ()):
-        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+        if c not in df.columns:
+            continue
+        if isinstance(df.schema[c].dataType, T.LongType):
             # integer division: `/` would promote to double and lose
             # precision above 2^53 ns (any modern epoch)
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+        elif isinstance(df.schema[c].dataType, T.TimestampNTZType):
+            # parquet timestamp[us] without tz info infers as NTZ, which
+            # watermarks / unix_micros reject; the session tz is pinned
+            # UTC so the cast is value-identical
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

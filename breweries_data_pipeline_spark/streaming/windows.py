@@ -38,6 +38,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
+    # Watermarks require TIMESTAMP (with local-tz semantics); parquet
+    # timestamp[us] without tz info infers as TIMESTAMP_NTZ. The session
+    # timezone is pinned UTC (session.py), so reading NTZ micros as
+    # TIMESTAMP is value-identical — rewrite the schema before the scan.
+    schema = T.StructType(
+        [
+            T.StructField(f.name, T.TimestampType(), f.nullable)
+            if isinstance(f.dataType, T.TimestampNTZType)
+            else f
+            for f in schema.fields
+        ]
+    )
     # the file stream source requires a directory: stream the parent
     # with a glob filter selecting only the events file(s)
     sdf = (

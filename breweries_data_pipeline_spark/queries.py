@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -34,7 +34,12 @@ from breweries_data_pipeline_spark.operators import (
     rules_dataframe,
     union_views,
 )
-from breweries_data_pipeline_spark.functions.text import ngram_jaccard, shingles
+from breweries_data_pipeline_spark.functions.text import (
+    STOPWORDS_EN,
+    ngram_jaccard,
+    shingles,
+    tokens,
+)
 from breweries_data_pipeline_spark.operators.dedup import (
     exact_dedup,
     near_dedup_minhash,
@@ -1324,12 +1329,31 @@ _SQL_FINGERPRINT = r"md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"
 # whole-doc fallback for short docs. range() is end-exclusive so
 # range(1, len-1) yields start positions 1..len-2 — same count as
 # Spark's sequence(0, size-3).
-_SQL_SHINGLES = (
-    r"CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 3 "
-    r"THEN list_transform(range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1), "
-    r"i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), i, i + 2), ' ')) "
-    r"ELSE [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')] END"
-)
+def _long_div(num: Column, den: Column) -> Column:
+    """Integer floor-division of two non-negative long Columns,
+    matching DuckDB's ``//`` on BIGINT exactly. Spelled as
+    ``(num - num % den) / den``: the numerator is made exactly
+    divisible first, so the double division is exact (quotients here
+    are far below 2^53) and the cast back to long is lossless —
+    bit-deterministic with no engine-specific ``div`` operator."""
+    return ((num - (num % den)) / den).cast("long")
+
+
+def _sql_shingles(n: int) -> str:
+    """DuckDB spelling of ``functions.text.shingles(text, n)``: all
+    space-joined token n-grams, with sub-``n``-token docs collapsing
+    to one whole-document shingle (same convention as the Spark side,
+    so oracle parity holds for every doc length)."""
+    toks = r"regexp_split_to_array(trim(text), '\s+')"
+    return (
+        rf"CASE WHEN len({toks}) >= {n} "
+        rf"THEN list_transform(range(1, len({toks}) - {n - 2}), "
+        rf"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')) "
+        rf"ELSE [array_to_string({toks}, ' ')] END"
+    )
+
+
+_SQL_SHINGLES = _sql_shingles(3)
 
 
 @register(
@@ -4117,6 +4141,439 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
         .select("doc_id", "term", "score")
+    )
+
+
+@register(
+    "q_market_share",
+    """
+    WITH vols AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000.0)
+                  AS BIGINT) AS volume_fp,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume_fp
+                         ELSE 0 END) AS DOUBLE)
+             / CAST(sum(volume_fp) AS DOUBLE) AS mkt_share
+    FROM vols GROUP BY o_year
+    """,
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's revenue for a
+    part type, by order year. The share is a conditional-sum /
+    total-sum ratio computed in ONE aggregate pass (no self-join, no
+    second scan). All five dims broadcast — the selective part-type
+    filter shrinks lineitem before the two unavoidable fact shuffles
+    (orders, customer) — and both sums accumulate exact fixed-point
+    longs, so the final double division is bit-deterministic."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation")
+    r = (
+        read_table(spark, sf_dir, "region")
+        .where(F.col("r_name") == "AMERICA")
+        .select("r_regionkey")
+    )
+    p = (
+        read_table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    vol_fp = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000.0
+    ).cast("long")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", vol_fp).otherwise(F.lit(0))
+    )
+    den = F.sum(vol_fp)
+    return j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        (num.cast("double") / den.cast("double")).alias("mkt_share")
+    )
+
+
+@register(
+    "q_part_promotion",
+    """
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS total_qty,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+                      THEN CAST(round(l_quantity * 100.0) AS BIGINT)
+                      ELSE 0 END) AS recent_qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (
+        SELECT sp.l_suppkey
+        FROM supply sp JOIN part p ON p.p_partkey = sp.l_partkey
+        WHERE p.p_name LIKE 'blue%'
+          AND sp.recent_qty > 0
+          AND sp.total_qty > 2 * sp.recent_qty)
+    ORDER BY s.s_name
+    """,
+)
+def q_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: the testdata has no partsupp, so
+    lineitem's full shipping history stands in for availability):
+    suppliers in one nation holding excess supply of a part family —
+    all-time shipped quantity more than twice the recent-year
+    quantity. The correlated IN-subquery over an aggregate
+    decorrelates to aggregate -> broadcast-dim filter -> left-semi
+    join: one lineitem shuffle keyed (partkey, suppkey), conditional
+    fixed-point sums in the same pass, then the tiny qualifying-
+    supplier set semi-joins the supplier dim. No per-row subquery
+    re-execution anywhere."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    qty_fp = F.round(F.col("l_quantity") * 100.0).cast("long")
+    recent = F.col("l_shipdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(qty_fp).alias("total_qty"),
+        F.sum(F.when(recent, qty_fp).otherwise(F.lit(0))).alias("recent_qty"),
+    )
+    p = (
+        read_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("blue%"))
+        .select("p_partkey")
+    )
+    qualifying = (
+        supply.join(F.broadcast(p), supply.l_partkey == p.p_partkey)
+        .where((F.col("recent_qty") > 0) & (F.col("total_qty") > 2 * F.col("recent_qty")))
+        .select("l_suppkey")
+    )
+    n = (
+        read_table(spark, sf_dir, "nation")
+        .where(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_name")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q_token_count",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\\S+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
+             AS bpe_tokens,
+           CAST(n_chars AS DOUBLE)
+             / CAST(len(regexp_extract_all(
+                 text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS DOUBLE)
+             AS chars_per_token
+    FROM documents
+    WHERE n_chars > 0
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for training-data budgeting: whitespace tokens
+    and a BPE-ish segmentation (letter runs | digit runs | punctuation
+    runs — the pre-tokenizer split every byte-pair encoder starts
+    from). Pure JVM-side regexp over one scan, no UDF; the
+    chars/token ratio is the standard proxy for tokenizer fertility.
+    The patterns use no engine-specific syntax, so Java regex (Spark)
+    and RE2 (DuckDB) agree match-for-match."""
+    docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"), F.lit(0)
+        )
+    ).cast("long")
+    ws = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        (F.col("n_chars").cast("double") / bpe.cast("double")).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@register(
+    "q_gopher_quality",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id,
+           len(toks) AS n_words,
+           (CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT)
+             * 1000) // len(toks) AS mean_word_len_milli,
+           len(list_filter(toks, w -> list_contains(
+             ['the','a','of','and','to','in','is','that','it','for'],
+             lower(w)))) AS stopword_hits,
+           (len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+             * 1000000) // len(toks) AS alpha_word_ppm,
+           (len(toks) BETWEEN 5 AND 100000)
+             AND ((CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT)
+                  * 1000) // len(toks) BETWEEN 1000 AND 12000)
+             AND ((len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+                  * 1000000) // len(toks) >= 700000)
+             AS passes_gopher
+    FROM t
+    """,
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality rules (Rae et al. 2021 §A1.1)
+    per document: word count bounds, mean word length bounds, minimum
+    alphabetic-word ratio, stopword presence. All ratios are emitted
+    as integer fixed-point (milli / ppm via integer division), so the
+    row values — and the pass/fail verdict derived from them — are
+    bit-deterministic across engines. Pure JVM higher-order array
+    functions over one scan: a narrow map with zero shuffle at any
+    scale."""
+    docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks).cast("long")
+    total_chars = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    stop_set = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    stop_hits = F.size(F.filter(toks, lambda w: F.array_contains(stop_set, F.lower(w)))).cast("long")
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    # integer floor-division: Spark's `div` on longs == DuckDB's `//`
+    mean_word_len_milli = _long_div(total_chars * 1000, n_words)
+    alpha_word_ppm = _long_div(alpha_words * 1000000, n_words)
+    passes = (
+        n_words.between(5, 100000)
+        & mean_word_len_milli.between(1000, 12000)
+        & (alpha_word_ppm >= 700000)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len_milli.alias("mean_word_len_milli"),
+        stop_hits.alias("stopword_hits"),
+        alpha_word_ppm.alias("alpha_word_ppm"),
+        passes.alias("passes_gopher"),
+    )
+
+
+@register(
+    "q_lexical_diversity",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id,
+           len(toks) AS n_words,
+           len(list_distinct(toks)) AS distinct_words,
+           (len(list_distinct(toks)) * 1000000) // len(toks) AS ttr_ppm
+    FROM t
+    """,
+)
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio (lexical diversity) per document — the
+    standard cheap signal for repetitive/machine-generated text in
+    training-data filtering. Distinct-over-total as fixed-point ppm
+    integer division: bit-deterministic, no floats anywhere. Narrow
+    map, zero shuffle."""
+    docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    toks = tokens(F.lower(F.col("text")))
+    n_words = F.size(toks).cast("long")
+    distinct_words = F.size(F.array_distinct(toks)).cast("long")
+    ttr_ppm = F.expr(
+        "(bigint(size(array_distinct(split(trim(lower(text)), '\\\\s+')))) "
+        "* 1000000) div size(split(trim(lower(text)), '\\\\s+'))"
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        distinct_words.alias("distinct_words"),
+        ttr_ppm.alias("ttr_ppm"),
+    )
+
+
+@register(
+    "q_mixture_weights",
+    r"""
+    WITH per_lang AS (
+      SELECT lang,
+             count(*) AS n_docs,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents WHERE n_chars > 0 GROUP BY lang
+    )
+    SELECT lang, n_docs, n_tokens,
+           (n_tokens * 1000000)
+             // CAST((SELECT sum(n_tokens) FROM per_lang) AS BIGINT)
+             AS token_share_ppm,
+           sqrt(CAST(n_tokens AS DOUBLE)) AS sample_weight
+    FROM per_lang
+    """,
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling weights per language — the knob a
+    pretraining pipeline turns to rebalance its corpus (UniMax-style
+    sqrt-damped sampling). Integer token totals aggregate exactly;
+    the share is fixed-point integer division against the corpus
+    total (a 1-row broadcast, not a second scan in Spark: a window
+    over the tiny per-lang aggregate); the damped weight uses sqrt,
+    which IEEE-754 requires correctly rounded, so even the double is
+    bit-identical across engines."""
+    docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("n_tokens"),
+    )
+    total = Window.partitionBy()
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.expr("n_tokens * 1000000").alias("_num"),
+        F.sum("n_tokens").over(total).alias("_den"),
+    ).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.expr("_num div _den").alias("token_share_ppm"),
+        F.sqrt(F.col("n_tokens").cast("double")).alias("sample_weight"),
+    )
+
+
+_SQL_SHINGLES_8 = _sql_shingles(8)
+
+
+@register(
+    "q_repeated_ngrams",
+    rf"""
+    WITH grams AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES_8}) AS gram
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT md5(gram) AS gram_md5,
+           count(*) AS occurrences,
+           count(DISTINCT doc_id) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM grams GROUP BY md5(gram) HAVING count(*) > 1
+    """,
+)
+def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-substring discovery — the heart of exact
+    substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): every 8-token window that occurs
+    more than once corpus-wide, with its occurrence and document
+    counts. The suffix-array of the single-node reference algorithm
+    becomes a shuffle on the window fingerprint: explode windows
+    (regex single-pass shingling, no UDF), md5 to a fixed-width key,
+    one hash aggregate. At 100 TB the md5 would be xxhash64 (8-byte
+    shuffle key instead of 32); md5 here keeps the oracle
+    cross-engine-checkable, and the plan is identical."""
+    docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    grams = docs.select(
+        "doc_id", F.explode(shingles("text", 8)).alias("gram")
+    ).select("doc_id", F.md5(F.col("gram")).alias("gram_md5"))
+    return (
+        grams.groupBy("gram_md5")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("occurrences") > 1)
+    )
+
+
+@register(
+    "q_substring_dedup_stats",
+    rf"""
+    WITH grams AS (
+      SELECT doc_id, md5(unnest({_SQL_SHINGLES_8})) AS gram_md5
+      FROM documents WHERE n_chars > 0
+    ),
+    dup AS (
+      SELECT gram_md5 FROM grams GROUP BY gram_md5 HAVING count(*) > 1
+    )
+    SELECT g.doc_id,
+           count(*) AS n_windows,
+           count(d.gram_md5) AS dup_windows,
+           (count(d.gram_md5) * 1000000) // count(*) AS dup_ppm
+    FROM grams g LEFT JOIN dup d ON g.gram_md5 = d.gram_md5
+    GROUP BY g.doc_id
+    """,
+)
+def q_substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring coverage: the fraction of a
+    doc's 8-token windows that occur elsewhere in the corpus — the
+    per-doc removal signal of exact substring dedup (docs above a
+    coverage threshold get trimmed or dropped). Two hash shuffles on
+    the uniform gram fingerprint (dup-set build, then flag-join);
+    the dup set re-joins the gram stream on the same key, so AQE
+    plans the second exchange off the first. Fixed-point ppm output
+    — no floats, bit-deterministic."""
+    docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    grams = docs.select(
+        "doc_id", F.explode(shingles("text", 8)).alias("gram")
+    ).select("doc_id", F.md5(F.col("gram")).alias("gram_md5"))
+    dup = (
+        grams.groupBy("gram_md5")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .select("gram_md5", F.lit(1).alias("_dup"))
+    )
+    return (
+        grams.join(dup, "gram_md5", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count("_dup").alias("dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "dup_windows",
+            F.expr("(dup_windows * 1000000) div n_windows").alias("dup_ppm"),
+        )
     )
 
 

@@ -97,6 +97,18 @@ CORPUS = [
     "q_quantize_embeddings",
 ]
 
+# round-5 text-quality / substring-dedup / TPC-H-completion family —
+# summed under "r5_total" so "extended_total" and "corpus_total" stay
+# round-over-round comparable
+R5 = [
+    "q_market_share",
+    "q_part_promotion",
+    "q_token_count",
+    "q_gopher_quality",
+    "q_repeated_ngrams",
+    "q_substring_dedup_stats",
+]
+
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",
                  "documents", "embeddings")
 
@@ -127,7 +139,7 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name in HEADLINE + [q for q in EXTENDED + CORPUS if q in REGISTRY]:
+    for name in HEADLINE + [q for q in EXTENDED + CORPUS + R5 if q in REGISTRY]:
         fn, _ = REGISTRY[name]
         runs = []
         for _ in range(reps):
@@ -141,6 +153,7 @@ def main() -> None:
     total = round(sum(timings[q] for q in HEADLINE), 3)
     ext_total = round(sum(timings[q] for q in EXTENDED if q in timings), 3)
     corpus_total = round(sum(timings[q] for q in CORPUS if q in timings), 3)
+    r5_total = round(sum(timings[q] for q in R5 if q in timings), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     payload = {
         "metric": "headline_queries_total_wall",
@@ -150,6 +163,7 @@ def main() -> None:
         "reps": reps,
         "extended_total": ext_total,
         "corpus_total": corpus_total,
+        "r5_total": r5_total,
         "sf": float(sf) if sf else None,
     }
     # full detail (per-query [min,max] spread) goes to a side file; the

@@ -107,6 +107,9 @@ R5 = [
     "q_gopher_quality",
     "q_repeated_ngrams",
     "q_substring_dedup_stats",
+    "q_funnel_steps",
+    "q_retention_cohorts",
+    "q_pagerank_nations",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

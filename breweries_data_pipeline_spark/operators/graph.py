@@ -101,3 +101,73 @@ def connected_components(
     )
     sym.unpersist()
     return result
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Fixed-point PageRank over a distributed edge list — the other
+    canonical iterative graph operator next to connected components
+    (no reference analog; extension surface for corpus/link analysis).
+
+    ALL arithmetic is integer (ranks are fixed-point at ``scale``):
+    per-edge contribution is ``rank div out_degree``, the damped
+    update is ``base + damping_pct * sum(contribs) div 100``, and
+    integer group-sums are order-insensitive — so the result is
+    bit-deterministic across engines and replayable, unlike a
+    floating-point PageRank whose shuffle-order double sums drift.
+    Rounding mass lost to the integer divisions (and dangling-node
+    leakage) is deliberately NOT redistributed; the oracle mirrors
+    the exact same arithmetic.
+
+    Scale posture: the rank table is one long per node; each
+    iteration is one shuffle-join of ranks onto edges keyed by source
+    plus one hash aggregate keyed by destination — the textbook
+    distributed PageRank plan. The out-degree table joins ranks on
+    the same key as the edge join, so AQE reuses the exchange. The
+    driver-side loop only stacks `iterations` plan layers (bounded,
+    small); no collect touches data.
+    """
+    n = nodes.count()  # tiny dim-table action; n is part of the formula
+    init = scale // n
+    base = (init * 15) // 100  # (1 - d) * uniform mass, fixed-point
+
+    out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__outd"))
+    edges_deg = edges.join(out_deg, src)
+    ranks = nodes.select(F.col(node_col), F.lit(init).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            edges_deg.join(ranks, edges_deg[src] == ranks[node_col])
+            .select(
+                F.col(dst).alias("__to"),
+                ((F.col("rank") - (F.col("rank") % F.col("__outd"))) / F.col("__outd"))
+                .cast("long")
+                .alias("__c"),
+            )
+            .groupBy("__to")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes[node_col] == contrib["__to"], "left")
+            .select(
+                F.col(node_col),
+                (
+                    F.lit(base).cast("long")
+                    + (
+                        (
+                            (damping_pct * F.coalesce(F.col("__in"), F.lit(0)))
+                            - ((damping_pct * F.coalesce(F.col("__in"), F.lit(0))) % 100)
+                        )
+                        / 100
+                    ).cast("long")
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -4577,6 +4577,256 @@ def q_substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_funnel_steps",
+    """
+    WITH t1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS view_ts
+      FROM events
+    ),
+    t2 AS (
+      SELECT user_id, ts, event_type, view_ts,
+             min(CASE WHEN event_type = 'click' AND ts > view_ts THEN ts END)
+               OVER (PARTITION BY user_id) AS click_ts
+      FROM t1
+    ),
+    t3 AS (
+      SELECT user_id, view_ts, click_ts,
+             min(CASE WHEN event_type = 'purchase' AND ts > click_ts THEN ts END)
+               OVER (PARTITION BY user_id) AS purchase_ts
+      FROM t2
+    )
+    SELECT user_id,
+           min(view_ts) AS view_ts,
+           min(click_ts) AS click_ts,
+           min(purchase_ts) AS purchase_ts,
+           CASE WHEN min(view_ts) IS NOT NULL THEN 1 ELSE 0 END
+             + CASE WHEN min(click_ts) IS NOT NULL THEN 1 ELSE 0 END
+             + CASE WHEN min(purchase_ts) IS NOT NULL THEN 1 ELSE 0 END
+             AS steps_completed
+    FROM t3 GROUP BY user_id
+    """,
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase) per user:
+    each step's timestamp is the first qualifying event strictly after
+    the previous step. Three chained conditional-min windows, all on
+    the SAME partitioning key, so the whole funnel costs ONE shuffle
+    — the exchange is planned once and the window sort is reused; the
+    closing per-user aggregate rides the same partitioning (AQE
+    exchange reuse). Timestamps compare exactly (µs), no floats."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    df = ev.withColumn(
+        "view_ts",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    df = df.withColumn(
+        "click_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("view_ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    df = df.withColumn(
+        "purchase_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("click_ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    step = lambda c: F.when(F.min(c).isNotNull(), 1).otherwise(0)  # noqa: E731
+    return df.groupBy("user_id").agg(
+        F.min("view_ts").alias("view_ts"),
+        F.min("click_ts").alias("click_ts"),
+        F.min("purchase_ts").alias("purchase_ts"),
+        (step("view_ts") + step("click_ts") + step("purchase_ts")).alias(
+            "steps_completed"
+        ),
+    )
+
+
+@register(
+    "q_retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           date_trunc('week', e.ts) AS activity_week,
+           date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7
+             AS week_offset,
+           count(DISTINCT e.user_id) AS active_users,
+           count(*) AS n_events
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    in every week they return. First-touch aggregate keyed by user,
+    re-joined to the event stream on the same key (co-partitioned —
+    no extra exchange on the fact side), then a (cohort, week) count.
+    Monday-anchored date_trunc('week') agrees across engines; the
+    week offset is integer day arithmetic. At 100 TB both shuffles
+    key on user_id/cohort — uniform, skew-free."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    joined = ev.join(firsts, "user_id").select(
+        "user_id",
+        "cohort_week",
+        F.date_trunc("week", F.col("ts")).alias("activity_week"),
+    )
+    week_off = _long_div(
+        F.datediff(F.col("activity_week"), F.col("cohort_week")).cast("long"),
+        F.lit(7).cast("long"),
+    )
+    return joined.groupBy(
+        "cohort_week", "activity_week", week_off.alias("week_offset")
+    ).agg(
+        F.countDistinct("user_id").alias("active_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q_scd2_intervals",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER w AS valid_to,
+           lead(valid_from) OVER w IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from an event stream: collapse
+    consecutive same-state events per user, then derive each state's
+    [valid_from, valid_to) interval with lead(); the open interval is
+    the current state. Both windows share the user_id partitioning
+    and (ts, event_id) sort — one shuffle, one sort, the change
+    filter is a narrow map between them. The event_id tie-break makes
+    interval edges deterministic under equal timestamps."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    lead_ts = F.lead("valid_from").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        lead_ts.alias("valid_to"),
+        lead_ts.isNull().alias("is_current"),
+    )
+
+
+_PR_EDGES_SQL = """
+      SELECT DISTINCT ns.n_name AS src, nc.n_name AS dst
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+"""
+
+_PR_ITER_SQL = """
+    i{k} AS (
+      SELECT n.node,
+             CAST(((1000000000000 // (SELECT count(*) FROM nation)) * 15) // 100
+                  + (85 * COALESCE(CAST(sum(j.contrib) AS BIGINT), 0)) // 100
+                  AS BIGINT) AS rank
+      FROM nodes n
+      LEFT JOIN (
+        SELECT e.dst, r.rank // d.outd AS contrib
+        FROM edges e
+        JOIN deg d ON e.src = d.src
+        JOIN i{p} r ON r.node = e.src
+      ) j ON n.node = j.dst
+      GROUP BY n.node
+    )"""
+
+
+@register(
+    "q_pagerank_nations",
+    f"""
+    WITH edges AS ({_PR_EDGES_SQL}),
+    deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src),
+    nodes AS (SELECT n_name AS node FROM nation),
+    i0 AS (
+      SELECT node,
+             CAST(1000000000000 // (SELECT count(*) FROM nation) AS BIGINT)
+               AS rank
+      FROM nodes
+    ),
+    {_PR_ITER_SQL.format(k=1, p=0)},
+    {_PR_ITER_SQL.format(k=2, p=1)},
+    {_PR_ITER_SQL.format(k=3, p=2)}
+    SELECT node, rank FROM i3
+    """,
+)
+def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the trade graph (supplier nation -> customer
+    nation edges extracted from the fact tables), three damped
+    iterations in exact fixed-point arithmetic — see
+    ``operators.graph.pagerank`` for the scale posture (rank table is
+    one long per node; each iteration = one edge join + one hash
+    aggregate; integer sums make it bit-deterministic, which a
+    floating-point PageRank is not). The oracle unrolls the same
+    three iterations as chained CTEs with identical integer ops."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = read_table(spark, sf_dir, "nation")
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("dst")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("src")
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .select("src", "dst")
+        .distinct()
+    )
+    nodes = n.select(F.col("n_name").alias("node"))
+    from breweries_data_pipeline_spark.operators.graph import pagerank
+
+    return pagerank(edges, nodes, node_col="node", iterations=3)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

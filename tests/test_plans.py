@@ -109,3 +109,51 @@ def test_whole_stage_codegen_covers_flagship(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # codegen spans print as "*(n) Operator" in the final plan
     assert "*(1)" in plan and "HashAggregate" in plan
+
+
+def test_market_share_broadcasts_all_dims(spark, sf_dir):
+    # TPC-H Q8 shape: every dimension (part, supplier, both nation
+    # roles, region) must broadcast; no cartesian anywhere
+    plan = _plan(spark, sf_dir, "q_market_share")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_substring_dedup_is_equijoin_only(spark, sf_dir):
+    # the dup-set flag join must be an equi-join on the gram
+    # fingerprint — never a cartesian pairing of windows
+    for name in ("q_repeated_ngrams", "q_substring_dedup_stats"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan
+
+
+def test_gopher_quality_is_narrow_map(spark, sf_dir):
+    # the heuristic bundle is per-row arithmetic: zero exchanges —
+    # at 100 TB it streams over the scan with no shuffle at all
+    plan = _plan(spark, sf_dir, "q_gopher_quality")
+    assert "Exchange" not in plan
+
+
+def test_funnel_single_shuffle(spark, sf_dir):
+    # three chained windows + the closing aggregate all share the
+    # user_id partitioning: exactly one shuffle exchange
+    plan = _plan(spark, sf_dir, "q_funnel_steps")
+    import re
+
+    shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert shuffles == 1, f"expected 1 shuffle, got {shuffles}"
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    # both windows share partitioning AND sort order: one exchange,
+    # and the second window must not re-sort
+    plan = _plan(spark, sf_dir, "q_scd2_intervals")
+    import re
+
+    shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert shuffles == 1, f"expected 1 shuffle, got {shuffles}"
+
+
+def test_pagerank_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_pagerank_nations")
+    assert "CartesianProduct" not in plan

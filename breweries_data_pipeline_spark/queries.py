@@ -4578,6 +4578,61 @@ def q_substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scan_orc",
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey < 1000",
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan over a deterministic fixture — Spark's second built-in
+    columnar format, with the same vectorized-read / pushdown /
+    pruning posture as parquet. The round-trip is type-exact
+    (columnar, not text), so the oracle is the same selection on the
+    parquet view. Completes the format family: parquet, ORC, JSON,
+    CSV, XML, raw text."""
+    from breweries_data_pipeline_spark.sources import (
+        orc_fixture_from_orders,
+        read_orc,
+    )
+
+    path = orc_fixture_from_orders(spark, sf_dir)
+    return read_orc(spark, path).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@register(
+    "q_scan_text_lines",
+    """
+    SELECT event_id, event_type, user_id
+    FROM events WHERE event_id < 1000
+    """,
+)
+def q_scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw line scan + JVM-side parsing: spark.read.text yields one
+    string per line; from_json parses it inside whole-stage codegen —
+    the pattern for custom text formats at scale (the source stays a
+    dumb splittable line reader; ALL parsing is columnar expressions,
+    no Python). Fixture is the engine's own JSONL ingest output, so
+    the oracle is the same selection on the events view."""
+    from breweries_data_pipeline_spark.sources import (
+        json_fixture_from_events,
+        read_text_lines,
+    )
+
+    path = json_fixture_from_events(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    lines = read_text_lines(spark, path)
+    return lines.select(
+        F.from_json(F.col("value"), schema).alias("r")
+    ).select("r.event_id", "r.event_type", "r.user_id")
+
+
+@register(
     "q_funnel_steps",
     """
     WITH t1 AS (

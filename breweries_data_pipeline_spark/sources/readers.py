@@ -291,3 +291,43 @@ def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     if not names:
         names = TESTDATA_TABLES
     return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+def orc_fixture_from_orders(spark: SparkSession, sf_dir: str) -> str:
+    """ORC fixture (orders with o_orderkey < 1000, three columns)
+    under /tmp, once per sf_dir. Atomic publish like the other
+    fixtures. ORC is Spark-built-in (no external module), columnar,
+    and type-preserving — the round-trip is byte-exact, unlike the
+    text formats."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join("/tmp", "breweries_orc_fixture", tag)
+    if not os.path.exists(out):
+        df = (
+            read_table(spark, sf_dir, "orders")
+            .filter("o_orderkey < 1000")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        )
+        tmp = f"{out}.{os.getpid()}.tmp"
+        df.write.mode("overwrite").orc(tmp)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — native vectorized reader with predicate pushdown and
+    column pruning, same scan posture as parquet."""
+    return spark.read.orc(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Raw line scan (``spark.read.text``): one string column
+    ``value`` per line, no parsing — the entry point for custom text
+    formats, where parsing happens as JVM column expressions
+    (from_json / regexp) instead of in the source."""
+    return spark.read.text(path)

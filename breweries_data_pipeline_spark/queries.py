@@ -4546,27 +4546,25 @@ def q_substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-substring coverage: the fraction of a
     doc's 8-token windows that occur elsewhere in the corpus — the
     per-doc removal signal of exact substring dedup (docs above a
-    coverage threshold get trimmed or dropped). Two hash shuffles on
-    the uniform gram fingerprint (dup-set build, then flag-join);
-    the dup set re-joins the gram stream on the same key, so AQE
-    plans the second exchange off the first. Fixed-point ppm output
-    — no floats, bit-deterministic."""
+    coverage threshold get trimmed or dropped). ONE explode and TWO
+    hash shuffles total: a count-over-gram window marks duplicated
+    windows in place (no dup-set self-join, no second explode of the
+    corpus), then the per-doc aggregate rolls the flags up. Both keys
+    (gram fingerprint, doc_id) are uniform — skew-free at any scale.
+    Fixed-point ppm output — no floats, bit-deterministic."""
     docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
     grams = docs.select(
         "doc_id", F.explode(shingles("text", 8)).alias("gram")
     ).select("doc_id", F.md5(F.col("gram")).alias("gram_md5"))
-    dup = (
-        grams.groupBy("gram_md5")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .where(F.col("cnt") > 1)
-        .select("gram_md5", F.lit(1).alias("_dup"))
+    wg = Window.partitionBy("gram_md5")
+    flagged = grams.select(
+        "doc_id", (F.count(F.lit(1)).over(wg) > 1).alias("_dup")
     )
     return (
-        grams.join(dup, "gram_md5", "left")
-        .groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
-            F.count("_dup").alias("dup_windows"),
+            F.sum(F.when(F.col("_dup"), 1).otherwise(0)).alias("dup_windows"),
         )
         .select(
             "doc_id",
@@ -4880,6 +4878,136 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from breweries_data_pipeline_spark.operators.graph import pagerank
 
     return pagerank(edges, nodes, node_col="node", iterations=3)
+
+
+@register(
+    "q_edit_distance_pairs",
+    """
+    WITH t AS (SELECT doc_id, substr(text, 1, 64) AS prefix FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist,
+           (CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) * 1000000)
+             // CAST(greatest(len(a.prefix), len(b.prefix)) AS BIGINT)
+             AS dist_ppm
+    FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance (Levenshtein) near-dup signal between candidate
+    pairs — the character-level complement to token-level Jaccard,
+    catching small in-word edits that shingles miss. Computed on
+    64-char prefixes to bound the O(len^2) DP cost per pair (the
+    standard trick: cheap prefix gate first, full distance only on
+    survivors). JVM built-in levenshtein on an equi-join of
+    consecutive ids (stand-in for any candidate-pair stream, e.g.
+    LSH output); normalized distance is fixed-point integer."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 64).alias("prefix")
+    )
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("prefix").alias("prefix_b")
+    )
+    lev = F.levenshtein(F.col("prefix"), F.col("prefix_b")).cast("long")
+    return docs.join(nxt, "doc_id").select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1).alias("id_b"),
+        lev.alias("edit_dist"),
+        _long_div(
+            lev * 1000000,
+            F.greatest(F.length("prefix"), F.length("prefix_b")).cast("long"),
+        ).alias("dist_ppm"),
+    )
+
+
+@register(
+    "q_price_histogram",
+    """
+    SELECT CAST(least(floor(o_totalprice / 25000.0), 19) AS BIGINT) AS bucket,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram of order totals (20 buckets of
+    25k, top bucket open). The bucket index divides by a constant —
+    one IEEE-exact double op, identical across engines — and the
+    per-bucket mass accumulates exact integer cents. One hash
+    aggregate over 20 groups: partial aggregation makes the shuffle
+    20 rows per task regardless of table size."""
+    o = read_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 25000.0), F.lit(19)
+    ).cast("long")
+    cents = F.round(F.col("o_totalprice") * 100.0).cast("long")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).cast("long").alias("total_cents"),
+    )
+
+
+@register(
+    "q_corr_stats",
+    """
+    WITH fp AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity * 100.0) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100.0) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    sums AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(CAST(sum(x) AS HUGEINT) AS DOUBLE) AS sx,
+             CAST(CAST(sum(y) AS HUGEINT) AS DOUBLE) AS sy,
+             CAST(CAST(sum(x * x) AS HUGEINT) AS DOUBLE) AS sxx,
+             CAST(CAST(sum(y * y) AS HUGEINT) AS DOUBLE) AS syy,
+             CAST(CAST(sum(x * y) AS HUGEINT) AS DOUBLE) AS sxy
+      FROM fp GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS corr_qty_price
+    FROM sums
+    """,
+)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Pearson correlation with DETERMINISTIC float output —
+    the built-in corr() accumulates doubles in shuffle order and is
+    not reproducible run-to-run at scale. Here the five moment sums
+    accumulate EXACTLY (inputs quantized to integer cents, summed as
+    128-bit-safe decimals), and the final correlation is a fixed
+    scalar expression over those exact sums — every double op is
+    IEEE-defined with an explicit evaluation order, so the result is
+    bit-identical across engines and across runs. One partial-agg
+    shuffle of six longs per group."""
+    li = read_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100.0).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100.0).cast("long")
+    dec = "decimal(38,0)"
+    sums = li.select(
+        "l_returnflag", x.alias("x"), y.alias("y")
+    ).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return sums.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        corr.alias("corr_qty_price"),
+    )
 
 
 def queries() -> dict[str, QueryFn]:

@@ -5010,6 +5010,82 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_range_frame_sum",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(sum(CAST(round(value * 100.0) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS hour_sum_cents,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS hour_events
+    FROM events
+    """,
+)
+def q_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame — the sliding-by-value complement to
+    the ROWS frames of q_moving_avg: per user, the rolling sum and
+    count of the trailing hour at every event. Spark expresses the
+    interval bound on the µs epoch (rangeBetween is numeric); the
+    oracle uses the native INTERVAL RANGE frame — identical frames
+    because both bounds are closed. Value mass accumulates in exact
+    integer cents, so frame-internal sum order cannot matter. One
+    shuffle on user_id; the frame scan is a two-pointer pass over
+    the sorted partition."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cents = F.round(F.col("value") * 100.0).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(cents).over(w).cast("long").alias("hour_sum_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("hour_events"),
+    )
+
+
+@register(
+    "q_rank_functions",
+    """
+    SELECT o_custkey, o_orderkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           percent_rank() OVER w AS prnk,
+           cume_dist() OVER w AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete SQL rank family (rank / dense_rank /
+    percent_rank / cume_dist) per customer by order value. The
+    o_orderkey tie-break makes every rank deterministic; the two
+    fractional ranks are single divisions of small integers —
+    IEEE-exact and engine-identical. One shuffle + one sort serves
+    all four functions (same window spec)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

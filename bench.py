@@ -110,6 +110,8 @@ R5 = [
     "q_funnel_steps",
     "q_retention_cohorts",
     "q_pagerank_nations",
+    "q_corr_stats",
+    "q_edit_distance_pairs",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

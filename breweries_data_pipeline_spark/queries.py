@@ -5086,6 +5086,74 @@ def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle_sql() -> str:
+    from breweries_data_pipeline_spark.functions.zorder import morton_key_sql
+
+    norm_a = (
+        "(((o_custkey - lo_a) * 65535) // CASE WHEN hi_a - lo_a > 0 "
+        "THEN hi_a - lo_a ELSE 1 END)"
+    )
+    norm_b = (
+        "(((o_orderkey - lo_b) * 65535) // CASE WHEN hi_b - lo_b > 0 "
+        "THEN hi_b - lo_b ELSE 1 END)"
+    )
+    return f"""
+    WITH src AS (SELECT o_orderkey, o_custkey FROM orders
+                 WHERE o_orderkey < 4000),
+    bounds AS (SELECT min(o_custkey) AS lo_a, max(o_custkey) AS hi_a,
+                      min(o_orderkey) AS lo_b, max(o_orderkey) AS hi_b
+               FROM src),
+    normed AS (
+      SELECT o_orderkey, o_custkey,
+             {norm_a} AS na, {norm_b} AS nb
+      FROM src, bounds
+    )
+    SELECT o_orderkey, o_custkey,
+           {morton_key_sql('na', 'nb')} AS zkey
+    FROM normed
+    """
+
+
+@register("q_zorder_key", None)  # oracle attached below (generated SQL)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (o_custkey, o_orderkey),
+    range-normalized exactly like ``write_zordered``'s layout path
+    (see ``functions/zorder.py`` for the 100 TB rationale and why
+    normalization is mandatory). The bounds come from a 1-row
+    aggregate broadcast onto the scan — no driver scalars in the
+    query form, so it composes into pipelines. Pure JVM bit
+    arithmetic; the oracle recomputes normalization + interleave
+    term-for-term, bit-identical."""
+    from breweries_data_pipeline_spark.functions.zorder import morton_key
+
+    src = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 4000)
+        .select("o_orderkey", "o_custkey")
+    )
+    bounds = src.agg(
+        F.min("o_custkey").alias("lo_a"),
+        F.max("o_custkey").alias("hi_a"),
+        F.min("o_orderkey").alias("lo_b"),
+        F.max("o_orderkey").alias("hi_b"),
+    )
+    mask = 65535
+    span_a = F.when(F.col("hi_a") - F.col("lo_a") > 0, F.col("hi_a") - F.col("lo_a")).otherwise(F.lit(1))
+    span_b = F.when(F.col("hi_b") - F.col("lo_b") > 0, F.col("hi_b") - F.col("lo_b")).otherwise(F.lit(1))
+    scaled_a = (F.col("o_custkey") - F.col("lo_a")) * mask
+    scaled_b = (F.col("o_orderkey") - F.col("lo_b")) * mask
+    na = ((scaled_a - (scaled_a % span_a)) / span_a).cast("long")
+    nb = ((scaled_b - (scaled_b % span_b)) / span_b).cast("long")
+    return src.join(F.broadcast(bounds)).select(
+        "o_orderkey",
+        "o_custkey",
+        morton_key(na, nb).alias("zkey"),
+    )
+
+
+REGISTRY["q_zorder_key"] = (q_zorder_key, _zorder_oracle_sql())
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -18,4 +18,5 @@ from breweries_data_pipeline_spark.sources.writers import (  # noqa: F401
     write_json,
     write_parquet,
     write_quality_report,
+    write_zordered,
 )

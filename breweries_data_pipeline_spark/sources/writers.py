@@ -117,3 +117,51 @@ def write_quality_report(results: list[dict[str, Any]], path: str) -> str:
         json.dump(results, f, indent=2, default=str)
     os.rename(tmp, path)
     return path
+
+
+def write_zordered(
+    df,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 16,
+) -> str:
+    """Z-order-clustered parquet layout: range-partition + sort by the
+    Morton interleave of two columns, so each output file covers a
+    small hyper-rectangle of (col_a, col_b) space and min-max data
+    skipping works for range predicates on EITHER column — the
+    OSS-Spark analog of table-format OPTIMIZE ZORDER BY. The key is
+    dropped before writing (it is a layout device, not data); the
+    range exchange samples the key distribution, so file sizes stay
+    balanced under skew."""
+    from pyspark.sql import functions as F
+
+    from breweries_data_pipeline_spark.functions.zorder import (
+        morton_key,
+        normalize_to_domain,
+    )
+
+    # per-column bounds: one tiny aggregate action (four scalars of
+    # model state — not data on the driver). Both columns are then
+    # affine-mapped onto the full bit domain so neither dominates the
+    # interleave (see normalize_to_domain).
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    keyed = df.withColumn(
+        "__zkey",
+        morton_key(
+            normalize_to_domain(col_a, int(lo_a), int(hi_a), bits),
+            normalize_to_domain(col_b, int(lo_b), int(hi_b), bits),
+            bits,
+        ),
+    )
+    (
+        keyed.repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path

@@ -157,3 +157,38 @@ def test_scd2_single_shuffle(spark, sf_dir):
 def test_pagerank_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_pagerank_nations")
     assert "CartesianProduct" not in plan
+
+
+# queries that deliberately cross-join a BROADCAST 1-row / tiny-dim
+# side (scalar-aggregate attach, small grids) — the safe pattern;
+# anything else going cartesian is a regression
+_CROSS_JOIN_OK = {
+    "q_volume_shipping",   # 25x25 nation grid, broadcast
+    "q_gapfill",           # 24 x k hour/type grid, broadcast
+    "q_sales_opportunity", # 1-row avg-balance attach, broadcast
+    "q_important_parts",   # 1-row threshold attach, broadcast
+    "q_priority_share",    # 1-row total attach, broadcast
+    "q_minmax_scale",      # 1-row stats attach, broadcast
+    "q_zorder_key",        # 1-row bounds attach, broadcast
+}
+
+
+def test_whole_registry_plan_hygiene(spark, sf_dir):
+    """Global scale-hygiene sweep: EVERY registry query's physical
+    plan must be free of (a) cartesian products — except whitelisted
+    broadcast-tiny attaches, which must still show as
+    BroadcastNestedLoopJoin, never CartesianProduct — and (b)
+    row-at-a-time Python UDFs (BatchEvalPython); Python is allowed
+    only Arrow-vectorized (ArrowEvalPython / mapInPandas /
+    cogroup)."""
+    failures = []
+    for name, (fn, _) in sorted(REGISTRY.items()):
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception:
+            continue  # streaming-only entries build differently; covered elsewhere
+        if "CartesianProduct" in plan and name not in _CROSS_JOIN_OK:
+            failures.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-at-a-time Python UDF")
+    assert not failures, failures

@@ -5154,6 +5154,59 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["q_zorder_key"] = (q_zorder_key, _zorder_oracle_sql())
 
 
+@register(
+    "q_mad_stats",
+    """
+    WITH stats AS (
+      SELECT o_orderstatus,
+             percentile_cont(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS med,
+             percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+             percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderstatus,
+           count(*) AS n_rows,
+           min(s.med) AS med,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(o.o_totalprice - s.med))
+             AS mad,
+           CAST(sum(CASE WHEN o.o_totalprice < s.p25 - 1.5 * (s.p75 - s.p25)
+                           OR o.o_totalprice > s.p75 + 1.5 * (s.p75 - s.p25)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM orders o JOIN stats s ON o.o_orderstatus = s.o_orderstatus
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q_mad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion statistics per group: median absolute
+    deviation and Tukey-fence (1.5×IQR) outlier counts — the
+    outlier-resistant quality screen a data pipeline runs where
+    stddev-based z-scores break down. Two passes: exact grouped
+    percentiles (tiny result), broadcast back onto the scan, then a
+    second percentile over |x − median|. Every double op
+    (sub/abs/mul) is IEEE-exact over identical inputs, and exact
+    percentile interpolation matches percentile_cont — so even the
+    float outputs are bit-identical across engines."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    stats = o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med"),
+        F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("p75"),
+    )
+    j = o.join(F.broadcast(stats), "o_orderstatus")
+    iqr = F.col("p75") - F.col("p25")
+    is_out = (F.col("o_totalprice") < F.col("p25") - 1.5 * iqr) | (
+        F.col("o_totalprice") > F.col("p75") + 1.5 * iqr
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("med").alias("med"),
+        F.percentile(
+            F.abs(F.col("o_totalprice") - F.col("med")), F.lit(0.5)
+        ).alias("mad"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -87,3 +87,73 @@ def test_quality_not_null_counts_model(spark, rows):
     assert by_rule["not_null"].invalid_count == sum(1 for _, _, s in rows if s is None)
     ks = [k for k, _, _ in rows]
     assert by_rule["unique"].invalid_count == len(ks) - len(set(ks))
+
+
+PAIRS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=65535),
+        st.integers(min_value=0, max_value=65535),
+    ),
+    min_size=1,
+    max_size=12,
+    unique=True,
+)
+
+
+@given(pairs=PAIRS)
+@settings(**_SETTINGS)
+def test_morton_key_is_bijective_on_domain(spark, pairs):
+    """The Morton interleave must be invertible: distinct (a, b)
+    pairs in the 16-bit domain map to distinct keys, and a Python
+    bit-level decode recovers the inputs exactly."""
+    from breweries_data_pipeline_spark.functions.zorder import morton_key
+
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    out = df.select("a", "b", morton_key("a", "b").alias("k")).collect()
+    assert len({r.k for r in out}) == len(pairs)
+    for r in out:
+        da = sum(((r.k >> (2 * i + 1)) & 1) << i for i in range(16))
+        db = sum(((r.k >> (2 * i)) & 1) << i for i in range(16))
+        assert (da, db) == (r.a, r.b)
+
+
+@given(
+    nums=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**12),
+            st.integers(min_value=1, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_long_div_matches_python_floor_division(spark, nums):
+    """_long_div (the fixed-point workhorse behind every *_ppm /
+    *_milli column) must agree with Python's // on non-negative
+    longs."""
+    from breweries_data_pipeline_spark.queries import _long_div
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(nums, ["n", "d"])
+    out = df.select(
+        "n", "d", _long_div(F.col("n"), F.col("d")).alias("q")
+    ).collect()
+    for r in out:
+        assert r.q == r.n // r.d
+
+
+def test_pagerank_star_graph_ranks_center_highest(spark):
+    """On a star graph (all leaves point at the center) the center
+    must out-rank every leaf, all leaves must tie, and no rank can
+    exceed the total fixed-point mass."""
+    from breweries_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "a"), ("d", "a")], ["src", "dst"]
+    )
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], ["node"])
+    ranks = {r.node: r.rank for r in pagerank(edges, nodes).collect()}
+    assert ranks["b"] == ranks["c"] == ranks["d"]
+    assert ranks["a"] > ranks["b"]
+    assert sum(ranks.values()) <= 1_000_000_000_000

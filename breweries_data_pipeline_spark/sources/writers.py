@@ -165,3 +165,71 @@ def write_zordered(
         .parquet(path)
     )
     return path
+
+
+class AuditFailure(RuntimeError):
+    """Raised when a write-audit-publish run fails its quality gate;
+    carries the per-rule results for the report sink."""
+
+    def __init__(self, results: list):
+        super().__init__(
+            "quality audit failed: "
+            + ", ".join(r["rule"] + "(" + str(r.get("column")) + ")" for r in results if not r["passed"])
+        )
+        self.results = results
+
+
+def write_audit_publish(
+    df,
+    rules: list,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    report_path: str | None = None,
+):
+    """Write-audit-publish: stage the data, run the declarative
+    quality rules (ONE single-pass aggregate — see operators.quality),
+    and only then atomically publish the staged directory; a failed
+    audit raises :class:`AuditFailure` and leaves the previous
+    published data untouched.
+
+    This is the canonical safe-publish pattern for batch pipelines
+    (the table-format implementations — Iceberg WAP, Delta
+    constraints — do the same dance with snapshots): consumers can
+    never observe a half-written or rule-violating table. Staging
+    writes to ``path.tmp`` and publishes via directory rename —
+    atomic on POSIX; on an object store, put a manifest commit in
+    front (see streaming/upsert.py, which implements exactly that).
+
+    The audit runs on the STAGED files, not the input frame — it
+    validates what was actually written (catching any write-path
+    surprise), and the staged scan is the same one-job single-pass
+    aggregate.
+    """
+    import shutil
+
+    from breweries_data_pipeline_spark.operators.quality import evaluate_rules
+
+    spark = df.sparkSession
+    tmp = f"{path}.{os.getpid()}.staging"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+
+    staged = spark.read.parquet(tmp)
+    results = evaluate_rules(staged, rules)
+    if report_path:
+        write_quality_report(results, report_path)
+    if not all(r["passed"] for r in results):
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise AuditFailure(results)
+
+    bak = None
+    if os.path.exists(path):
+        bak = f"{path}.{os.getpid()}.bak"
+        os.rename(path, bak)
+    os.rename(tmp, path)
+    if bak:
+        shutil.rmtree(bak, ignore_errors=True)
+    return results

@@ -436,3 +436,35 @@ def test_range_join_bucketed_matches_plain(spark):
         marks, events, "user_id", "m_ts", "ts", band="30 MINUTES"
     ).select("user_id", "m_ts", "ts")
     assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_write_audit_publish_gates_and_preserves(spark, sf_dir, tmp_path):
+    """WAP: a passing audit publishes atomically; a failing audit
+    raises and leaves the previously published data untouched."""
+    import pytest as _pytest
+
+    from breweries_data_pipeline_spark.sources import read_table
+    from breweries_data_pipeline_spark.sources.writers import (
+        AuditFailure,
+        write_audit_publish,
+    )
+
+    path = str(tmp_path / "published")
+    good = read_table(spark, sf_dir, "nation")
+    rules = [{"rule": "not_null", "column": "n_name"}]
+    results = write_audit_publish(good, rules, path)
+    assert all(r["passed"] for r in results)
+    n_good = spark.read.parquet(path).count()
+    assert n_good == good.count()
+
+    # second run violates the rule -> must raise AND keep version 1
+    from pyspark.sql import functions as F
+
+    bad = good.withColumn(
+        "n_name", F.when(F.col("n_nationkey") == 0, None).otherwise(F.col("n_name"))
+    )
+    with _pytest.raises(AuditFailure) as exc:
+        write_audit_publish(bad, rules, path, report_path=str(tmp_path / "report.json"))
+    assert any(not r["passed"] for r in exc.value.results)
+    assert spark.read.parquet(path).count() == n_good
+    assert spark.read.parquet(path).where("n_name IS NULL").count() == 0

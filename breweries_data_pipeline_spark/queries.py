@@ -5207,6 +5207,96 @@ def q_mad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_BIGRAMS = _sql_shingles(2)
+
+
+@register(
+    "q_bpe_pair_counts",
+    f"""
+    WITH grams AS (
+      SELECT unnest({_SQL_BIGRAMS}) AS pair
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT pair, count(*) AS n_occurrences
+    FROM grams GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 100
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair frequency counting — the inner loop of BPE
+    tokenizer training (each merge round promotes the most frequent
+    pair; this is one round over word-level symbols). Bigrams come
+    from the single-regex shingle pass (no UDF, no per-row loop),
+    then one hash aggregate and a global top-k that compiles to
+    TakeOrderedAndProject — per-partition heaps, never a global
+    sort. Tie-broken on the pair text, so the cut is deterministic."""
+    docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    grams = docs.select(F.explode(shingles("text", 2)).alias("pair"))
+    return (
+        grams.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+        .limit(100)
+    )
+
+
+@register(
+    "q_vocab_coverage",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents WHERE n_chars > 0
+    ),
+    vocab AS (
+      SELECT tok FROM toks GROUP BY tok
+      ORDER BY count(*) DESC, tok LIMIT 1000
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           count(*) - count(v.tok) AS oov_tokens,
+           ((count(*) - count(v.tok)) * 1000000) // count(*) AS oov_ppm
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-1000 token vocabulary — the screen for docs a fixed tokenizer
+    would shred into rare pieces. The vocabulary is a deterministic
+    top-k (count desc, token tie-break) that broadcasts onto the
+    exploded token stream; per-doc OOV is a fixed-point integer
+    ratio. At 100 TB the vocab build is one hash aggregate + top-k
+    and the scoring join is broadcast — the corpus text never
+    shuffles."""
+    docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col("tok"))
+        .limit(1000)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.count(F.lit(1)) - F.count("__in_vocab")).alias("oov_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "oov_tokens",
+            F.expr("(oov_tokens * 1000000) div n_tokens").alias("oov_ppm"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

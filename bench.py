@@ -112,6 +112,7 @@ R5 = [
     "q_pagerank_nations",
     "q_corr_stats",
     "q_edit_distance_pairs",
+    "q_skyline_parts",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

@@ -5297,6 +5297,74 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_skyline_parts",
+    """
+    WITH pts AS (
+      SELECT DISTINCT CAST(round(p_retailprice * 100.0) AS BIGINT) AS price_c,
+             p_size
+      FROM part
+    )
+    SELECT price_c, p_size FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.price_c <= p.price_c AND q.p_size >= p.p_size
+        AND (q.price_c < p.price_c OR q.p_size > p.p_size)
+    )
+    """,
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier): parts not dominated on (cheaper
+    price, larger size). The naive spelling is a quadratic NOT-EXISTS
+    self-join — the oracle keeps that form deliberately, as an
+    implementation-INDEPENDENT check. The engine instead runs the
+    two-phase distributed skyline: (1) a local dominance filter
+    inside hash buckets (windows partitioned by bucket — fully
+    parallel, prunes anything dominated within its bucket, and local
+    pruning is always sound because a local dominator is a global
+    one), then (2) the same dominance windows over the small
+    survivor set. Dominance itself is sort-based, not join-based:
+    after ordering by price, a point is dominated iff the running
+    max of size over STRICTLY cheaper points reaches its size (a
+    RANGE frame, so equal prices stay out) or an equal-price point
+    has strictly larger size. No self-join, no cartesian anywhere;
+    prices quantized to integer cents so the RANGE frame and every
+    comparison are exact."""
+    pts = (
+        read_table(spark, sf_dir, "part")
+        .select(
+            F.round(F.col("p_retailprice") * 100.0).cast("long").alias("price_c"),
+            "p_size",
+        )
+        .distinct()
+    )
+
+    def survivors(df: DataFrame, *bucket_cols: str) -> DataFrame:
+        w_cheaper = (
+            Window.partitionBy(*bucket_cols)
+            .orderBy("price_c")
+            .rangeBetween(Window.unboundedPreceding, -1)
+            if bucket_cols
+            else Window.orderBy("price_c").rangeBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        w_equal = Window.partitionBy(*(list(bucket_cols) + ["price_c"]))
+        dominated = (
+            F.coalesce(F.max("p_size").over(w_cheaper), F.lit(-1))
+            >= F.col("p_size")
+        ) | (F.max("p_size").over(w_equal) > F.col("p_size"))
+        return df.withColumn("__dom", dominated).where(~F.col("__dom")).drop("__dom")
+
+    local = survivors(
+        pts.withColumn(
+            "__bucket", F.pmod(F.xxhash64("price_c", "p_size"), F.lit(32))
+        ),
+        "__bucket",
+    ).drop("__bucket")
+    return survivors(local)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -5365,6 +5365,47 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors(local)
 
 
+@register(
+    "q_weighted_sample",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             (len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))
+              * 1000000)
+               // len(regexp_split_to_array(trim(lower(text)), '\s+')) AS w_ppm,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'), 1, 8))::BIGINT
+               % 1000000 AS u_ppm
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, w_ppm, u_ppm FROM t WHERE u_ppm < w_ppm
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted corpus sampling: each doc is kept with
+    probability proportional to a quality signal (here its lexical
+    diversity, in ppm) by comparing a DETERMINISTIC per-id uniform —
+    an md5 hash bucket, not rand() — against the weight. Reproducible
+    across runs/engines/partitionings and leakage-safe under corpus
+    growth, like the split assigner; repetitive (low-TTR) docs are
+    downsampled exactly as a quality-resampling pass would. Pure
+    narrow map, zero shuffle."""
+    from breweries_data_pipeline_spark.operators.corpus import hash_bucket
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    toks = tokens(F.lower(F.col("text")))
+    w_ppm = _long_div(
+        F.size(F.array_distinct(toks)).cast("long") * 1000000,
+        F.size(toks).cast("long"),
+    )
+    u_ppm = hash_bucket(F.col("doc_id"), "wsample", 1_000_000)
+    return (
+        docs.select(
+            "doc_id", w_ppm.alias("w_ppm"), u_ppm.cast("long").alias("u_ppm")
+        )
+        .where(F.col("u_ppm") < F.col("w_ppm"))
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

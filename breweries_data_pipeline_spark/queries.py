@@ -5406,6 +5406,50 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_winsorize",
+    """
+    WITH bounds AS (
+      SELECT o_orderstatus,
+             percentile_cont(0.01) WITHIN GROUP (ORDER BY o_totalprice) AS lo,
+             percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS hi
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderkey, o.o_orderstatus,
+           least(greatest(o.o_totalprice, b.lo), b.hi) AS clipped_price,
+           (o.o_totalprice < b.lo OR o.o_totalprice > b.hi) AS was_clipped
+    FROM orders o JOIN bounds b ON o.o_orderstatus = b.o_orderstatus
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip each group's values at its own [p1, p99] —
+    the standard outlier treatment before feature export (clipping
+    preserves row count where outlier DROPPING would bias the
+    sample). Exact grouped percentiles (tiny result) broadcast back
+    onto the scan; least/greatest are exact comparisons on the
+    original doubles, so the clipped output is bit-identical across
+    engines. One aggregate pass + one broadcast-joined narrow map."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    bounds = o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.01)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("hi"),
+    )
+    j = o.join(F.broadcast(bounds), "o_orderstatus")
+    return j.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")).alias(
+            "clipped_price"
+        ),
+        (
+            (F.col("o_totalprice") < F.col("lo"))
+            | (F.col("o_totalprice") > F.col("hi"))
+        ).alias("was_clipped"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

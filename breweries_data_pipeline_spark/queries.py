@@ -5450,6 +5450,117 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_bigram_lm",
+    rf"""
+    WITH grams AS (
+      SELECT unnest({_SQL_BIGRAMS}) AS pair
+      FROM documents WHERE n_chars > 0
+    ),
+    pair_counts AS (
+      SELECT pair,
+             split_part(pair, ' ', 1) AS w1,
+             count(*) AS n_pair
+      FROM grams GROUP BY pair
+    ),
+    uni AS (
+      SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_w1
+      FROM pair_counts GROUP BY w1
+    )
+    SELECT p.pair, p.n_pair, u.n_w1,
+           (p.n_pair * 1000000) // u.n_w1 AS cond_ppm
+    FROM pair_counts p JOIN uni u ON p.w1 = u.w1
+    ORDER BY p.n_pair DESC, p.pair LIMIT 200
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model estimation: conditional continuation
+    frequencies P(w2 | w1) over the corpus, in fixed-point ppm — the
+    count-based core of n-gram LM training and of contamination /
+    memorization audits. The unigram denominators derive from the
+    bigram aggregate itself (sum over continuations), so the corpus
+    explodes ONCE; one more shuffle keyed by w1 joins the two
+    aggregates, then a deterministic top-k
+    (TakeOrderedAndProject)."""
+    docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    pair_counts = (
+        docs.select(F.explode(shingles("text", 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .withColumn("w1", F.split(F.col("pair"), " ").getItem(0))
+    )
+    uni = pair_counts.groupBy("w1").agg(
+        F.sum("n_pair").cast("long").alias("n_w1")
+    )
+    return (
+        pair_counts.join(uni, "w1")
+        .select(
+            "pair",
+            "n_pair",
+            "n_w1",
+            F.expr("(n_pair * 1000000) div n_w1").alias("cond_ppm"),
+        )
+        .orderBy(F.col("n_pair").desc(), F.col("pair"))
+        .limit(200)
+    )
+
+
+@register(
+    "q_dup_rate_by_source",
+    r"""
+    WITH fp AS (
+      SELECT source,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+      FROM documents WHERE n_chars > 0
+    ),
+    flagged AS (
+      SELECT source,
+             count(*) OVER (PARTITION BY fingerprint) > 1 AS is_dup
+      FROM fp
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+           (CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+             // count(*) AS dup_ppm
+    FROM flagged GROUP BY source
+    """,
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-rate diagnostics per source — the crawl-health
+    report that tells a corpus team WHICH feed is flooding the
+    pipeline with copies. Exact-dedup fingerprints flagged in place
+    by a count-over-fingerprint window (same single-explode-free
+    pattern as substring-dedup coverage), rolled up per source in
+    fixed-point ppm. Two uniform-key shuffles; text never shuffles —
+    only its 16-byte fingerprint."""
+    from breweries_data_pipeline_spark.functions.text import normalized_text
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    fp = docs.select(
+        "source", F.md5(normalized_text(F.col("text"))).alias("fingerprint")
+    )
+    wf = Window.partitionBy("fingerprint")
+    flagged = fp.select(
+        "source", (F.count(F.lit(1)).over(wf) > 1).alias("is_dup")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "dup_docs",
+            F.expr("(dup_docs * 1000000) div n_docs").alias("dup_ppm"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

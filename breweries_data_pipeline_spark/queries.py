@@ -5561,6 +5561,75 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_group_concat",
+    """
+    SELECT n.n_name,
+           string_agg(s.s_name, ',' ORDER BY s.s_name) AS suppliers,
+           count(*) AS n_suppliers
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (LISTAGG/string_agg surface): supplier
+    names concatenated per nation. collect_list has no deterministic
+    order under distributed aggregation, so the list is array_sort'ed
+    before joining — the ONLY way a concatenated string can be
+    reproducible (and hash-comparable) at any parallelism. Broadcast
+    dim join + one partial-aggregating shuffle; the concatenated
+    payload exists only post-aggregation."""
+    s = read_table(spark, sf_dir, "supplier").select("s_name", "s_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+                "suppliers"
+            ),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "q_gaps_islands",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id,
+             event_id - row_number() OVER (PARTITION BY user_id
+                                           ORDER BY event_id) AS grp
+      FROM events
+    )
+    SELECT user_id,
+           min(event_id) AS island_start,
+           max(event_id) AS island_end,
+           count(*) AS island_len
+    FROM seq GROUP BY user_id, grp
+    """,
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive event ids per
+    user via the classic id-minus-row_number grouping trick — the
+    pattern behind sequence-gap detection (lost events, missing
+    shards) and contiguous-interval compression. One shuffle serves
+    both the window and the island aggregate (same user_id
+    partitioning); everything is integer arithmetic."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = ev.withColumn("grp", F.col("event_id") - F.row_number().over(w))
+    return (
+        seq.groupBy("user_id", "grp")
+        .agg(
+            F.min("event_id").alias("island_start"),
+            F.max("event_id").alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .drop("grp")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -4546,25 +4546,36 @@ def q_substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-substring coverage: the fraction of a
     doc's 8-token windows that occur elsewhere in the corpus — the
     per-doc removal signal of exact substring dedup (docs above a
-    coverage threshold get trimmed or dropped). ONE explode and TWO
-    hash shuffles total: a count-over-gram window marks duplicated
-    windows in place (no dup-set self-join, no second explode of the
-    corpus), then the per-doc aggregate rolls the flags up. Both keys
-    (gram fingerprint, doc_id) are uniform — skew-free at any scale.
-    Fixed-point ppm output — no floats, bit-deterministic."""
+    coverage threshold get trimmed or dropped).
+
+    Skew posture (why groupBy + join, NOT a count-over-gram window):
+    gram frequencies are Zipfian, and a window partitioned by gram
+    ships EVERY occurrence of the top gram to one task — a straggler
+    /OOM at corpus scale with no mitigation, because WindowExec has
+    no partial aggregation. The groupBy count is skew-IMMUNE (map-
+    side combine collapses each map task to one row per gram before
+    the shuffle), the dup set it produces is filtered small before
+    re-joining, and the flag join is an equi-join AQE can skew-split.
+    The explode is evaluated on both branches; at 100 TB checkpoint
+    the gram table once instead of recomputing it (same note as the
+    shingle self-joins, SCALE.md). Fixed-point ppm output — no
+    floats, bit-deterministic."""
     docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
     grams = docs.select(
         "doc_id", F.explode(shingles("text", 8)).alias("gram")
     ).select("doc_id", F.md5(F.col("gram")).alias("gram_md5"))
-    wg = Window.partitionBy("gram_md5")
-    flagged = grams.select(
-        "doc_id", (F.count(F.lit(1)).over(wg) > 1).alias("_dup")
+    dup = (
+        grams.groupBy("gram_md5")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .select("gram_md5", F.lit(1).alias("_dup"))
     )
     return (
-        flagged.groupBy("doc_id")
+        grams.join(dup, "gram_md5", "left")
+        .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
-            F.sum(F.when(F.col("_dup"), 1).otherwise(0)).alias("dup_windows"),
+            F.count("_dup").alias("dup_windows"),
         )
         .select(
             "doc_id",
@@ -5529,20 +5540,27 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication-rate diagnostics per source — the crawl-health
     report that tells a corpus team WHICH feed is flooding the
-    pipeline with copies. Exact-dedup fingerprints flagged in place
-    by a count-over-fingerprint window (same single-explode-free
-    pattern as substring-dedup coverage), rolled up per source in
-    fixed-point ppm. Two uniform-key shuffles; text never shuffles —
-    only its 16-byte fingerprint."""
+    pipeline with copies. Dup fingerprints come from a skew-immune
+    groupBy count (map-side combine; a boilerplate page with millions
+    of identical copies collapses to one row per map task — a
+    count-over-fingerprint window would ship every copy to one task
+    instead), filtered small, and flag-joined back (equi-join, AQE
+    skew-splittable). Text never shuffles — only its 16-byte
+    fingerprint. Fixed-point ppm output."""
     from breweries_data_pipeline_spark.functions.text import normalized_text
 
     docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
     fp = docs.select(
         "source", F.md5(normalized_text(F.col("text"))).alias("fingerprint")
     )
-    wf = Window.partitionBy("fingerprint")
-    flagged = fp.select(
-        "source", (F.count(F.lit(1)).over(wf) > 1).alias("is_dup")
+    dup = (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .select("fingerprint", F.lit(True).alias("is_dup"))
+    )
+    flagged = fp.join(dup, "fingerprint", "left").select(
+        "source", F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup")
     )
     return (
         flagged.groupBy("source")

@@ -1371,8 +1371,13 @@ _SQL_SHINGLES = _sql_shingles(3)
 )
 def q_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7 exact text dedup: md5 of whitespace-normalized text, keep the
-    smallest doc_id per fingerprint. One shuffle on a uniform hash key
-    — skew-free by construction at any scale."""
+    smallest doc_id per fingerprint. One shuffle on the fingerprint.
+    The hash VALUES are uniform, but occurrence counts are not — a
+    boilerplate page repeated millions of times is one hot
+    fingerprint group. For such corpora route through
+    ``deduplicate_salted`` (two-phase, q_dedup_salted) or a
+    groupBy-min + re-join; this form is right when dup clusters are
+    bounded."""
     docs = read_table(spark, sf_dir, "documents")
     return exact_dedup(docs).select("doc_id", "fingerprint")
 

@@ -192,3 +192,13 @@ def test_whole_registry_plan_hygiene(spark, sf_dir):
         if "BatchEvalPython" in plan:
             failures.append(f"{name}: row-at-a-time Python UDF")
     assert not failures, failures
+
+
+def test_substring_dedup_counts_aggregate_partially(spark, sf_dir):
+    # the skew-immunity claim: gram counts must partial-aggregate
+    # map-side (HashAggregate[partial_count] BELOW the exchange), so a
+    # Zipfian top gram collapses to one row per map task instead of
+    # co-locating every occurrence on one reducer
+    plan = _plan(spark, sf_dir, "q_substring_dedup_stats")
+    assert "partial_count" in plan
+    assert "Window" not in plan

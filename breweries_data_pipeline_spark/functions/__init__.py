@@ -9,3 +9,9 @@ from breweries_data_pipeline_spark.functions.vectors import (  # noqa: F401
     dot_product,
     l2_norm,
 )
+from breweries_data_pipeline_spark.functions.zorder import (  # noqa: F401
+    morton_key,
+    morton_key_sql,
+    normalize_to_domain,
+    normalize_to_domain_sql,
+)

@@ -39,6 +39,7 @@ from breweries_data_pipeline_spark.operators.dedup import (  # noqa: F401
 )
 from breweries_data_pipeline_spark.operators.graph import (  # noqa: F401
     connected_components,
+    pagerank,
 )
 from breweries_data_pipeline_spark.operators.similarity import (  # noqa: F401
     ann_topk,

@@ -15,6 +15,8 @@ from breweries_data_pipeline_spark.sources.readers import (  # noqa: F401
     xml_fixture_from_orders,
 )
 from breweries_data_pipeline_spark.sources.writers import (  # noqa: F401
+    AuditFailure,
+    write_audit_publish,
     write_json,
     write_parquet,
     write_quality_report,

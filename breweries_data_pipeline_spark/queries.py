@@ -5653,6 +5653,102 @@ def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_percentile_disc",
+    """
+    SELECT o_orderstatus,
+           percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50_disc,
+           percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS p95_disc
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles — the smallest actual value whose
+    cumulative distribution reaches p (no interpolation, so the
+    result is always a real data point; the right choice when the
+    value is an id, a price tier, or anything non-averageable).
+    Spark has no percentile_disc builtin: cume_dist over the group
+    sort + a conditional min reproduces the SQL-standard semantics
+    exactly — comparisons only, no float arithmetic at all, so
+    engine agreement is trivial. One shuffle serves both the window
+    and the closing aggregate."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    cd = F.cume_dist().over(w)
+    j = o.withColumn("__cd", cd)
+    return j.groupBy("o_orderstatus").agg(
+        F.min(F.when(F.col("__cd") >= 0.5, F.col("o_totalprice"))).alias(
+            "p50_disc"
+        ),
+        F.min(F.when(F.col("__cd") >= 0.95, F.col("o_totalprice"))).alias(
+            "p95_disc"
+        ),
+    )
+
+
+@register(
+    "q_contingency",
+    """
+    WITH cells AS (
+      SELECT lang, source, count(*) AS observed
+      FROM documents WHERE n_chars > 0 GROUP BY lang, source
+    ),
+    tot AS (
+      SELECT CAST(sum(observed) AS BIGINT) AS grand FROM cells
+    ),
+    margins AS (
+      SELECT c.lang, c.source, c.observed,
+             CAST((SELECT CAST(sum(observed) AS BIGINT) FROM cells c2
+                   WHERE c2.lang = c.lang) AS DOUBLE)
+               * CAST((SELECT CAST(sum(observed) AS BIGINT) FROM cells c3
+                       WHERE c3.source = c.source) AS DOUBLE)
+               / CAST((SELECT grand FROM tot) AS DOUBLE) AS expected
+      FROM cells c
+    )
+    SELECT lang, source, observed, expected,
+           (CAST(observed AS DOUBLE) - expected)
+             * (CAST(observed AS DOUBLE) - expected) / expected AS chi2_contrib
+    FROM margins
+    """,
+)
+def q_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency-table association analysis (lang × source):
+    observed vs independence-expected counts and per-cell chi-square
+    contributions — the screen for sampling bias between corpus
+    dimensions. All counts aggregate exactly; each cell's expected
+    value and contribution is a fixed scalar expression over those
+    exact integers (per-cell, no order-dependent float reduction),
+    so every double matches the oracle bit-for-bit. One aggregate
+    over the pair, marginals by windowed sums over the tiny cell
+    table — the corpus shuffles only its (lang, source) pairs."""
+    docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    w_lang = Window.partitionBy("lang")
+    w_src = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    j = cells.select(
+        "lang",
+        "source",
+        "observed",
+        F.sum("observed").over(w_lang).cast("double").alias("__row_tot"),
+        F.sum("observed").over(w_src).cast("double").alias("__col_tot"),
+        F.sum("observed").over(w_all).cast("double").alias("__grand"),
+    )
+    expected = F.col("__row_tot") * F.col("__col_tot") / F.col("__grand")
+    obs_d = F.col("observed").cast("double")
+    return j.select(
+        "lang",
+        "source",
+        "observed",
+        expected.alias("expected"),
+        ((obs_d - expected) * (obs_d - expected) / expected).alias(
+            "chi2_contrib"
+        ),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -5749,6 +5749,57 @@ def q_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_user_growth",
+    """
+    WITH firsts AS (
+      SELECT user_id, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    daily AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             count(DISTINCT user_id) AS dau,
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_users
+      FROM firsts GROUP BY 1
+    )
+    SELECT day, dau, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: daily active users, first-seen (new) users,
+    and the cumulative unique-user count. Windowed countDistinct
+    doesn't exist in any engine — the standard trick marks each
+    user's first event with row_number, so cumulative uniques become
+    a running SUM of integers over the tiny per-day aggregate. The
+    event shuffle keys on user_id; the final running sum windows
+    over one row per day (a cheap single-partition window on
+    aggregate-sized data, not on events)."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = ev.withColumn("rn", F.row_number().over(w_user))
+    daily = firsts.groupBy(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("new_users"),
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "dau",
+        "new_users",
+        F.sum("new_users").over(w_cum).cast("long").alias("cum_users"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -5800,6 +5800,54 @@ def q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_rfm_segments",
+    """
+    WITH base AS (
+      SELECT user_id,
+             max(ts) AS last_seen,
+             count(*) AS frequency,
+             CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, last_seen, frequency, monetary_cents,
+           ntile(5) OVER (ORDER BY last_seen, user_id) AS r_score,
+           ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
+           ntile(5) OVER (ORDER BY monetary_cents, user_id) AS m_score
+    FROM base
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles per
+    user) — the classic behavioral scoring grid. One skew-free
+    aggregate over events (monetary in exact integer cents), then
+    three ntile windows over the per-user summary with user_id
+    tie-breaks so quintile boundaries are deterministic. The windows
+    order the AGGREGATE (one row per user), not the event stream —
+    at 100 TB that summary is the small table; on a cluster a global
+    ntile would range-partition it rather than single-task it."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    base = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("value") * 100.0).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    return base.select(
+        "user_id",
+        "last_seen",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(Window.orderBy("last_seen", "user_id")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "user_id")).alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary_cents", "user_id"))
+        .alias("m_score"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -5848,6 +5848,60 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type, next_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    margins AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS n_from
+      FROM pairs GROUP BY event_type
+    )
+    SELECT p.event_type AS from_type, p.next_type AS to_type,
+           p.n AS n_transitions,
+           (p.n * 1000000) // m.n_from AS prob_ppm
+    FROM pairs p JOIN margins m ON p.event_type = m.event_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current type) in fixed-point ppm —
+    the sequence model behind journey analysis and next-action
+    prediction baselines. One user-keyed shuffle orders the
+    sequences (lead with event_id tie-break), then the transition
+    counts collapse to a k×k matrix whose marginals derive from the
+    pair aggregate itself — after the window, nothing bigger than
+    k² rows moves."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w)).where(
+        F.col("next_type").isNotNull()
+    )
+    pairs = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    margins = pairs.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_from")
+    )
+    return pairs.join(margins, "event_type").select(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+        F.col("n").alias("n_transitions"),
+        F.expr("(n * 1000000) div n_from").alias("prob_ppm"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -202,3 +202,46 @@ def test_substring_dedup_counts_aggregate_partially(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_substring_dedup_stats")
     assert "partial_count" in plan
     assert "Window" not in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Executed proof of the engine's skew posture: under AQE, a
+    95%-one-key join is runtime-replanned as SortMergeJoin(skew=true)
+    — the hot partition is split instead of serializing onto one
+    task. This is the mitigation the flag-joins in the dedup family
+    rely on (SCALE.md, Dedup section). Thresholds are shrunk so the
+    tiny test corpus trips the same replan a real skewed shuffle
+    would — and restored afterwards, since the session is shared."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 10_000).select(
+            F.col("id").alias("k"), F.lit("x").alias("v")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -5902,6 +5902,45 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, metric,
+           CAST(round(val * 100.0) AS BIGINT) AS value_cents
+    FROM (
+      UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+               FROM lineitem WHERE l_orderkey < 500)
+      ON l_quantity, l_discount, l_tax
+      INTO NAME metric VALUE val
+    )
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — wide-to-long reshaping, the inverse of
+    q_pivot: each measure column becomes a (name, value) row. Spark's
+    DataFrame.unpivot is a narrow projection (each input row fans out
+    to k rows in place — no shuffle, no UDF); values are emitted as
+    exact integer cents so the long format hash-matches across
+    engines."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 500)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+    )
+    long = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return long.select(
+        "l_orderkey",
+        "l_linenumber",
+        "metric",
+        F.round(F.col("val") * 100.0).cast("long").alias("value_cents"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

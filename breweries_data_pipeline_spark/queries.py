@@ -5941,6 +5941,94 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_decile_table",
+    """
+    WITH ranked AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile,
+           count(*) AS n_orders,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi,
+           CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM ranked GROUP BY decile
+    """,
+)
+def q_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile profile of order totals (the quantile-bucket
+    complement to the equi-width q_price_histogram): ntile(10) with an
+    o_orderkey tie-break so bucket membership is deterministic, then
+    per-decile bounds and exact integer-cent mass. The global ntile
+    sorts once; at 100 TB swap it for percentile-boundary assignment
+    (boundaries from one aggregate, bucketing as a narrow comparison
+    map) when the profiled column is raw-fact-sized — the window form
+    is right when profiling aggregates or samples."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+    cents = F.round(F.col("o_totalprice") * 100.0).cast("long")
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.sum(cents).cast("long").alias("total_cents"),
+    )
+
+
+@register(
+    "q_week_over_week",
+    """
+    WITH weekly AS (
+      SELECT date_trunc('week', o_orderdate) AS week,
+             CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT week, revenue_cents,
+           lag(revenue_cents) OVER (ORDER BY week) AS prev_cents,
+           revenue_cents - lag(revenue_cents) OVER (ORDER BY week)
+             AS delta_cents,
+           CASE WHEN lag(revenue_cents) OVER (ORDER BY week) > 0
+                THEN ((revenue_cents - lag(revenue_cents) OVER (ORDER BY week))
+                      * 10000) // lag(revenue_cents) OVER (ORDER BY week)
+                END AS change_bps
+    FROM weekly
+    """,
+)
+def q_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue change — the reporting staple: weekly
+    exact-cent totals, previous-week lag, absolute delta, and the
+    relative change in integer basis points (fixed-point division, so
+    no float drift). The lag window runs over the tiny weekly
+    aggregate, never the fact table."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    weekly = o.groupBy(
+        F.date_trunc("week", F.col("o_orderdate")).alias("week")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("revenue_cents")
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("revenue_cents").over(w)
+    delta = F.col("revenue_cents") - prev
+    change_bps = F.when(
+        prev > 0,
+        ((delta * 10000) - ((delta * 10000) % prev)) / prev,
+    ).cast("long")
+    return weekly.select(
+        "week",
+        "revenue_cents",
+        prev.alias("prev_cents"),
+        delta.alias("delta_cents"),
+        change_bps.alias("change_bps"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -6029,6 +6029,85 @@ def q_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_basket_pairs",
+    """
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY n_orders DESC, part_a, part_b LIMIT 100
+    """,
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order, top-100 — the counting core of association-rule mining.
+    The self-join keys on l_orderkey, so both sides shuffle ONCE on
+    the same key and pair fan-out is bounded by order size squared
+    (orders have ~7 lines — a per-group constant, not a corpus-scale
+    blowup); the id inequality halves the pairs and the top-k is
+    TakeOrderedAndProject with full tie-breaks."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("part_a"), F.col("part_b"))
+        .limit(100)
+    )
+
+
+@register(
+    "q_activity_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    grouped AS (
+      SELECT user_id, day,
+             CAST(day AS DATE)
+               - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                      AS INTEGER) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, count(*) AS streak_len
+      FROM grouped GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(max(streak_len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    engagement metric behind retention scoring. Distinct active days,
+    then the gaps-and-islands trick in DATE space (day minus
+    row_number collapses each consecutive run to one group key), then
+    two rollups. Every shuffle keys on user_id — one partitioning
+    serves the window and both aggregates."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    days = ev.distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grouped = days.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

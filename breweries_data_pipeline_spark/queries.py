@@ -6108,6 +6108,77 @@ def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_association_rules",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    singles AS (
+      SELECT l_partkey, count(*) AS n_a FROM baskets GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(*) >= 2
+    ),
+    tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM baskets)
+    SELECT p.part_a, p.part_b, p.n_ab,
+           (p.n_ab * 1000000) // sa.n_a AS confidence_ppm,
+           CAST(p.n_ab AS DOUBLE) * CAST((SELECT n FROM tot) AS DOUBLE)
+             / (CAST(sa.n_a AS DOUBLE) * CAST(sb.n_a AS DOUBLE)) AS lift
+    FROM pairs p
+    JOIN singles sa ON p.part_a = sa.l_partkey
+    JOIN singles sb ON p.part_b = sb.l_partkey
+    """,
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: co-occurrence support,
+    confidence (fixed-point ppm), and lift for every part pair seen
+    at least twice. Distinct (order, part) baskets shuffle once on
+    the order key for pair counting; the two singleton joins key on
+    part (broadcastable side); the basket total attaches as a 1-row
+    broadcast. Confidence is integer division; lift is one fixed
+    double expression over exact integers — deterministic on both
+    counts."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.distinct()
+    singles = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_a"))
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    tot = baskets.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n")
+    )
+    sa = singles.select(F.col("l_partkey").alias("part_a"), F.col("n_a"))
+    sb = singles.select(F.col("l_partkey").alias("part_b"), F.col("n_a").alias("n_b"))
+    j = (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .join(F.broadcast(tot))
+    )
+    lift = (
+        F.col("n_ab").cast("double")
+        * F.col("n").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return j.select(
+        "part_a",
+        "part_b",
+        "n_ab",
+        F.expr("(n_ab * 1000000) div n_a").alias("confidence_ppm"),
+        lift.alias("lift"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -6179,6 +6179,96 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_langid_confusion",
+    f"""
+    WITH pred AS (
+      SELECT lang,
+             CASE WHEN {_SQL_STOP_EN} > {_SQL_STOP_ES} THEN 'en'
+                  WHEN {_SQL_STOP_ES} > {_SQL_STOP_EN} THEN 'es'
+                  ELSE 'und' END AS lang_pred
+      FROM documents
+    )
+    SELECT lang, lang_pred, count(*) AS n,
+           (count(*) * 1000000)
+             // CAST(sum(count(*)) OVER (PARTITION BY lang) AS BIGINT)
+             AS row_ppm
+    FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language-ID against the
+    stored ground-truth label, with per-truth-row fixed-point rates —
+    the evaluation harness a classifier-backed filter needs before it
+    gates a corpus. The heuristic is the same zero-shuffle column
+    expression as q_lang_id; the matrix is one tiny (k×k) aggregate
+    and the row normalization windows over that aggregate, not the
+    corpus."""
+    from breweries_data_pipeline_spark.operators.text import with_lang_id
+
+    docs = read_table(spark, sf_dir, "documents").select("lang", "text")
+    pred = with_lang_id(docs).drop("text")
+    cells = pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    w_row = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "lang_pred",
+        "n",
+        _long_div(
+            F.col("n") * 1000000, F.sum("n").over(w_row).cast("long")
+        ).alias("row_ppm"),
+    )
+
+
+_SQL_VEC_NORMSQ = (
+    "list_reduce(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)"
+)
+
+
+@register(
+    "q_embedding_norm_outliers",
+    f"""
+    WITH norms AS (
+      SELECT vec_id, sqrt({_SQL_VEC_NORMSQ}) AS norm
+      FROM embeddings
+    ),
+    med AS (
+      SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY norm) AS m FROM norms
+    )
+    SELECT n.vec_id, n.norm,
+           (n.norm < 0.5 * (SELECT m FROM med)
+            OR n.norm > 2.0 * (SELECT m FROM med)) AS is_outlier
+    FROM norms n
+    """,
+)
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: flag vectors whose L2 norm falls outside
+    [0.5×median, 2×median] — the cheap screen for truncated, zeroed,
+    or exploded vectors before they poison an ANN index. Norms come
+    from the pinned-order fold (bit-exact across engines, like
+    q_higher_order), the median from one exact percentile over the
+    norm column, attached as a 1-row broadcast; the comparison
+    thresholds are exact double products."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
+    )
+    norms = emb.select(
+        "vec_id",
+        F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)).alias("norm"),
+    )
+    med = norms.agg(F.percentile("norm", F.lit(0.5)).alias("m"))
+    return norms.join(F.broadcast(med)).select(
+        "vec_id",
+        "norm",
+        (
+            (F.col("norm") < 0.5 * F.col("m"))
+            | (F.col("norm") > 2.0 * F.col("m"))
+        ).alias("is_outlier"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -6269,6 +6269,60 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_rank_fusion",
+    r"""
+    WITH scored AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank_a,
+             row_number() OVER (
+               ORDER BY (len(list_distinct(regexp_split_to_array(
+                           trim(lower(text)), '\s+'))) * 1000000)
+                        // len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                        DESC, doc_id) AS rank_b
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, rank_a, rank_b,
+           1.0 / (60.0 + CAST(rank_a AS DOUBLE))
+             + 1.0 / (60.0 + CAST(rank_b AS DOUBLE)) AS rrf_score
+    FROM scored
+    ORDER BY rrf_score DESC, doc_id LIMIT 100
+    """,
+)
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion — the standard combiner for hybrid
+    retrieval (lexical BM25 list + dense cosine list): each ranking
+    contributes 1/(60+rank), so agreement near the top dominates
+    without any score normalization. Demonstrated over two
+    deterministic corpus rankings (length, lexical diversity) with
+    doc_id tie-breaks; the RRF sum is a fixed two-term double
+    expression over integer ranks — engine-identical. Both rank
+    windows and the fused top-k run over (doc_id, two ints), never
+    the text."""
+    docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    toks = tokens(F.lower(F.col("text")))
+    ttr = _long_div(
+        F.size(F.array_distinct(toks)).cast("long") * 1000000,
+        F.size(toks).cast("long"),
+    )
+    base = docs.select("doc_id", "n_chars", ttr.alias("__ttr"))
+    wa = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    wb = Window.orderBy(F.col("__ttr").desc(), F.col("doc_id"))
+    scored = base.select(
+        "doc_id",
+        F.row_number().over(wa).alias("rank_a"),
+        F.row_number().over(wb).alias("rank_b"),
+    )
+    rrf = 1.0 / (60.0 + F.col("rank_a").cast("double")) + 1.0 / (
+        60.0 + F.col("rank_b").cast("double")
+    )
+    return (
+        scored.select("doc_id", "rank_a", "rank_b", rrf.alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+        .limit(100)
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -6323,6 +6323,45 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_top_terms_per_lang",
+    r"""
+    WITH counts AS (
+      SELECT lang, tok, count(*) AS n
+      FROM (SELECT lang,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+            FROM documents WHERE n_chars > 0)
+      GROUP BY lang, tok
+    ),
+    ranked AS (
+      SELECT lang, tok, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rk
+      FROM counts
+    )
+    SELECT lang, tok, n, rk FROM ranked WHERE rk <= 10
+    """,
+)
+def q_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group heavy hitters: the ten most frequent terms per
+    language — the grouped complement to the global tf-idf top
+    terms, and the shape behind per-domain vocabulary reports. One
+    explode feeds a (lang, term) count (partial-agg, skew-immune);
+    the rank window then runs over the aggregated counts — rows per
+    group = vocabulary size, not corpus size — with a term tie-break
+    for a deterministic cut."""
+    docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    counts = (
+        docs.select("lang", F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tok"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -6362,6 +6362,77 @@ def q_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_time_to_convert",
+    """
+    WITH t1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS view_ts
+      FROM events
+    ),
+    t2 AS (
+      SELECT user_id, view_ts,
+             min(CASE WHEN event_type = 'purchase' AND ts > view_ts THEN ts END)
+               OVER (PARTITION BY user_id) AS purchase_ts
+      FROM t1
+    ),
+    conv AS (
+      SELECT DISTINCT user_id,
+             date_diff('microseconds', view_ts, purchase_ts) AS latency_us
+      FROM t2 WHERE purchase_ts IS NOT NULL
+    )
+    SELECT count(*) AS n_converted,
+           CAST(min(latency_us) AS BIGINT) AS min_us,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY latency_us) AS p50_us,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY latency_us) AS p90_us,
+           CAST(max(latency_us) AS BIGINT) AS max_us
+    FROM conv
+    """,
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: first view to first
+    subsequent purchase per user, summarized as exact percentiles of
+    the microsecond gap — the product-analytics follow-up to the
+    funnel (HOW LONG conversion takes, not just whether it happens).
+    Latencies are integer microseconds (unix_micros subtraction), so
+    the percentile interpolation is arithmetic over exact ints; the
+    funnel windows share one user partitioning."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    t1 = ev.withColumn(
+        "view_ts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    t2 = t1.withColumn(
+        "purchase_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("view_ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    conv = (
+        t2.where(F.col("purchase_ts").isNotNull())
+        .select(
+            "user_id",
+            (
+                F.unix_micros(F.col("purchase_ts"))
+                - F.unix_micros(F.col("view_ts"))
+            ).alias("latency_us"),
+        )
+        .distinct()
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("latency_us").cast("long").alias("min_us"),
+        F.percentile("latency_us", F.lit(0.5)).alias("p50_us"),
+        F.percentile("latency_us", F.lit(0.9)).alias("p90_us"),
+        F.max("latency_us").cast("long").alias("max_us"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

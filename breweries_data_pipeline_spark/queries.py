@@ -6433,6 +6433,94 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_error_rate_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_errors,
+           (CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000) // count(*) AS error_ppm,
+           (CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000) // count(*) > 300000 AS breaches_slo
+    FROM events GROUP BY 1
+    """,
+)
+def q_error_rate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational monitoring: hourly error rates in fixed-point ppm
+    with an SLO-breach flag — the aggregation a pipeline health
+    dashboard runs over its own event log. One conditional aggregate
+    per hour bucket; partial aggregation makes the shuffle one row
+    per (task, hour)."""
+    ev = read_table(spark, sf_dir, "events").select("ts", "event_type")
+    n_err = F.sum(
+        F.when(F.col("event_type") == "error", 1).otherwise(0)
+    ).cast("long")
+    agg = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"), n_err.alias("n_errors")
+    )
+    rate = F.expr("(n_errors * 1000000) div n_events")
+    return agg.select(
+        "hour",
+        "n_events",
+        "n_errors",
+        rate.alias("error_ppm"),
+        (rate > 300000).alias("breaches_slo"),
+    )
+
+
+@register(
+    "q_daily_anomalies",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    med AS (
+      SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY n) AS m FROM daily
+    ),
+    dev AS (
+      SELECT percentile_cont(0.5)
+               WITHIN GROUP (ORDER BY abs(CAST(d.n AS DOUBLE) - med.m)) AS mad
+      FROM daily d, med
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.n,
+           CAST(d.n AS DOUBLE) > med.m + 3.0 * dev.mad
+             OR CAST(d.n AS DOUBLE) < med.m - 3.0 * dev.mad AS is_anomaly
+    FROM daily d, med, dev
+    """,
+)
+def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume-anomaly detection: daily event counts flagged
+    outside median ± 3×MAD — the outlier-resistant control chart for
+    feed monitoring (a stddev band would be dragged by the very
+    anomalies it should catch). Counts are exact ints; the two
+    medians run over the tiny daily aggregate and attach as 1-row
+    broadcasts; the band comparison is a fixed double expression."""
+    ev = read_table(spark, sf_dir, "events").select(F.col("ts").cast("date").alias("day"))
+    daily = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    med = daily.agg(F.percentile("n", F.lit(0.5)).alias("m"))
+    dev = (
+        daily.join(F.broadcast(med))
+        .agg(
+            F.percentile(
+                F.abs(F.col("n").cast("double") - F.col("m")), F.lit(0.5)
+            ).alias("mad")
+        )
+    )
+    j = daily.join(F.broadcast(med)).join(F.broadcast(dev))
+    n_d = F.col("n").cast("double")
+    return j.select(
+        F.date_format(F.col("day"), "yyyy-MM-dd").alias("day"),
+        "n",
+        (
+            (n_d > F.col("m") + 3.0 * F.col("mad"))
+            | (n_d < F.col("m") - 3.0 * F.col("mad"))
+        ).alias("is_anomaly"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

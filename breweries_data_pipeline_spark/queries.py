@@ -6521,6 +6521,124 @@ def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_funnel_dropoff",
+    """
+    WITH t1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS view_ts
+      FROM events
+    ),
+    t2 AS (
+      SELECT user_id, ts, event_type, view_ts,
+             min(CASE WHEN event_type = 'click' AND ts > view_ts THEN ts END)
+               OVER (PARTITION BY user_id) AS click_ts
+      FROM t1
+    ),
+    t3 AS (
+      SELECT user_id, view_ts, click_ts,
+             min(CASE WHEN event_type = 'purchase' AND ts > click_ts THEN ts END)
+               OVER (PARTITION BY user_id) AS purchase_ts
+      FROM t2
+    ),
+    per_user AS (
+      SELECT user_id,
+             CASE WHEN min(view_ts) IS NOT NULL THEN 1 ELSE 0 END
+               + CASE WHEN min(click_ts) IS NOT NULL THEN 1 ELSE 0 END
+               + CASE WHEN min(purchase_ts) IS NOT NULL THEN 1 ELSE 0 END
+               AS steps
+      FROM t3 GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM per_user)
+    SELECT steps, count(*) AS n_users,
+           (count(*) * 1000000) // (SELECT n_users FROM tot) AS share_ppm
+    FROM per_user GROUP BY steps
+    """,
+)
+def q_funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel drop-off distribution: how many users stall at each
+    step (0 = never viewed, 3 = converted) with fixed-point shares —
+    the aggregate view product teams read next to the per-user
+    funnel. Reuses the single-shuffle funnel windows; the closing
+    distribution groups a per-user summary and attaches the 1-row
+    total as a broadcast."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    df = ev.withColumn(
+        "view_ts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    df = df.withColumn(
+        "click_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("view_ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    df = df.withColumn(
+        "purchase_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("click_ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    step = lambda c: F.when(F.min(c).isNotNull(), 1).otherwise(0)  # noqa: E731
+    per_user = df.groupBy("user_id").agg(
+        (step("view_ts") + step("click_ts") + step("purchase_ts")).alias("steps")
+    )
+    tot = per_user.agg(F.count(F.lit(1)).cast("long").alias("n_users_tot"))
+    return (
+        per_user.groupBy("steps")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .join(F.broadcast(tot))
+        .select(
+            "steps",
+            "n_users",
+            F.expr("(n_users * 1000000) div n_users_tot").alias("share_ppm"),
+        )
+    )
+
+
+@register(
+    "q_seasonality_dow",
+    """
+    SELECT isodow(ts) AS dow,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           (CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) * 1000000) // count(*) AS purchase_ppm
+    FROM events GROUP BY 1
+    """,
+)
+def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile with purchase-rate ppm — the
+    weekly rhythm baseline behind staffing and anomaly thresholds.
+    ISO day numbering is spelled explicitly on the Spark side
+    (((dayofweek+5) mod 7)+1) because the engines disagree on week
+    start conventions; everything else is one conditional aggregate
+    over at most 7 groups."""
+    ev = read_table(spark, sf_dir, "events").select("ts", "event_type")
+    isodow = ((F.dayofweek(F.col("ts")) + 5) % 7 + 1).cast("long")
+    n_pur = F.sum(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    ).cast("long")
+    agg = ev.groupBy(isodow.alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_events"), n_pur.alias("n_purchases")
+    )
+    return agg.select(
+        "dow",
+        "n_events",
+        "n_purchases",
+        F.expr("(n_purchases * 1000000) div n_events").alias("purchase_ppm"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -6639,6 +6639,91 @@ def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_revenue_concentration",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS rk,
+             count(*) OVER () AS n
+      FROM cust
+    ),
+    rowed AS (
+      SELECT cents, n,
+             rk > n - (((n + 99) - ((n + 99) % 100)) // 100) AS is_top,
+             rk * cents AS w
+      FROM ranked
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           (CAST(sum(CASE WHEN is_top THEN cents ELSE 0 END) AS BIGINT)
+             * 1000000) // CAST(sum(cents) AS BIGINT) AS top1pct_share_ppm,
+           2.0 * CAST(CAST(sum(w) AS HUGEINT) AS DOUBLE)
+             / (CAST(max(n) AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
+             - (CAST(max(n) AS DOUBLE) + 1.0) / CAST(max(n) AS DOUBLE)
+             AS gini
+    FROM rowed
+    """,
+)
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the top-1%-of-customers revenue share
+    (fixed-point ppm) and an EXACT Gini coefficient via the rank
+    formula G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over ascending-sorted
+    integer cents — the weighted sum accumulates in 128-bit-exact
+    decimals, so even the Gini double is bit-identical across
+    engines (a naive float Lorenz integration would not be). The
+    rank window runs over the customer AGGREGATE (one row per
+    customer, range-partitionable at scale), never over orders."""
+    o = read_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w_rank = Window.orderBy("cents", "o_custkey")
+    n_col = F.count(F.lit(1)).over(Window.partitionBy())
+    ranked = cust.select(
+        "cents",
+        F.row_number().over(w_rank).alias("rk"),
+        n_col.alias("n"),
+    )
+    # per-row: n is constant, so the top-1% flag and the rank-weighted
+    # term are plain columns — no nested aggregates
+    k = F.expr("((n + 99) - ((n + 99) % 100)) div 100")  # ceil(n/100)
+    rowed = ranked.select(
+        "cents",
+        "n",
+        (F.col("rk") > F.col("n") - k).alias("is_top"),
+        (F.col("rk") * F.col("cents")).cast("decimal(38,0)").alias("__w"),
+    )
+    agg = rowed.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.when(F.col("is_top"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("__top_cents"),
+        F.sum("__w").cast("double").alias("__weighted"),
+    )
+    n_d = F.col("n_customers").cast("double")
+    gini = 2.0 * F.col("__weighted") / (
+        n_d * F.col("total_cents").cast("double")
+    ) - (n_d + 1.0) / n_d
+    return agg.select(
+        "n_customers",
+        "total_cents",
+        F.expr("(__top_cents * 1000000) div total_cents").alias(
+            "top1pct_share_ppm"
+        ),
+        gini.alias("gini"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -6724,6 +6724,113 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_ab_readout",
+    """
+    WITH assigned AS (
+      SELECT event_type,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'),
+                                       1, 8))::BIGINT % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm
+      FROM events
+    )
+    SELECT arm,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           (CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) * 1000000) // count(*) AS purchase_ppm
+    FROM assigned GROUP BY arm
+    """,
+)
+def q_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically hashed into
+    control/treatment (same md5-bucket assigner as the train/val
+    splitter — stable under re-runs and corpus growth, which rand()
+    assignment is not), with per-arm purchase rates in fixed-point
+    ppm. Assignment is a narrow map; the readout is a 2-group
+    conditional aggregate."""
+    from breweries_data_pipeline_spark.operators.corpus import hash_bucket
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type")
+    arm = F.when(
+        hash_bucket(F.col("user_id"), "ab", 2) == 0, F.lit("control")
+    ).otherwise(F.lit("treatment"))
+    n_pur = F.sum(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    ).cast("long")
+    agg = ev.groupBy(arm.alias("arm")).agg(
+        F.count(F.lit(1)).alias("n_events"), n_pur.alias("n_purchases")
+    )
+    return agg.select(
+        "arm",
+        "n_events",
+        "n_purchases",
+        F.expr("(n_purchases * 1000000) div n_events").alias("purchase_ppm"),
+    )
+
+
+@register(
+    "q_lorenz_curve",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    deciled AS (
+      SELECT cents, ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+      FROM cust
+    ),
+    per AS (
+      SELECT decile, CAST(sum(cents) AS BIGINT) AS decile_cents
+      FROM deciled GROUP BY decile
+    ),
+    tot AS (SELECT CAST(sum(decile_cents) AS BIGINT) AS t FROM per)
+    SELECT decile, decile_cents,
+           (CAST(sum(decile_cents) OVER (ORDER BY decile
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000)
+             // (SELECT t FROM tot) AS cum_share_ppm
+    FROM per
+    """,
+)
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve by customer decile: cumulative revenue share of
+    the poorest 10%, 20%, ... — the curve behind the Gini scalar
+    (q_revenue_concentration), read directly by pricing and
+    fairness analyses. Exact integer cents throughout; the decile
+    assignment and cumulative window run over the per-customer
+    aggregate and the 10-row decile table respectively."""
+    o = read_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    deciled = cust.select("cents", F.ntile(10).over(w).alias("decile"))
+    per = deciled.groupBy("decile").agg(
+        F.sum("cents").cast("long").alias("decile_cents")
+    )
+    tot = per.agg(F.sum("decile_cents").cast("long").alias("t"))
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "decile",
+            "decile_cents",
+            F.sum("decile_cents").over(w_cum).cast("long").alias("__cum"),
+            "t",
+        )
+        .select(
+            "decile",
+            "decile_cents",
+            F.expr("(__cum * 1000000) div t").alias("cum_share_ppm"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -6831,6 +6831,96 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_user_lifetime",
+    """
+    WITH spans AS (
+      SELECT user_id,
+             date_diff('microseconds', min(ts), max(ts)) AS span_us,
+             count(*) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY span_us) AS p50_span_us,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY span_us) AS p90_span_us,
+           CAST(max(span_us) AS BIGINT) AS max_span_us,
+           CAST(sum(n_events) AS BIGINT) AS total_events
+    FROM spans
+    """,
+)
+def q_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-lifetime distribution: first-to-last-event span per user
+    in exact integer microseconds, summarized with exact percentiles
+    — the engagement-horizon metric behind churn modeling. One
+    skew-free per-user aggregate, then percentiles over the tiny
+    per-user summary."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    spans = ev.groupBy("user_id").agg(
+        (
+            F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+        ).alias("span_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return spans.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.percentile("span_us", F.lit(0.5)).alias("p50_span_us"),
+        F.percentile("span_us", F.lit(0.9)).alias("p90_span_us"),
+        F.max("span_us").cast("long").alias("max_span_us"),
+        F.sum("n_events").cast("long").alias("total_events"),
+    )
+
+
+@register(
+    "q_repeat_purchase",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN n_purchases >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS buyers,
+           CAST(sum(CASE WHEN n_purchases >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS repeat_buyers,
+           (CAST(sum(CASE WHEN n_purchases >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000)
+             // greatest(CAST(sum(CASE WHEN n_purchases >= 1 THEN 1 ELSE 0 END)
+                              AS BIGINT), 1) AS repeat_ppm
+    FROM per_user
+    """,
+)
+def q_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate: the share of buyers who bought again —
+    the single most-watched retention KPI. Per-user purchase counts
+    (skew-free partial agg) rolled into one row of integer counters
+    and a fixed-point rate with a guarded denominator."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases")
+    )
+    agg = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("n_purchases") >= 1, 1).otherwise(0))
+        .cast("long")
+        .alias("buyers"),
+        F.sum(F.when(F.col("n_purchases") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("repeat_buyers"),
+    )
+    return agg.select(
+        "n_users",
+        "buyers",
+        "repeat_buyers",
+        F.expr("(repeat_buyers * 1000000) div greatest(buyers, 1)").alias(
+            "repeat_ppm"
+        ),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

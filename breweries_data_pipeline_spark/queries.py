@@ -6921,6 +6921,150 @@ def q_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_funnel_by_arm",
+    """
+    WITH t1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS view_ts
+      FROM events
+    ),
+    t2 AS (
+      SELECT user_id, ts, event_type, view_ts,
+             min(CASE WHEN event_type = 'click' AND ts > view_ts THEN ts END)
+               OVER (PARTITION BY user_id) AS click_ts
+      FROM t1
+    ),
+    t3 AS (
+      SELECT user_id, view_ts, click_ts,
+             min(CASE WHEN event_type = 'purchase' AND ts > click_ts THEN ts END)
+               OVER (PARTITION BY user_id) AS purchase_ts
+      FROM t2
+    ),
+    per_user AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'),
+                                       1, 8))::BIGINT % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm,
+             max(CASE WHEN purchase_ts IS NOT NULL THEN 1 ELSE 0 END)
+               AS converted
+      FROM t3 GROUP BY user_id
+    )
+    SELECT arm,
+           count(*) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           (CAST(sum(converted) AS BIGINT) * 1000000) // count(*)
+             AS conversion_ppm
+    FROM per_user GROUP BY arm
+    """,
+)
+def q_funnel_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment conversion readout: full-funnel (view->click->
+    purchase) conversion rate per deterministically-hashed A/B arm —
+    the number an experimentation platform actually ships, user-level
+    conversion rather than event-level rates. The funnel windows
+    share one user partitioning; arm assignment is the same stable
+    md5 bucket as the splitter; per-arm output is fixed-point ppm."""
+    from breweries_data_pipeline_spark.operators.corpus import hash_bucket
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    df = ev.withColumn(
+        "view_ts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    df = df.withColumn(
+        "click_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("view_ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    df = df.withColumn(
+        "purchase_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("click_ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    arm = F.when(
+        hash_bucket(F.col("user_id"), "ab", 2) == 0, F.lit("control")
+    ).otherwise(F.lit("treatment"))
+    per_user = df.groupBy("user_id").agg(
+        F.max(arm).alias("arm"),
+        F.max(
+            F.when(F.col("purchase_ts").isNotNull(), 1).otherwise(0)
+        ).alias("converted"),
+    )
+    agg = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    return agg.select(
+        "arm",
+        "n_users",
+        "n_converted",
+        F.expr("(n_converted * 1000000) div n_users").alias("conversion_ppm"),
+    )
+
+
+@register(
+    "q_stickiness",
+    """
+    WITH weekly AS (
+      SELECT date_trunc('week', ts) AS week,
+             count(DISTINCT user_id) AS wau
+      FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT date_trunc('week', ts) AS week, CAST(ts AS DATE) AS day,
+             count(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1, 2
+    )
+    SELECT w.week, CAST(max(w.wau) AS BIGINT) AS wau,
+           CAST(sum(d.dau) AS BIGINT) AS dau_sum,
+           (CAST(sum(d.dau) AS BIGINT) * 1000000)
+             // (CAST(max(w.wau) AS BIGINT) * count(*)) AS stickiness_ppm
+    FROM weekly w JOIN daily d ON w.week = d.week
+    GROUP BY w.week
+    """,
+)
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per week — mean daily actives as a
+    fixed-point fraction of weekly actives, the standard engagement-
+    depth ratio. Two distinct-count aggregates (day and week grain)
+    joined on the week key; the ratio divides exact integer sums, so
+    no float averaging enters."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    )
+    weekly = ev.groupBy("week").agg(F.countDistinct("user_id").alias("wau"))
+    daily = ev.groupBy("week", "day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    j = daily.join(weekly, "week")
+    agg = j.groupBy("week").agg(
+        F.max("wau").cast("long").alias("wau"),
+        F.sum("dau").cast("long").alias("dau_sum"),
+        F.count(F.lit(1)).alias("__n_days"),
+    )
+    return agg.select(
+        "week",
+        "wau",
+        "dau_sum",
+        F.expr("(dau_sum * 1000000) div (wau * __n_days)").alias(
+            "stickiness_ppm"
+        ),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

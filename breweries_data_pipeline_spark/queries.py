@@ -7065,6 +7065,94 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_growth_accounting",
+    """
+    WITH weeks AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    ),
+    labeled AS (
+      SELECT user_id, week,
+             min(week) OVER (PARTITION BY user_id) AS first_week,
+             lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+             lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week
+      FROM weeks
+    )
+    SELECT week,
+           CAST(sum(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(sum(CASE WHEN week <> first_week
+                          AND prev_week = week - INTERVAL 7 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+           CAST(sum(CASE WHEN week <> first_week
+                          AND (prev_week IS NULL
+                               OR prev_week < week - INTERVAL 7 DAY)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+           CAST(sum(CASE WHEN next_week IS NULL
+                          OR next_week > week + INTERVAL 7 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_churning_out
+    FROM labeled GROUP BY week
+    """,
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting — the new / retained / resurrected / churned
+    state machine over weekly activity (the decomposition behind
+    every 'where did our users go' chart). Distinct (user, week)
+    activity, then first/lag/lead windows on ONE user partitioning
+    classify each active week; churn is counted on the week the user
+    fails to return. Interval arithmetic on Monday-anchored weeks is
+    exact; all outputs are integer counts."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    )
+    weeks = ev.distinct()
+    w_all = Window.partitionBy("user_id")
+    w_ord = Window.partitionBy("user_id").orderBy("week")
+    labeled = weeks.select(
+        "user_id",
+        "week",
+        F.min("week").over(w_all).alias("first_week"),
+        F.lag("week").over(w_ord).alias("prev_week"),
+        F.lead("week").over(w_ord).alias("next_week"),
+    )
+    week_minus_7 = F.col("week") - F.expr("INTERVAL 7 DAY")
+    week_plus_7 = F.col("week") + F.expr("INTERVAL 7 DAY")
+    return labeled.groupBy("week").agg(
+        F.sum(F.when(F.col("week") == F.col("first_week"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(
+            F.when(
+                (F.col("week") != F.col("first_week"))
+                & (F.col("prev_week") == week_minus_7),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                (F.col("week") != F.col("first_week"))
+                & (
+                    F.col("prev_week").isNull()
+                    | (F.col("prev_week") < week_minus_7)
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_resurrected"),
+        F.sum(
+            F.when(
+                F.col("next_week").isNull() | (F.col("next_week") > week_plus_7),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_churning_out"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -7153,6 +7153,78 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_contamination_score",
+    f"""
+    WITH sh5 AS (
+      SELECT doc_id, {_sql_shingles(5)} AS s FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(s) AS sh FROM sh5 WHERE doc_id % 97 = 0
+    ),
+    train AS (
+      SELECT DISTINCT doc_id, unnest(s) AS sh
+      FROM sh5 WHERE doc_id % 97 <> 0
+    ),
+    totals AS (
+      SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id
+    ),
+    matches AS (
+      SELECT t.doc_id, count(*) AS n_matched
+      FROM train t JOIN bench b ON t.sh = b.sh
+      GROUP BY t.doc_id
+    )
+    SELECT tt.doc_id, tt.n_shingles,
+           CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+           (CAST(coalesce(m.n_matched, 0) AS BIGINT) * 1000000)
+             // tt.n_shingles AS contamination_ppm
+    FROM totals tt LEFT JOIN matches m ON tt.doc_id = m.doc_id
+    """,
+)
+def q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination SCORE — the audit-granularity
+    companion to the binary decontamination filter: how many of each
+    training doc's distinct 5-grams appear in the benchmark set, as
+    a fixed-point fraction. Same plan family as q_decontaminate
+    (benchmark shingles broadcast onto one exploded corpus scan),
+    but aggregated per doc instead of collapsed to a drop set — the
+    report a data team reads before choosing the drop threshold."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh5 = docs.select("doc_id", shingles("text", 5).alias("s"))
+    bench = (
+        sh5.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode("s").alias("sh"))
+        .distinct()
+    )
+    train = (
+        sh5.where(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.explode("s").alias("sh"))
+        .distinct()
+    )
+    totals = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    matches = (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        totals.join(matches, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_matched"), F.lit(0)).cast("long").alias("n_matched"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_matched",
+            F.expr("(n_matched * 1000000) div n_shingles").alias(
+                "contamination_ppm"
+            ),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -7225,6 +7225,51 @@ def q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_zipf_curve",
+    r"""
+    WITH counts AS (
+      SELECT tok, count(*) AS freq
+      FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+            FROM documents WHERE n_chars > 0)
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT tok, freq,
+             row_number() OVER (ORDER BY freq DESC, tok) AS rnk
+      FROM counts
+    )
+    SELECT rnk, tok, freq, rnk * freq AS rank_freq_product
+    FROM ranked WHERE rnk <= 200
+    """,
+)
+def q_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency curve data: the top-200 (rank, frequency)
+    points plus the rank×frequency product — near-constant for
+    natural language, so drift in it flags synthetic or corrupted
+    corpora (the distribution audit behind 'does this crawl look
+    like language'). Token counts partial-aggregate skew-free; the
+    rank window orders the vocabulary-sized aggregate with a token
+    tie-break."""
+    docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    counts = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 200)
+        .select(
+            "rnk",
+            "tok",
+            "freq",
+            (F.col("rnk") * F.col("freq")).alias("rank_freq_product"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -7270,6 +7270,47 @@ def q_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_order_cadence",
+    """
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_days
+      FROM orders
+    )
+    SELECT count(*) AS n_gaps,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_days) AS p50_days,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY gap_days) AS p90_days,
+           CAST(max(gap_days) AS BIGINT) AS max_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    """,
+)
+def q_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order cadence: the distribution of day gaps between a
+    customer's consecutive orders — the reorder-cycle metric behind
+    replenishment forecasting and churn cutoffs. One customer-keyed
+    window (orderkey tie-break for same-day orders) produces integer
+    day gaps; exact percentiles summarize them."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).cast("long").alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.percentile("gap_days", F.lit(0.5)).alias("p50_days"),
+        F.percentile("gap_days", F.lit(0.9)).alias("p90_days"),
+        F.max("gap_days").cast("long").alias("max_days"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -20,6 +20,16 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _check_bits(bits: int) -> None:
+    """2*bits must stay <= 62 so an interleaved key never shifts into
+    a long's sign bit (negative/aliased keys would break the total
+    order :func:`write_zordered` relies on). Enforced, not assumed."""
+    if not (1 <= bits <= 31):
+        raise ValueError(
+            f"bits must be in [1, 31] (2*bits <= 62 to fit a signed long); got {bits}"
+        )
+
+
 def normalize_to_domain(
     c: Column | str, lo: int, hi: int, bits: int = 16
 ) -> Column:
@@ -30,20 +40,38 @@ def normalize_to_domain(
     the narrow column never clusters (caught by the layout test).
     Delta/Iceberg solve the same problem with per-column range
     partition ids; an exact affine map is equivalent for integer
-    keys and oracle-reproducible."""
-    cc = (F.col(c) if isinstance(c, str) else c).cast("long")
+    keys and oracle-reproducible.
+
+    Exactness: the numerator (value - lo) * mask exceeds 2^53 (where a
+    double-division floor silently rounds) and can even exceed 2^63
+    (long overflow) for wide domains — an epoch-microsecond span of a
+    century is ~3e15, times 65535 is ~2e20. The whole computation is
+    therefore carried in decimal(38,0): multiply, make the numerator
+    exactly divisible (subtract the modulus), divide — every step
+    exact for |value| up to 38 digits, matching DuckDB's HUGEINT-safe
+    integer `//` bit-for-bit."""
+    _check_bits(bits)
+    cc = (F.col(c) if isinstance(c, str) else c).cast("decimal(38,0)")
     mask = (1 << bits) - 1
     span = max(hi - lo, 1)
-    scaled = (cc - F.lit(lo)) * mask
-    return ((scaled - (scaled % span)) / span).cast("long")
+    scaled = (cc - F.lit(lo).cast("decimal(38,0)")) * F.lit(mask).cast(
+        "decimal(38,0)"
+    )
+    exact = scaled - (scaled % F.lit(span).cast("decimal(38,0)"))
+    return (exact / F.lit(span).cast("decimal(38,0)")).cast("long")
 
 
 def normalize_to_domain_sql(c: str, lo: int, hi: int, bits: int = 16) -> str:
-    """DuckDB spelling of :func:`normalize_to_domain` (same integer
-    floor-division arithmetic)."""
+    """DuckDB spelling of :func:`normalize_to_domain` (same exact
+    integer floor-division arithmetic; HUGEINT keeps the
+    (value - lo) * mask product overflow-free for wide domains, the
+    same role decimal(38,0) plays on the Spark side)."""
+    _check_bits(bits)
     mask = (1 << bits) - 1
     span = max(hi - lo, 1)
-    return f"((({c} - {lo}) * {mask}) // {span})"
+    return (
+        f"CAST((((CAST({c} AS HUGEINT) - {lo}) * {mask}) // {span}) AS BIGINT)"
+    )
 
 
 def morton_key(a: Column | str, b: Column | str, bits: int = 16) -> Column:
@@ -51,9 +79,11 @@ def morton_key(a: Column | str, b: Column | str, bits: int = 16) -> Column:
     columns into one Morton key: bit i of ``a`` lands at position
     2i+1, bit i of ``b`` at position 2i. Columns are masked to
     ``bits`` first, so the key is total-ordered within the truncated
-    domain. 2*bits <= 62 keeps everything in a long. Callers should
-    :func:`normalize_to_domain` both columns first unless they
-    already span comparable bit widths."""
+    domain. 2*bits <= 62 keeps everything in a long (enforced by
+    :func:`_check_bits`). Callers should :func:`normalize_to_domain`
+    both columns first unless they already span comparable bit
+    widths."""
+    _check_bits(bits)
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     mask = (1 << bits) - 1
@@ -71,6 +101,7 @@ def morton_key_sql(a: str, b: str, bits: int = 16) -> str:
     """The DuckDB spelling of :func:`morton_key` — the same shift /
     mask / or terms in the same order, so the two engines produce
     bit-identical keys."""
+    _check_bits(bits)
     mask = (1 << bits) - 1
     ca = f"({a} & {mask})"
     cb = f"({b} & {mask})"

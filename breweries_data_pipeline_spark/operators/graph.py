@@ -135,7 +135,24 @@ def pagerank(
     driver-side loop only stacks `iterations` plan layers (bounded,
     small); no collect touches data.
     """
+    # Validate the column contract up front: the loop introduces
+    # internal __-prefixed names and rebinds `rank`, so a caller
+    # passing colliding (or duplicated) names would silently
+    # mis-resolve rather than error mid-plan.
+    reserved = {"rank", "__to", "__in", "__c", "__outd"}
+    if len({node_col, src, dst}) != 3:
+        raise ValueError(
+            f"node_col/src/dst must be distinct; got {node_col!r}, {src!r}, {dst!r}"
+        )
+    clash = {node_col, src, dst} & reserved
+    if clash:
+        raise ValueError(
+            f"column names {sorted(clash)} collide with pagerank's internal "
+            f"columns {sorted(reserved)}; rename the input columns"
+        )
     n = nodes.count()  # tiny dim-table action; n is part of the formula
+    if n == 0:
+        raise ValueError("pagerank requires a non-empty node table")
     init = scale // n
     base = (init * 15) // 100  # (1 - d) * uniform mass, fixed-point
 

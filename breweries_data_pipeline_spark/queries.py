@@ -1331,12 +1331,15 @@ _SQL_FINGERPRINT = r"md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"
 # Spark's sequence(0, size-3).
 def _long_div(num: Column, den: Column) -> Column:
     """Integer floor-division of two non-negative long Columns,
-    matching DuckDB's ``//`` on BIGINT exactly. Spelled as
-    ``(num - num % den) / den``: the numerator is made exactly
-    divisible first, so the double division is exact (quotients here
-    are far below 2^53) and the cast back to long is lossless —
-    bit-deterministic with no engine-specific ``div`` operator."""
-    return ((num - (num % den)) / den).cast("long")
+    matching DuckDB's ``//`` on BIGINT exactly. ``num - num % den``
+    makes the numerator exactly divisible, and the division is done in
+    decimal(38,0) — exact over the ENTIRE long range, unlike a double
+    division, which silently rounds any numerator above 2^53 (e.g.
+    epoch-microsecond products) even when the quotient is small. The
+    quotient is an exact integer, so the decimal result's scale
+    rounding is vacuous and the cast back to long is lossless."""
+    exact = (num - (num % den)).cast("decimal(38,0)")
+    return (exact / den.cast("decimal(38,0)")).cast("long")
 
 
 def _sql_shingles(n: int) -> str:

@@ -196,10 +196,13 @@ def write_audit_publish(
     This is the canonical safe-publish pattern for batch pipelines
     (the table-format implementations — Iceberg WAP, Delta
     constraints — do the same dance with snapshots): consumers can
-    never observe a half-written or rule-violating table. Staging
-    writes to ``path.tmp`` and publishes via directory rename —
-    atomic on POSIX; on an object store, put a manifest commit in
-    front (see streaming/upsert.py, which implements exactly that).
+    never observe a half-written or rule-violating table — though see
+    the publish-step note below: the two-rename dir swap does expose
+    a brief no-table window to a racing reader, which only a true
+    snapshot commit (manifest / table format) eliminates. Staging
+    writes to ``path.tmp`` and each individual rename is atomic on
+    POSIX; on an object store, put a manifest commit in front (see
+    streaming/upsert.py, which implements exactly that).
 
     The audit runs on the STAGED files, not the input frame — it
     validates what was actually written (catching any write-path
@@ -225,11 +228,23 @@ def write_audit_publish(
         shutil.rmtree(tmp, ignore_errors=True)
         raise AuditFailure(results)
 
+    # Publish. NOTE: the dir swap is TWO renames, not one atomic op —
+    # a reader racing between them sees no table for an instant, and
+    # this assumes a single writer on a POSIX filesystem (multi-writer
+    # / object-store deployments should front this with a manifest
+    # commit, as streaming/upsert.py does). What IS guaranteed: the
+    # previously-published data is never lost — if the second rename
+    # fails, the backup is restored before the error propagates.
     bak = None
     if os.path.exists(path):
         bak = f"{path}.{os.getpid()}.bak"
         os.rename(path, bak)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        if bak:
+            os.rename(bak, path)
+        raise
     if bak:
         shutil.rmtree(bak, ignore_errors=True)
     return results

@@ -468,3 +468,108 @@ def test_write_audit_publish_gates_and_preserves(spark, sf_dir, tmp_path):
     assert any(not r["passed"] for r in exc.value.results)
     assert spark.read.parquet(path).count() == n_good
     assert spark.read.parquet(path).where("n_name IS NULL").count() == 0
+
+
+def test_write_audit_publish_restores_backup_on_failed_publish(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """If the tmp->path rename dies mid-publish, the previously
+    published data must be restored from the backup, not stranded at
+    the .bak path (ADVICE r5)."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from breweries_data_pipeline_spark.sources import read_table
+    from breweries_data_pipeline_spark.sources import writers as W
+
+    path = str(tmp_path / "published")
+    good = read_table(spark, sf_dir, "nation")
+    rules = [{"rule": "not_null", "column": "n_name"}]
+    W.write_audit_publish(good, rules, path)
+    n_v1 = spark.read.parquet(path).count()
+
+    real_rename = _os.rename
+
+    def failing_rename(srcp, dstp):
+        if dstp == path and srcp.endswith(".staging"):
+            raise OSError("injected: publish rename failed")
+        return real_rename(srcp, dstp)
+
+    monkeypatch.setattr(W.os, "rename", failing_rename)
+    with _pytest.raises(OSError, match="injected"):
+        W.write_audit_publish(good, rules, path)
+    monkeypatch.undo()
+    # v1 is back at the published path, no .bak stranded
+    assert spark.read.parquet(path).count() == n_v1
+    assert not [p for p in _os.listdir(tmp_path) if ".bak" in p]
+
+
+def test_normalize_to_domain_exact_on_wide_domains(spark):
+    """The affine map must floor-divide EXACTLY even when
+    (value - lo) * mask overflows both double precision (2^53) and a
+    signed long — the epoch-microsecond case (ADVICE r5)."""
+    from pyspark.sql import functions as F
+
+    from breweries_data_pipeline_spark.functions.zorder import (
+        morton_key,
+        normalize_to_domain,
+        normalize_to_domain_sql,
+    )
+
+    lo, hi = 0, 3_155_760_000_000_000  # ~a century in micros
+    vals = [0, 1, 12_345_678_901_234, hi // 3, hi - 1, hi]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = [
+        r[0]
+        for r in df.select(normalize_to_domain("v", lo, hi, 16).alias("n"))
+        .orderBy("n")
+        .collect()
+    ]
+    exact = sorted((v - lo) * 65535 // (hi - lo) for v in vals)
+    assert got == exact
+
+    import duckdb
+
+    sql = normalize_to_domain_sql("v", lo, hi, 16)
+    duck = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"select {sql} from (select unnest({vals}) as v)"
+        ).fetchall()
+    )
+    assert duck == exact
+
+    # bits guard: 2*bits > 62 would shift into the sign bit
+    import pytest as _pytest
+
+    for bad_bits in (0, 32, 63):
+        with _pytest.raises(ValueError):
+            morton_key("a", "b", bits=bad_bits)
+        with _pytest.raises(ValueError):
+            normalize_to_domain("v", 0, 10, bits=bad_bits)
+
+
+def test_pagerank_input_validation(spark):
+    """Empty node tables and colliding/duplicate column names must
+    fail fast with a clear error, not ZeroDivisionError or silent
+    mis-resolution (ADVICE r5)."""
+    import pytest as _pytest
+
+    from breweries_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    empty = spark.createDataFrame([], "node long")
+    with _pytest.raises(ValueError, match="non-empty"):
+        pagerank(edges, empty)
+    nodes = spark.createDataFrame([(1,), (2,)], "node long")
+    with _pytest.raises(ValueError, match="distinct"):
+        pagerank(edges, nodes, node_col="src")
+    with _pytest.raises(ValueError, match="collide"):
+        pagerank(
+            edges.withColumnRenamed("src", "rank"),
+            nodes.withColumnRenamed("node", "rank"),
+            node_col="rank",
+            src="rank2",
+            dst="dst",
+        )

@@ -4918,8 +4918,9 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-char prefixes to bound the O(len^2) DP cost per pair (the
     standard trick: cheap prefix gate first, full distance only on
     survivors). JVM built-in levenshtein on an equi-join of
-    consecutive ids (stand-in for any candidate-pair stream, e.g.
-    LSH output); normalized distance is fixed-point integer."""
+    consecutive ids — the MICRO-BENCHMARK form isolating the kernel
+    on a fixed pair stream; q_neardup_edit_gate composes the same
+    gate over a real LSH candidate stream end-to-end."""
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, 64).alias("prefix")
     )
@@ -4936,6 +4937,62 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.length("prefix"), F.length("prefix_b")).cast("long"),
         ).alias("dist_ppm"),
     )
+
+
+@register(
+    "q_neardup_edit_gate",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS s,
+             substr(text, 1, 64) AS p
+      FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    j AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE)
+               AS jaccard,
+             CAST(levenshtein(x.p, y.p) AS BIGINT) AS edit_dist,
+             CAST(greatest(greatest(len(x.p), len(y.p)), 1) AS BIGINT) AS dlen
+      FROM cand
+      JOIN sh x ON x.doc_id = cand.id_a
+      JOIN sh y ON y.doc_id = cand.id_b
+    )
+    SELECT id_a, id_b, jaccard, edit_dist,
+           (edit_dist * 1000000) // dlen AS dist_ppm
+    FROM j
+    WHERE jaccard >= 0.7 AND (edit_dist * 1000000) // dlen <= 250000
+    """,
+)
+def q_neardup_edit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL candidate-pair edit gate (r5 advice: the consecutive-id
+    stand-in in q_edit_distance_pairs now gates an actual LSH stream):
+    MinHash-LSH banding generates candidates, exact shingle Jaccard
+    verifies >= 0.7, and a 64-char-prefix Levenshtein gate keeps pairs
+    whose normalized distance is <= 25% — the full near-dup pipeline a
+    training-data dedup pass runs, end-to-end.
+
+    Oracle strategy: DuckDB reproduces the stream EXHAUSTIVELY —
+    candidates are every pair sharing >= 1 shingle (exact blocking:
+    jaccard > 0 implies a shared shingle, so nothing above threshold
+    escapes), then the same Jaccard + Levenshtein arithmetic. The
+    Spark side's 32x2 banding has per-pair miss probability ~5e-10 at
+    the 0.7 threshold (see operators.dedup.edit_gated_near_dup_pairs),
+    so LSH output == exhaustive output, which the hash compare
+    certifies. The all-pairs blocking stays oracle-only: on the Spark
+    side shared-shingle blocking of a boilerplate corpus would
+    explode quadratically; banding is the scale path."""
+    docs = read_table(spark, sf_dir, "documents")
+    from breweries_data_pipeline_spark.operators.dedup import (
+        edit_gated_near_dup_pairs,
+    )
+
+    return edit_gated_near_dup_pairs(docs, threshold=0.7, bands=32)
 
 
 @register(

@@ -282,16 +282,46 @@ def near_dedup_minhash(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 3,
+    chain_safe: bool = True,
 ) -> DataFrame:
-    """Near-dup dedup: drop every doc with a verified near-duplicate of
-    smaller id (single-pass LSH dedup — clusters collapse toward their
-    minimum id; chains longer than one hop survive a pass, the
-    standard LSH-dedup tradeoff vs full connected components)."""
+    """Near-dup dedup: keep exactly one representative (the minimum
+    id) per connected component of the verified near-dup pair graph.
+
+    ``chain_safe=True`` (default) runs connected components over the
+    pair stream, so multi-hop duplicate chains collapse fully — e.g.
+    edges (1,3) and (2,3) leave only doc 1, because 1 and 2 are
+    transitively linked through 3 even though they never pair
+    directly. The CC label table holds only docs that appear in some
+    pair (duplicates are a small fraction of a real corpus), so the
+    iterative step is tiny relative to the corpus scan.
+
+    ``chain_safe=False`` is the documented cheap mode: drop every doc
+    that appears as the larger id of some verified pair — one
+    anti-join, no iteration, but a doc linked only THROUGH a dropped
+    intermediary survives (in the example above, doc 2 would). Right
+    when pairs are known to be 1-hop (e.g. after an exact-dedup pass
+    on templated corpora), or when a pass-per-day incremental
+    pipeline tolerates stragglers for a round."""
     pairs = verified_near_dup_pairs(
         df, text_col, id_col, threshold, num_hashes, bands, shingle_size
     )
-    dup_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(dup_ids, id_col, "left_anti")
+    if not chain_safe:
+        dup_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(dup_ids, id_col, "left_anti")
+    from breweries_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    paired = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    comp = connected_components(
+        pairs, paired, src="id_a", dst="id_b", id_col=id_col
+    )
+    drop = comp.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return df.join(drop, id_col, "left_anti")
 
 
 def _simhash_udf() -> Column:

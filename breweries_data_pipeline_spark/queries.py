@@ -1484,13 +1484,67 @@ def q_neardup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_near_dup_pairs(docs, threshold=0.5)
 
 
-@register("q_dedup_neardup", None)
+@register(
+    "q_dedup_neardup",
+    f"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS s FROM documents),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    e AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE)
+                 AS j
+        FROM cand
+        JOIN sh x ON x.doc_id = cand.id_a
+        JOIN sh y ON y.doc_id = cand.id_b
+      ) WHERE j >= 0.7
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM e
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM e
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    minlab AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d LEFT JOIN minlab m USING (doc_id)
+    WHERE m.cluster_id IS NULL OR m.cluster_id = d.doc_id
+    """,
+)
 def q_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X7 near-dup dedup end-to-end: drop docs with a verified
-    near-duplicate of smaller id. Rows-only check (LSH not
-    SQL-expressible); survivor count upper-bounded by exact dedup."""
+    """X7 near-dup dedup end-to-end, CHAIN-SAFE (r5 advice: promoted
+    from a rows-only single-pass check to a full transitive-closure
+    oracle): MinHash-LSH candidates, exact-Jaccard verification at
+    0.7, connected components over the pair graph, keep each
+    component's minimum id. Multi-hop chains (A~B~C with A and C
+    never pairing directly) collapse to ONE survivor — the single
+    anti-join pass, kept as near_dedup_minhash(chain_safe=False),
+    would let C survive whenever it is never the larger id of a pair.
+
+    Oracle: exhaustive shared-shingle blocking regenerates every pair
+    above threshold (same argument as q_neardup_edit_gate — the 32x2
+    banding's miss rate at 0.7 is ~5e-10, so the LSH stream is
+    hash-identical), then a recursive CTE computes reachability and
+    each doc's component min. The hash check therefore proves the
+    distributed min-label-propagation + pointer-jumping CC against an
+    independent fixpoint closure, on REAL pair structure."""
     docs = read_table(spark, sf_dir, "documents")
-    return near_dedup_minhash(docs, threshold=0.5).select("doc_id", "lang", "source")
+    return near_dedup_minhash(docs, threshold=0.7, bands=32).select(
+        "doc_id", "lang", "source"
+    )
 
 
 @register(

@@ -107,3 +107,40 @@ def test_connected_components_long_chain_converges_by_jumping(spark):
     nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
     lab = connected_components(edges, nodes, max_iter=12)
     assert lab.filter(F.col("cluster_id") != 0).count() == 0
+
+
+def _chain_docs(spark):
+    """A 2-hop duplicate chain through a high-id hub: docs 1 and 2
+    share nothing with each other, doc 3 is the token-union of both —
+    so the verified pair graph is (1,3), (2,3) and 1~2 only
+    transitively. Crucially doc 2 is never the LARGER id of any pair,
+    which is exactly the case the single-pass anti-join cannot see."""
+    a = " ".join(f"alpha{i}" for i in range(20))
+    c = " ".join(f"omega{i}" for i in range(20))
+    rows = [(1, a), (2, c), (3, a + " " + c)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_near_dedup_chain_safe_collapses_multi_hop(spark):
+    """chain_safe=True must leave ONE survivor of the 1-3-2 chain;
+    chain_safe=False documents the miss (doc 2 survives)."""
+    docs = _chain_docs(spark)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in verified_near_dup_pairs(docs, threshold=0.4, bands=32).collect()
+    }
+    assert (1, 3) in pairs and (2, 3) in pairs and (1, 2) not in pairs
+
+    chain_safe = sorted(
+        r.doc_id
+        for r in near_dedup_minhash(docs, threshold=0.4, bands=32).collect()
+    )
+    assert chain_safe == [1]
+
+    single_pass = sorted(
+        r.doc_id
+        for r in near_dedup_minhash(
+            docs, threshold=0.4, bands=32, chain_safe=False
+        ).collect()
+    )
+    assert single_pass == [1, 2]

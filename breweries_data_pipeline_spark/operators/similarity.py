@@ -275,32 +275,37 @@ def kmeans_centroids(
 
     Deterministic init (the k lowest-id vectors); each iteration is
     one corpus scan: a vectorized nearest-centroid assignment
-    (cosine), then the per-cluster per-dimension mean via posexplode +
-    groupBy(cluster, dim) — the shuffle carries (cluster, dim, partial
-    sums), and only the k x d centroid matrix (model state, a few KB)
-    is collected to the driver per iteration. Empty clusters keep
-    their previous centroid."""
+    (cosine), then the per-cluster mean as ONE hash aggregate with a
+    per-dimension avg column for each of the d dims — the shuffle
+    carries one row per cluster per map task (k rows x d partial
+    (sum, count) columns), NOT one row per (vector, dim): the earlier
+    posexplode + groupBy(cluster, dim) form amplified the pre-shuffle
+    row count d-fold (64x at 64 dims — r5 advice). Only the k x d
+    centroid matrix (model state, a few KB) is collected to the
+    driver per iteration. Empty clusters keep their previous
+    centroid."""
     cents = [
         list(r[0]) for r in df.orderBy(id_col).limit(k).select(vec_col).collect()
     ]
+    d = len(cents[0])
     for _ in range(n_iter):
         assign1 = _nearest_centroids_udf(cents, 1)
         assigned = df.select(
             F.element_at(assign1(F.col(vec_col)), 1).alias("__cluster"),
-            F.posexplode(vec_col).alias("__dim", "__x"),
+            F.col(vec_col).alias("__v"),
         )
-        means = (
-            assigned.groupBy("__cluster", "__dim")
-            .agg(F.avg("__x").alias("__m"))
+        rows = (
+            assigned.groupBy("__cluster")
+            .agg(
+                *[
+                    F.avg(F.element_at("__v", i + 1)).alias(f"__m{i}")
+                    for i in range(d)
+                ]
+            )
             .collect()
         )
-        new = {c: dict() for c in range(len(cents))}
-        for r in means:
-            new[r["__cluster"]][r["__dim"]] = r["__m"]
-        cents = [
-            [new[c][d] for d in sorted(new[c])] if new.get(c) else cents[c]
-            for c in range(len(cents))
-        ]
+        new = {r["__cluster"]: [r[f"__m{i}"] for i in range(d)] for r in rows}
+        cents = [new.get(c, cents[c]) for c in range(len(cents))]
     return cents
 
 

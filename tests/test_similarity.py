@@ -105,3 +105,37 @@ def test_embedding_dedup_drops_exact_duplicate_vectors(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_matches_numpy_lloyd_exactly(spark):
+    """The one-row-per-cluster aggregate (r5 advice: no posexplode
+    row amplification) must reproduce a reference numpy Lloyd
+    iteration: same assignment (normalized-cosine argmax), same
+    per-cluster per-dim means, empty clusters keeping their previous
+    centroid."""
+    import numpy as np
+
+    from breweries_data_pipeline_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    rng = np.random.RandomState(7)
+    V = rng.randn(60, 8).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(len(V))],
+        "vec_id long, embedding array<double>",
+    )
+    k, iters = 4, 2
+    got = np.array(kmeans_centroids(df, k=k, n_iter=iters))
+
+    cents = V[:k].copy()
+    for _ in range(iters):
+        C = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+        assign = np.argmax(Vn @ C.T, axis=1)
+        for c in range(k):
+            if (assign == c).any():
+                cents[c] = V[assign == c].mean(axis=0)
+    assert np.allclose(got, cents, rtol=1e-12, atol=1e-12), (
+        np.abs(got - cents).max()
+    )

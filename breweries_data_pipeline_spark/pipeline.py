@@ -24,10 +24,13 @@ Stage kind is inferred from the parameters the reference uses:
 
 from __future__ import annotations
 
+import json
+import logging
 import os
 import re
+import time
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, Callable
 
 import yaml
 from pyspark.sql import DataFrame, SparkSession
@@ -332,6 +335,43 @@ _RUNNERS = {
     "quality": run_quality_stage,
 }
 
+_LOG = logging.getLogger("breweries_data_pipeline_spark.pipeline")
+
+
+def _emit_event(event: str, **payload: Any) -> None:
+    """Structured task-event log line (reference
+    src/libs/dag_utils.py:5-57 logs task start/end as plain text;
+    here every event is one sorted-key JSON object so downstream log
+    pipelines parse it without regexes)."""
+    _LOG.info(json.dumps({"event": event, **payload}, sort_keys=True, default=str))
+
+
+class PipelineRun(dict):
+    """``run_pipeline``'s return value: a plain dict of per-stage
+    results keyed by task_id (drop-in for the old return shape) plus
+    ``metrics`` — one record per ATTEMPTED stage, in execution order:
+    ``{stage, kind, status: success|failed, duration_sec,
+    rows_written, error}``. The reference records the same facts as
+    MLflow runs (src/libs/observability.py:9-89); here they are
+    process-local data, and row counts ride the stage's own write via
+    ``Observation`` instead of re-executing plans for counts (the
+    reference recomputes the clean plan 2-3x per stage for its
+    counts — SURVEY §3.2)."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.metrics: list[dict[str, Any]] = []
+
+
+def _rows_written(res: dict[str, Any]) -> int | None:
+    if "rows" in res:
+        return res["rows"]
+    if "records" in res:
+        return res["records"]
+    if "results" in res:
+        return len(res["results"])
+    return None
+
 
 def run_pipeline(
     spark: SparkSession,
@@ -340,24 +380,70 @@ def run_pipeline(
     variables: dict[str, str] | None = None,
     path_rewrites: dict[str, str] | None = None,
     fetch_page: FetchPage | None = None,
-) -> dict[str, dict[str, Any]]:
+    on_failure: Callable[[dict[str, Any]], None] | None = None,
+) -> PipelineRun:
     """Execute a loaded pipeline config: stages in dependency order,
-    one SparkSession, results keyed by task_id. ``fetch_page`` must be
-    supplied when the pipeline declares an ingest stage."""
+    one SparkSession, results keyed by task_id (see
+    :class:`PipelineRun` for the attached per-stage metrics).
+    ``fetch_page`` must be supplied when the pipeline declares an
+    ingest stage.
+
+    ``on_failure`` is the pluggable alert hook (the engine-policy
+    replacement for the reference's email/Prometheus senders,
+    src/libs/alerts.py:30-87 — transports stay out of the engine;
+    wire one in the callback): called once with the failed stage's
+    metric record before the exception propagates. A raising callback
+    is logged and suppressed — alerting must never mask the root
+    failure."""
     paths = PathResolver(variables, path_rewrites)
-    results: dict[str, dict[str, Any]] = {}
+    run = PipelineRun()
     for stage in _topo_sort(config.stages):
-        if stage.kind == "ingest":
-            if fetch_page is None:
-                raise ValueError(
-                    f"stage {stage.task_id!r} is an ingest stage; pass fetch_page"
-                )
-            res = run_ingest_stage(spark, stage, paths, fetch_page)
-            if "enriched_path" in res:
-                # downstream stages that name the raw file read the
-                # stamped records instead
-                paths.overrides[res["raw_path"]] = res["enriched_path"]
-            results[stage.task_id] = res
-        else:
-            results[stage.task_id] = _RUNNERS[stage.kind](spark, stage, paths)
-    return results
+        _emit_event(
+            "stage_started",
+            pipeline=config.name,
+            stage=stage.task_id,
+            kind=stage.kind,
+        )
+        t0 = time.monotonic()
+        try:
+            if stage.kind == "ingest":
+                if fetch_page is None:
+                    raise ValueError(
+                        f"stage {stage.task_id!r} is an ingest stage; pass fetch_page"
+                    )
+                res = run_ingest_stage(spark, stage, paths, fetch_page)
+                if "enriched_path" in res:
+                    # downstream stages that name the raw file read
+                    # the stamped records instead
+                    paths.overrides[res["raw_path"]] = res["enriched_path"]
+            else:
+                res = _RUNNERS[stage.kind](spark, stage, paths)
+        except Exception as e:
+            metric = {
+                "stage": stage.task_id,
+                "kind": stage.kind,
+                "status": "failed",
+                "duration_sec": round(time.monotonic() - t0, 3),
+                "rows_written": None,
+                "error": f"{type(e).__name__}: {e}",
+            }
+            run.metrics.append(metric)
+            _emit_event("stage_failed", pipeline=config.name, **metric)
+            if on_failure is not None:
+                try:
+                    on_failure(metric)
+                except Exception:
+                    _LOG.exception("on_failure callback raised; continuing")
+            raise
+        metric = {
+            "stage": stage.task_id,
+            "kind": stage.kind,
+            "status": "success",
+            "duration_sec": round(time.monotonic() - t0, 3),
+            "rows_written": _rows_written(res),
+            "error": None,
+        }
+        run.metrics.append(metric)
+        _emit_event("stage_finished", pipeline=config.name, **metric)
+        run[stage.task_id] = res
+    return run

@@ -178,3 +178,81 @@ def test_dependency_cycle_detected():
     b = Stage("b", "quality", {}, [{"rule": "r", "column": "c", "type": "not_null"}], ["a"])
     with pytest.raises(ValueError, match="cycle"):
         _topo_sort([a, b])
+
+
+def test_pipeline_emits_per_stage_metrics(spark, tmp_path, caplog):
+    """Every attempted stage yields one metric record with status /
+    duration / rows_written (Observation-fed — no plan re-execution),
+    and a matching structured JSON event in the log (closes the
+    reference observability gap, src/libs/observability.py:9-89)."""
+    import logging
+
+    cfg = load_pipeline_config(f"{REF_CONFIGS}/breweries_ingestion_pipeline.yml")
+    with caplog.at_level(
+        logging.INFO, logger="breweries_data_pipeline_spark.pipeline"
+    ):
+        results = run_pipeline(
+            spark,
+            cfg,
+            variables={"ds": "2025-01-01"},
+            path_rewrites={
+                "/opt/airflow/data": str(tmp_path / "data"),
+                "/opt/airflow/configs": REF_CONFIGS,
+            },
+            fetch_page=stub_fetch_page,
+        )
+    assert [m["stage"] for m in results.metrics] == [
+        "fetch_data_bronze", "transform_silver",
+    ]
+    by_stage = {m["stage"]: m for m in results.metrics}
+    assert all(m["status"] == "success" for m in results.metrics)
+    assert all(m["duration_sec"] >= 0 for m in results.metrics)
+    assert by_stage["fetch_data_bronze"]["rows_written"] == 5
+    # silver rows_written == what the Observation saw == what's on disk
+    n_silver = spark.read.parquet(
+        results["transform_silver"]["output_path"]
+    ).count()
+    assert by_stage["transform_silver"]["rows_written"] == n_silver
+
+    events = [json.loads(r.message) for r in caplog.records
+              if r.name == "breweries_data_pipeline_spark.pipeline"]
+    kinds = [(e["event"], e["stage"]) for e in events]
+    assert kinds == [
+        ("stage_started", "fetch_data_bronze"),
+        ("stage_finished", "fetch_data_bronze"),
+        ("stage_started", "transform_silver"),
+        ("stage_finished", "transform_silver"),
+    ]
+
+
+def test_pipeline_failure_metric_and_on_failure_hook(spark, tmp_path):
+    """A failing stage records a failed metric, invokes the pluggable
+    on_failure hook with it (reference src/libs/alerts.py:30-87), and
+    still propagates the original exception — including when the hook
+    itself raises."""
+    cfg = load_pipeline_config(f"{REF_CONFIGS}/breweries_ingestion_pipeline.yml")
+    alerts = []
+
+    def bad_hook(metric):
+        alerts.append(metric)
+        raise RuntimeError("alert transport down")
+
+    def broken_fetch(page, per_page):
+        raise ConnectionError("api unreachable")
+
+    with pytest.raises(Exception, match="api unreachable"):
+        run_pipeline(
+            spark,
+            cfg,
+            variables={"ds": "2025-01-01"},
+            path_rewrites={
+                "/opt/airflow/data": str(tmp_path / "data"),
+                "/opt/airflow/configs": REF_CONFIGS,
+            },
+            fetch_page=broken_fetch,
+            on_failure=bad_hook,
+        )
+    assert len(alerts) == 1
+    assert alerts[0]["stage"] == "fetch_data_bronze"
+    assert alerts[0]["status"] == "failed"
+    assert "api unreachable" in alerts[0]["error"]

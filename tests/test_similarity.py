@@ -139,3 +139,83 @@ def test_kmeans_matches_numpy_lloyd_exactly(spark):
     assert np.allclose(got, cents, rtol=1e-12, atol=1e-12), (
         np.abs(got - cents).max()
     )
+
+
+def test_ann_recall_matches_analytic_s_curve(spark, sf_dir):
+    """Calibrated recall bound (r5 advice: the 0.4 floor was loose).
+    For each exact-top-k pair with cosine c, sign-LSH collision
+    probability per plane is 1 - arccos(c)/pi, so with 8 bands of 4
+    planes P(candidate) = 1 - (1 - p^4)^8; expected recall is the
+    mean over the fixture's actual cosine distribution and observed
+    recall must sit within a 4-sigma-plus-bias margin of it — a
+    banding regression (wrong band width, lost band, broken sign
+    computation) moves recall far outside this window while still
+    clearing a flat 0.4 floor."""
+    import math
+
+    emb, probes = _probe_set(spark, sf_dir)
+    exact = {
+        (r.probe_id, r.vec_id): r.cosine
+        for r in cosine_topk(emb, probes, k=5).collect()
+    }
+    ann = {(r.probe_id, r.vec_id) for r in ann_topk(emb, probes, k=5).collect()}
+    observed = len(set(exact) & ann) / len(exact)
+
+    per, bands = 4, 8  # ann_topk default: 32 planes / 8 bands
+    ps = []
+    for c in exact.values():
+        p_plane = 1.0 - math.acos(max(-1.0, min(1.0, c))) / math.pi
+        ps.append(1.0 - (1.0 - p_plane**per) ** bands)
+    expected = sum(ps) / len(ps)
+    # binomial-sum std dev over independent pairs + a bias allowance
+    # for the cube-sampled (not spherically symmetric) plane pool
+    sigma = math.sqrt(sum(p * (1 - p) for p in ps)) / len(ps)
+    margin = 4 * sigma + 0.10
+    assert abs(observed - expected) <= margin, (
+        f"ANN recall {observed:.3f} outside {expected:.3f} +/- {margin:.3f} "
+        f"(sigma={sigma:.3f}, n={len(ps)})"
+    )
+
+
+def test_ivf_recall_equals_cluster_coverage_prediction(spark, sf_dir):
+    """IVF recall is fully deterministic given the centroid init, so
+    the calibrated bound is EQUALITY: replicate the assignment in
+    numpy (same normalize + argsort ops as _nearest_centroids_udf)
+    and predict exactly which exact-top-k pairs live in a probed
+    cluster — every such pair must be returned (an exact-top-k pair
+    in the candidate set always outranks non-top-k candidates), and
+    no recall beyond prediction is possible."""
+    import numpy as np
+
+    from breweries_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb, probes = _probe_set(spark, sf_dir)
+    n_clusters, n_probe, k = 16, 4, 5
+    exact = {(r.probe_id, r.vec_id) for r in cosine_topk(emb, probes, k=k).collect()}
+    ivf = {
+        (r.probe_id, r.vec_id)
+        for r in ivf_topk(
+            emb, probes, k=k, n_clusters=n_clusters, n_probe=n_probe
+        ).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = [r.vec_id for r in rows]
+    V = np.vstack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    C = V[:n_clusters]  # deterministic init: n_clusters lowest-id vectors
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+    sims = Vn @ Cn.T
+    assign = {ids[i]: int(np.argsort(-sims[i])[0]) for i in range(len(ids))}
+    probed = {
+        ids[i]: set(np.argsort(-sims[i])[:n_probe].tolist())
+        for i in range(len(ids))
+        if ids[i] < 5  # the probe set
+    }
+    predicted = {
+        (p, v) for (p, v) in exact if assign[v] in probed[p]
+    }
+    assert ivf & exact == predicted, (
+        f"IVF recalled {sorted(ivf & exact)} but cluster coverage "
+        f"predicts {sorted(predicted)}"
+    )

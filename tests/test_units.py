@@ -274,13 +274,19 @@ def test_hll_rollup_error_bound(spark, sf_dir):
 
 
 def test_mode_agg_all_null_group_returns_null(spark):
-    from breweries_data_pipeline_spark.operators.aggregate import mode_agg
+    from breweries_data_pipeline_spark.operators.aggregate import (
+        mode_agg,
+        mode_agg_grouped,
+    )
 
     df = spark.createDataFrame(
-        [("a", "x"), ("a", "x"), ("b", None), ("b", None)], ["k", "v"]
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", None), ("b", None),
+         ("c", "q"), ("c", "p"), ("c", None)],  # c: tie -> lexicographic "p"
+        ["k", "v"],
     )
-    out = {r.k: r.mode for r in mode_agg(df, ["k"], "v", out="mode").collect()}
-    assert out == {"a": "x", "b": None}
+    for impl in (mode_agg, mode_agg_grouped):
+        out = {r.k: r.mode for r in impl(df, ["k"], "v", out="mode").collect()}
+        assert out == {"a": "x", "b": None, "c": "p"}, impl.__name__
 
 
 def test_salted_join_rejects_replication_breaking_how(spark):

@@ -123,6 +123,31 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _soak_dir() -> str | None:
+    """Locate (or build) the 10x soak replica. SCALE.md's claims are
+    measured, not argued: the soak leg runs the same suite at sf1
+    (6M-row lineitem) so superlinear scalers surface in every round's
+    BENCH file. Set SPARK_GRAFT_SOAK=0 to skip (e.g. laptop runs)."""
+    if os.environ.get("SPARK_GRAFT_SOAK", "1") == "0":
+        return None
+    here = os.path.dirname(os.path.abspath(__file__))
+    d = os.path.join(here, ".localdata", "sf1")
+    if not os.path.exists(os.path.join(d, "lineitem.parquet")):
+        src = "/root/testdata/sf0.1"
+        if not os.path.isdir(src):
+            return None
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, os.path.join(here, "tools", "gen_sf.py"),
+             "--src", src, "--dst", d],
+            capture_output=True,
+        )
+        if r.returncode != 0:
+            return None
+    return d
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -172,13 +197,50 @@ def main() -> None:
         "r5_total": r5_total,
         "sf": float(sf) if sf else None,
     }
+    # 10x soak leg: same suite, one rep, at sf1. Compact evidence on
+    # stdout (totals + worst per-query scaling ratios vs this run's
+    # sf0.1 medians); full per-query soak timings go to BENCH_DETAILS.
+    soak = None
+    soak_detail: dict[str, float] = {}
+    sd = _soak_dir() if abs((float(sf) if sf else 0) - 0.1) < 1e-9 else None
+    if sd:
+        for t in WARMUP_TABLES:
+            _materialize(read_table(spark, sd, t))
+        soak_budget = float(os.environ.get("SPARK_GRAFT_SOAK_BUDGET_S", "420"))
+        soak_t0 = time.perf_counter()
+        skipped = 0
+        for name in list(timings):
+            if time.perf_counter() - soak_t0 > soak_budget:
+                skipped += 1  # keep the leg bounded so the main JSON
+                continue      # line always survives a driver timeout
+            fn, _ = REGISTRY[name]
+            start = time.perf_counter()
+            _materialize(fn(spark, sd))
+            soak_detail[name] = round(time.perf_counter() - start, 3)
+        ratios = {
+            q: round(soak_detail[q] / max(timings[q], 1e-9), 1) for q in soak_detail
+        }
+        worst = dict(sorted(ratios.items(), key=lambda kv: -kv[1])[:3])
+        soak = {
+            "sf": 1.0,
+            "copies_of_sf0.1": 10,
+            "headline_total": round(
+                sum(soak_detail[q] for q in HEADLINE if q in soak_detail), 3
+            ),
+            "suite_total": round(sum(soak_detail.values()), 3),
+            "worst_scaling_x": worst,
+        }
+        if skipped:
+            soak["skipped_over_budget"] = skipped
+        payload["soak"] = soak
     # full detail (per-query [min,max] spread) goes to a side file; the
     # stdout line must stay small enough to survive tail-capture intact
     details_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
     )
     with open(details_path, "w") as f:
-        json.dump({**payload, "spread": spread}, f, indent=1)
+        json.dump({**payload, "spread": spread, "soak_queries": soak_detail}, f,
+                  indent=1)
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1800:
         # drop the slowest-changing detail first rather than emit an

@@ -156,6 +156,40 @@ def _pairwise_dot_udf() -> "object":
     return pandas_udf("double")(_dot)
 
 
+def collapse_exact_vector_duplicates(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple[DataFrame, DataFrame]:
+    """(rep_map, reps): group BIT-IDENTICAL vectors, electing the min
+    id as representative. ``rep_map`` is (id, __rep) for every row;
+    ``reps`` is the corpus restricted to representatives.
+
+    This is the "run exact dedup first" mitigation for pathological
+    LSH buckets made real: k identical vectors land in the SAME
+    bucket of EVERY band, so banded candidate generation fans out
+    k(k-1)/2 pairs x bands per clique — the r6 sf1 soak measured a
+    61x wall blowup on a corpus with 10 copies per vector. Collapsing
+    exact groups first (one shuffle, grouped on the full vector value
+    so there is no hash-collision correctness risk) makes LSH cost a
+    function of UNIQUE vectors. Skew-safe: the group aggregate is
+    min(id) (map-side combined), never a collect_list.
+
+    Grouping key: md5 of the JSON rendering of the vector — a 128-bit
+    content fingerprint computed JVM-side. Shortest-round-trip float
+    formatting is injective, so equal fingerprints mean equal vectors
+    (the same md5-fingerprint identity the exact TEXT dedup path
+    already relies on); shuffling a 32-char digest instead of the
+    d-double array keeps this pre-pass cheaper than the LSH pass it
+    protects."""
+    fp = F.md5(F.to_json(F.struct(F.col(vec_col).alias("v")))).alias("__fp")
+    keyed = corpus.select(F.col(id_col), fp)
+    rep = keyed.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+    rep_map = keyed.join(rep, "__fp").select(F.col(id_col), F.col("__rep"))
+    reps = corpus.join(
+        rep.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+    )
+    return rep_map, reps
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,
@@ -163,6 +197,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_planes: int = MAX_PLANES,
     bands: int = 16,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH-banded corpus SELF-join
     (posexplode of band values, equi-join on (band index, band value),
@@ -181,7 +216,32 @@ def embedding_near_dup_pairs(
     pair dot products run as one numpy kernel per Arrow batch. The
     kernel is the exact left-fold dot (_exact_dot_udf), so surviving
     pairs are bit-comparable to a DuckDB list-fold recompute — the
-    threshold test can never flip between engines."""
+    threshold test can never flip between engines.
+
+    ``collapse_exact`` (default on) first collapses bit-identical
+    vectors to one representative (see
+    ``collapse_exact_vector_duplicates``) and runs LSH on unique
+    vectors only; each exact group then contributes STAR edges
+    (rep -> member, cosine exactly 1.0) instead of its full clique.
+    The returned pair set is component-equivalent to the full one —
+    every duplicate is still connected to its group and groups are
+    connected through their representatives — so dedup / connected-
+    components consumers see identical results, but candidate volume
+    no longer explodes quadratically with copy count. Pass
+    ``collapse_exact=False`` for the literal all-pairs-listed
+    contract (cliques within exact groups)."""
+    if collapse_exact:
+        rep_map, reps = collapse_exact_vector_duplicates(corpus, id_col, vec_col)
+        rep_pairs = embedding_near_dup_pairs(
+            reps, threshold, id_col, vec_col, n_planes, bands,
+            collapse_exact=False,
+        )
+        star = rep_map.where(F.col(id_col) != F.col("__rep")).select(
+            F.col("__rep").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(1.0).alias("cosine"),
+        )
+        return rep_pairs.unionByName(star)
     bands_expr = hyperplane_bands(vec_col, n_planes, bands)
     base = corpus.select(
         F.col(id_col),
@@ -552,3 +612,208 @@ def quantize_embeddings(
             .alias("q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN: codebook compression + ADC scoring
+# ---------------------------------------------------------------------------
+
+
+def _l2_subspace_kmeans(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    lo: int,
+    width: int,
+    k: int,
+    n_iter: int,
+) -> list[list[float]]:
+    """L2 Lloyd k-means over one contiguous subspace slice
+    [lo, lo+width) of the embedding column. Same distributed shape as
+    ``kmeans_centroids`` (one scan per iteration, per-cluster mean as
+    ONE hash aggregate with d' avg columns, only the k x d' model
+    collected) but with the EUCLIDEAN metric PQ requires — cosine
+    assignment would ignore subvector norms, which carry real signal
+    once the full vector is split. Deterministic init: subvectors of
+    the k lowest ids."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    sub = df.select(
+        F.col(id_col).alias("__id"),
+        F.slice(F.col(vec_col), lo + 1, width).alias("__sv"),
+    )
+    cents = [
+        list(r[0]) for r in sub.orderBy("__id").limit(k).select("__sv").collect()
+    ]
+
+    for _ in range(n_iter):
+        frozen = [list(c) for c in cents]
+
+        def _assign(vs):
+            import numpy as np
+
+            if len(vs) == 0:
+                return pd.Series([], dtype="int32")
+            C = np.asarray(frozen, dtype=np.float64)  # (k, d')
+            V = np.vstack(vs.to_numpy()).astype(np.float64)  # (n, d')
+            # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2; argmin drops ||v||^2
+            d2 = -2.0 * (V @ C.T) + (C * C).sum(axis=1)[None, :]
+            return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+        _assign.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+        assigned = sub.select(
+            pandas_udf("int")(_assign)(F.col("__sv")).alias("__cluster"),
+            F.col("__sv"),
+        )
+        rows = (
+            assigned.groupBy("__cluster")
+            .agg(
+                *[
+                    F.avg(F.element_at("__sv", i + 1)).alias(f"__m{i}")
+                    for i in range(width)
+                ]
+            )
+            .collect()
+        )
+        new = {r["__cluster"]: [r[f"__m{i}"] for i in range(width)] for r in rows}
+        cents = [new.get(c, cents[c]) for c in range(len(cents))]
+    return cents
+
+
+def pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    ksub: int = 16,
+    kmeans_iter: int = 2,
+    rerank_factor: int = 12,
+) -> DataFrame:
+    """Product-quantization ANN (Jegou et al., TPAMI 2011) with
+    asymmetric-distance scoring and exact rerank. Same output contract
+    as ``cosine_topk`` (probe_id, vec_id, cosine, rank).
+
+    Pipeline:
+    1. TRAIN — split the d dims into ``m`` contiguous subspaces and run
+       L2 k-means (``ksub`` centroids each) per subspace; model size is
+       m * ksub * (d/m) floats, collected to the driver (a few KB).
+    2. ENCODE — one Arrow-batched corpus scan maps every vector to an
+       m-byte code (argmin L2 per subspace): the index the scoring pass
+       reads is m ints per vector instead of d floats — a 16-64x
+       footprint cut, which at 100 TB is the difference between an
+       in-memory index and re-scanning raw vectors.
+    3. SCORE (ADC) — each probe precomputes an m x ksub lookup table of
+       subspace inner products (probes are collected: the SMALL-probe-
+       set contract shared with cosine_topk); scoring a corpus code is
+       m table lookups instead of d multiplies, vectorized per Arrow
+       batch via numpy fancy-indexing. Corpus scanned once for ALL
+       probes.
+    4. RERANK — the top k*rerank_factor per probe by approximate score
+       re-join their RAW vectors (a k*rerank*|probes|-row equi-join,
+       AQE-broadcastable) and re-rank by exact pinned-order cosine, so
+       reported cosines are exact and PQ error only affects which
+       candidates make the shortlist. Rows-only correctness (recall
+       floor asserted in tests); recall tunes with m/ksub/rerank.
+    """
+    import pandas as pd
+
+    first = corpus.select(vec_col).first()
+    d = len(first[0])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    width = d // m
+    books = [
+        _l2_subspace_kmeans(corpus, vec_col, id_col, j * width, width, ksub,
+                            kmeans_iter)
+        for j in range(m)
+    ]
+
+    def _encode(batches):
+        import numpy as np
+
+        B = [np.asarray(b, dtype=np.float64) for b in books]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for j in range(m):
+                S = V[:, j * width:(j + 1) * width]
+                d2 = -2.0 * (S @ B[j].T) + (B[j] * B[j]).sum(axis=1)[None, :]
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({"__id": pdf["__id"], "__code": list(codes)})
+
+    coded = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col)
+    ).mapInPandas(_encode, "__id long, __code array<int>")
+
+    probe_rows = probes.select(id_col, vec_col).collect()
+    luts = {}  # probe_id -> (m, ksub) inner-product table
+    import numpy as np
+
+    Bnp = [np.asarray(b, dtype=np.float64) for b in books]
+    for r in probe_rows:
+        q = np.asarray(list(r[1]), dtype=np.float64)
+        luts[r[0]] = np.stack(
+            [Bnp[j] @ q[j * width:(j + 1) * width] for j in range(m)]
+        )
+
+    items = sorted(luts.items())
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.vstack(pdf["__code"].to_numpy())  # (n, m)
+            ids = pdf["__id"].to_numpy()
+            for pid, lut in items:
+                s = np.zeros(len(codes))
+                for j in range(m):
+                    s += lut[j][codes[:, j]]
+                yield pd.DataFrame(
+                    {"probe_id": pid, "__id": ids, "__approx": s}
+                )
+
+    scored = coded.mapInPandas(
+        _score, "probe_id long, __id long, __approx double"
+    ).where(F.col("probe_id") != F.col("__id"))
+
+    shortlist = topk_per_group(
+        scored,
+        ["probe_id"],
+        [F.col("__approx").desc(), F.col("__id")],
+        k * rerank_factor,
+        rank_name="__arank",
+    ).select("probe_id", "__id")
+
+    dot = _exact_dot_udf()
+    vecs = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__cvec"),
+        F.sqrt(_exact_dot_udf()(F.col(vec_col), F.col(vec_col))).alias("__cnorm"),
+    )
+    pv = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("__pvec")
+    )
+    exact = (
+        shortlist.join(vecs, "__id")
+        .join(F.broadcast(pv), "probe_id")
+        .select(
+            "probe_id",
+            F.col("__id").alias(id_col),
+            (
+                dot(F.col("__cvec"), F.col("__pvec"))
+                / (F.col("__cnorm") * F.sqrt(dot(F.col("__pvec"), F.col("__pvec"))))
+            ).alias("cosine"),
+        )
+    )
+    return topk_per_group(
+        exact,
+        ["probe_id"],
+        [F.col("cosine").desc(), F.col(id_col)],
+        k,
+        rank_name="rank",
+    ).withColumn("rank", F.col("rank").cast("long"))

@@ -219,3 +219,27 @@ def test_ivf_recall_equals_cluster_coverage_prediction(spark, sf_dir):
         f"IVF recalled {sorted(ivf & exact)} but cluster coverage "
         f"predicts {sorted(predicted)}"
     )
+
+
+def test_pq_recall_and_exact_rerank_scores(spark, sf_dir):
+    """PQ ANN: with a 4x rerank shortlist the returned top-5 should
+    recover most of the exact top-5 (floor 0.5 — PQ at m=4/ksub=16
+    on 16-dim fixtures quantizes coarsely but the rerank recovers
+    ordering), and every returned cosine must be EXACT (bit-equal to
+    the exact query's score for the same pair) because the rerank
+    recomputes true cosines — PQ error may only affect shortlist
+    membership, never reported scores."""
+    from breweries_data_pipeline_spark.operators.similarity import pq_topk
+
+    emb, probes = _probe_set(spark, sf_dir)
+    exact = {
+        (r.probe_id, r.vec_id): r.cosine
+        for r in cosine_topk(emb, probes, k=5).collect()
+    }
+    pq = pq_topk(emb, probes, k=5).collect()
+    hits = {(r.probe_id, r.vec_id) for r in pq}
+    recall = len(set(exact) & hits) / len(exact)
+    assert recall >= 0.5, f"PQ recall {recall:.2f} below floor"
+    for r in pq:
+        if (r.probe_id, r.vec_id) in exact:
+            assert r.cosine == exact[(r.probe_id, r.vec_id)]

@@ -188,3 +188,108 @@ def pagerank(
             )
         )
     return ranks
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    cc_scale: int = 1_000_000,
+) -> DataFrame:
+    """Global triangle census over an undirected edge list: one row
+    (n_nodes, n_edges, n_wedges, n_triangles, clustering_fp) where
+    clustering_fp = floor(3 * cc_scale * triangles / wedges) — the
+    global clustering coefficient in exact fixed-point so the result
+    is hash-comparable across engines (no double division).
+
+    Scale design: the naive triangle join (a<b, b<c, a~c) fans every
+    wedge out through its CENTER node, so one high-degree hub with
+    degree d contributes d^2/2 wedge rows — quadratic blowup on skew.
+    This implementation uses degree orientation (Cohen 2009 /
+    Schank-Wagner): each canonical edge is oriented from its lower
+    (degree, id) endpoint to the higher, every node's oriented
+    out-degree is O(sqrt(m)), and the wedge join runs on oriented
+    out-neighbborhoods — total wedge rows O(m^1.5) REGARDLESS of skew.
+    Triangle counts are orientation-invariant, so the simple a<b<c
+    SQL oracle verifies the fancy plan. Three shuffles total (degree
+    count, wedge self-join, closure join); the closure join key is the
+    (lo, hi) oriented pair on both sides.
+    """
+    u, v = F.col("__u"), F.col("__v")
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("__u"),
+            F.greatest(F.col(src), F.col(dst)).alias("__v"),
+        )
+        .where(u != v)
+        .distinct()
+        .persist()
+    )
+    deg = (
+        canon.select(u.alias("__n"))
+        .unionByName(canon.select(v.alias("__n")))
+        .groupBy("__n")
+        .agg(F.count("*").alias("__d"))
+    )
+    # orient: src = endpoint with smaller (degree, id); carry the
+    # destination's (degree, id) so wedge endpoints can be ordered by
+    # the SAME total order without another degree join
+    du = deg.select(F.col("__n").alias("__u"), F.col("__d").alias("__du"))
+    dv = deg.select(F.col("__n").alias("__v"), F.col("__d").alias("__dv"))
+    with_deg = canon.join(du, "__u").join(dv, "__v")
+    fwd = (F.col("__du") < F.col("__dv")) | (
+        (F.col("__du") == F.col("__dv")) & (u < v)
+    )
+    oriented = with_deg.select(
+        F.when(fwd, u).otherwise(v).alias("__s"),
+        F.when(fwd, v).otherwise(u).alias("__t"),
+        F.when(fwd, F.col("__dv")).otherwise(F.col("__du")).alias("__td"),
+    ).persist()
+    w1 = oriented.select(
+        F.col("__s"), F.col("__t").alias("__x"), F.col("__td").alias("__xd")
+    )
+    w2 = oriented.select(
+        F.col("__s"), F.col("__t").alias("__y"), F.col("__td").alias("__yd")
+    )
+    wedges = w1.join(w2, "__s").where(
+        (F.col("__xd") < F.col("__yd"))
+        | ((F.col("__xd") == F.col("__yd")) & (F.col("__x") < F.col("__y")))
+    )
+    closure = oriented.select(
+        F.col("__s").alias("__x"), F.col("__t").alias("__y")
+    )
+    tri = wedges.join(closure, ["__x", "__y"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    nn = (
+        canon.select(u.alias("__n"))
+        .unionByName(canon.select(v.alias("__n")))
+        .agg(F.countDistinct("__n").alias("n_nodes"))
+    )
+    ne = canon.agg(F.count("*").alias("n_edges"))
+    # d*(d-1) DIV 2 — integer division (exact at any degree; a double
+    # `/` would silently round once d*(d-1) exceeds 2^53)
+    nw = deg.agg(
+        F.sum(F.expr("__d * (__d - CAST(1 AS BIGINT)) DIV 2")).alias("n_wedges")
+    )
+    out = (
+        nn.crossJoin(ne)
+        .crossJoin(nw)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                # integer DIV: exact even when 3*scale*triangles > 2^53
+                F.expr(f"(CAST({3 * cc_scale} AS BIGINT) * n_triangles)"
+                       " DIV n_wedges"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("clustering_fp"),
+        )
+    )
+    return out

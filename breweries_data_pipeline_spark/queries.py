@@ -7451,6 +7451,253 @@ def q_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_triangle_census",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT n, count(*) AS d FROM (
+        SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges
+      ) GROUP BY n
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT agg.n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           agg.n_wedges,
+           tri.n_triangles,
+           CAST(CASE WHEN agg.n_wedges > 0
+                THEN (3000000 * tri.n_triangles) // agg.n_wedges
+                ELSE 0 END AS BIGINT) AS clustering_fp
+    FROM agg, tri
+    """,
+)
+def q_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (parts sharing an
+    order >= 2 times form an edge): n_nodes / n_edges / n_wedges /
+    n_triangles / fixed-point global clustering coefficient in one
+    row. The engine side runs the degree-ORIENTED wedge join
+    (``triangle_stats``): every node's oriented out-degree is
+    O(sqrt(m)), so wedge rows are O(m^1.5) even under hub skew, while
+    the oracle verifies with the naive a<b<c triple join — triangle
+    counts are orientation-invariant, which is exactly what makes the
+    fancy plan oracle-able. All arithmetic integer (DIV), no doubles
+    anywhere, so the row hashes identically across engines."""
+    from breweries_data_pipeline_spark.operators.graph import triangle_stats
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("id_a"),
+            F.col("b.l_partkey").alias("id_b"),
+        )
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") >= 2)
+        .drop("__n")
+    )
+    return triangle_stats(edges, "id_a", "id_b")
+
+
+@register(
+    "q_chunk_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             array_to_string(tk[i*20+1 : i*20+20], ' ') AS chunk_text
+      FROM toks, LATERAL (
+        SELECT unnest(range(0, (len(tk) + 19) // 20)) AS i
+      ) g
+    ),
+    ranked AS (
+      SELECT doc_id, chunk_idx,
+             row_number() OVER (
+               PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_idx
+             ) AS rn
+      FROM chunks
+    ),
+    kept AS (SELECT doc_id, chunk_idx FROM ranked WHERE rn = 1)
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(k.chunk_idx) AS BIGINT) AS kept_chunks,
+           md5(string_agg(
+             CASE WHEN k.chunk_idx IS NOT NULL THEN c.chunk_text END,
+             ' ' ORDER BY c.chunk_idx)) AS rebuilt_md5
+    FROM chunks c
+    LEFT JOIN kept k ON c.doc_id = k.doc_id AND c.chunk_idx = k.chunk_idx
+    GROUP BY c.doc_id
+    """,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level (paragraph-style, Falcon/RefinedWeb) dedup with
+    document RECONSTRUCTION: split every document into 20-token
+    chunks, drop every chunk whose exact text already appeared
+    earlier in the corpus (survivor = lexicographically least
+    (doc_id, chunk_idx)), and rebuild each document from its
+    surviving chunks in order. Output per doc: total chunks, kept
+    chunks, md5 of the rebuilt text (null when nothing survives).
+
+    Scale shape: chunking is a zero-shuffle JVM transform
+    (split + slice + posexplode — no Python); survivor election is a
+    fingerprint groupBy with a min(struct) aggregate — MAP-SIDE
+    COMBINED and therefore immune to Zipfian chunk skew, where the
+    window-rank form the oracle uses would funnel every copy of a hot
+    chunk through one partition (same groupBy-then-join choice as the
+    substring-dedup family); reassembly is one groupBy(doc_id) with an
+    ordered sort_array(collect_list) whose memory is bounded by
+    chunks-per-document, not corpus size."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = F.split(F.col("text"), " ")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.expr("(size(split(text, ' ')) + 19) DIV 20") - 1),
+        lambda i: F.array_join(F.slice(tk, (i * 20 + 1).cast("int"), 20), " "),
+    )
+    chunks = docs.select(
+        "doc_id", F.posexplode(chunk_arr).alias("chunk_idx", "chunk_text")
+    ).select(
+        "doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"), "chunk_text"
+    )
+    winners = (
+        chunks.groupBy(F.md5("chunk_text").alias("__fp"))
+        .agg(F.min(F.struct("doc_id", "chunk_idx")).alias("__w"))
+        .select(F.col("__w.doc_id").alias("doc_id"),
+                F.col("__w.chunk_idx").alias("chunk_idx"),
+                F.lit(1).alias("__kept"))
+    )
+    flagged = chunks.join(winners, ["doc_id", "chunk_idx"], "left")
+    rebuilt = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("__kept").isNotNull(),
+                        F.struct("chunk_idx", "chunk_text"),
+                    )
+                )
+            ),
+            lambda s: s["chunk_text"],
+        ),
+        " ",
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.count("__kept").alias("kept_chunks"),
+        F.when(F.count("__kept") > 0, F.md5(rebuilt)).alias("rebuilt_md5"),
+    )
+
+
+@register(
+    "q_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, source, md5(text) AS fp
+      FROM documents WHERE doc_id % 10 != 0
+    ),
+    new AS (
+      SELECT doc_id, source,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]'
+                      ELSE text END) AS fp
+      FROM documents WHERE doc_id % 13 != 0
+    )
+    SELECT COALESCE(o.source, n.source) AS source,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.fp <> n.fp THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the crawl-management primitive: given
+    two snapshot versions of the documents table (derived here
+    deterministically: the old snapshot is missing doc_id%10==0, the
+    new one is missing doc_id%13==0 and has doc_id%7==0 edited),
+    classify every doc as added / removed / changed / unchanged by
+    content fingerprint and count per (source, status).
+
+    Scale shape: one full outer join on doc_id (both sides hash-
+    partitioned once) + md5 comparison + one partial-aggregated
+    count. In production the snapshots are bucketed by doc_id at
+    write time, which makes the join exchange-free; nothing here
+    carries document text past the fingerprint projection."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    old = docs.where(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("o_id"),
+        F.col("source").alias("o_source"),
+        F.md5("text").alias("o_fp"),
+    )
+    new = docs.where(F.col("doc_id") % 13 != 0).select(
+        F.col("doc_id").alias("n_id"),
+        F.col("source").alias("n_source"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+            ).otherwise(F.col("text"))
+        ).alias("n_fp"),
+    )
+    joined = old.join(new, old["o_id"] == new["n_id"], "full_outer")
+    status = (
+        F.when(F.col("o_id").isNull(), F.lit("added"))
+        .when(F.col("n_id").isNull(), F.lit("removed"))
+        .when(F.col("o_fp") != F.col("n_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce("o_source", "n_source").alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register("q_similarity_pq", None)
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 product-quantization ANN: 4-subspace / 16-centroid PQ codes
+    (m bytes per vector instead of d floats), asymmetric-distance
+    scoring via per-probe lookup tables, exact-cosine rerank of the
+    top 4k shortlist. Rows-only: recall < 1 by design; the recall
+    floor and the exactness of reported cosines are asserted in
+    tests/test_similarity.py."""
+    from breweries_data_pipeline_spark.operators.similarity import pq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return pq_topk(emb, probes, k=5)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

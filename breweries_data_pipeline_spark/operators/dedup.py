@@ -177,6 +177,29 @@ def lsh_candidate_pairs(
     )
 
 
+def collapse_exact_text_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """(rep_map, reps): group byte-identical texts, electing the min
+    id as representative — the exact-dedup pre-pass the LSH docstring
+    has always demanded, as a reusable primitive. ``rep_map`` is
+    (id, __rep) for every row; ``reps`` is ``df`` restricted to
+    representatives. One md5-keyed shuffle, min(id) aggregate
+    (map-side combined, no collect_list), left-semi restriction. k
+    identical documents would otherwise share EVERY band bucket and
+    fan out k(k-1)/2 candidate pairs per band — collapsing first
+    makes LSH cost a function of unique texts (the r6 sf1 soak
+    measured the embedding twin of this blowup at 61x)."""
+    fp = F.md5(F.col(text_col)).alias("__fp")
+    keyed = df.select(F.col(id_col), fp)
+    rep = keyed.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+    rep_map = keyed.join(rep, "__fp").select(F.col(id_col), F.col("__rep"))
+    reps = df.join(
+        rep.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+    )
+    return rep_map, reps
+
+
 def verified_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -185,6 +208,7 @@ def verified_near_dup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 3,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard over the
     shingle-hash sets (collision probability ~n²/2^64 — negligible):
@@ -192,7 +216,28 @@ def verified_near_dup_pairs(
     from banding are eliminated; false negatives bounded by the LSH
     S-curve. Verification is two hash joins of the (small) candidate
     set against the shingle table — broadcast-able when candidates
-    are rare, which AQE decides at runtime."""
+    are rare, which AQE decides at runtime.
+
+    ``collapse_exact`` (default on) first collapses byte-identical
+    texts to a min-id representative and runs the signature/banding
+    pipeline on unique texts only; each exact group contributes STAR
+    edges (rep -> member, jaccard exactly 1.0) instead of its full
+    clique. Component-equivalent output (dedup / connected-components
+    consumers see identical results) without the quadratic bucket
+    blowup identical documents otherwise cause. Pass
+    ``collapse_exact=False`` for the literal all-pairs contract."""
+    if collapse_exact:
+        rep_map, reps = collapse_exact_text_duplicates(df, text_col, id_col)
+        rep_pairs = verified_near_dup_pairs(
+            reps, text_col, id_col, threshold, num_hashes, bands,
+            shingle_size, collapse_exact=False,
+        )
+        star = rep_map.where(F.col(id_col) != F.col("__rep")).select(
+            F.col("__rep").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+        return rep_pairs.unionByName(star)
     rows_per_band = num_hashes // bands
     # persisted: the signature pipeline feeds both self-join sides and
     # two verification joins — without persist it would recompute 4x

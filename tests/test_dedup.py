@@ -144,3 +144,35 @@ def test_near_dedup_chain_safe_collapses_multi_hop(spark):
         ).collect()
     )
     assert single_pass == [1, 2]
+
+
+def test_exact_collapse_yields_star_not_clique(spark):
+    """10 byte-identical docs must produce 9 star edges (rep 0 ->
+    members, jaccard exactly 1.0), NOT the 45-pair clique — the
+    candidate-volume property that keeps LSH linear in copy count
+    (r6 soak: the clique form cost 61x at 10 copies/vector). The
+    dedup RESULT must be identical to the literal all-pairs form."""
+    rows = [(i, BASE) for i in range(10)] + [
+        (10, BASE.replace("winter", "night")),
+        (11, "completely different text about spark query engines"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in verified_near_dup_pairs(docs, threshold=0.5).collect()
+    }
+    star = {(0, i) for i in range(1, 10)}
+    assert star <= set(pairs)
+    assert all(pairs[p] == 1.0 for p in star)
+    # no intra-group clique edges (1,2), (2,7), ...
+    assert not any(
+        a != 0 and a < 10 and b < 10 for (a, b) in pairs
+    ), sorted(pairs)
+    # near-dup of the group (10) pairs with the REPRESENTATIVE only
+    assert (0, 10) in pairs
+    # dedup result identical with and without the collapse
+    fast = {r.doc_id for r in near_dedup_minhash(docs, threshold=0.5).collect()}
+    assert fast == {0, 11}
+    lit_pairs = verified_near_dup_pairs(docs, threshold=0.5, collapse_exact=False)
+    lit_dups = {r.id_b for r in lit_pairs.collect()}
+    assert {r.doc_id for r in docs.collect()} - lit_dups == fast

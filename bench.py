@@ -115,6 +115,15 @@ R5 = [
     "q_skyline_parts",
 ]
 
+# round-6 scale/sampling family — summed under "r6_total"
+R6 = [
+    "q_bloom_prune",
+    "q_char_diversity",
+    "q_token_budget_sample",
+    "q_doc_lm_score",
+    "q_rebalance_labels",
+]
+
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",
                  "documents", "embeddings")
 
@@ -170,7 +179,7 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name in HEADLINE + [q for q in EXTENDED + CORPUS + R5 if q in REGISTRY]:
+    for name in HEADLINE + [q for q in EXTENDED + CORPUS + R5 + R6 if q in REGISTRY]:
         fn, _ = REGISTRY[name]
         runs = []
         for _ in range(reps):
@@ -185,6 +194,7 @@ def main() -> None:
     ext_total = round(sum(timings[q] for q in EXTENDED if q in timings), 3)
     corpus_total = round(sum(timings[q] for q in CORPUS if q in timings), 3)
     r5_total = round(sum(timings[q] for q in R5 if q in timings), 3)
+    r6_total = round(sum(timings[q] for q in R6 if q in timings), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     payload = {
         "metric": "headline_queries_total_wall",
@@ -195,6 +205,7 @@ def main() -> None:
         "extended_total": ext_total,
         "corpus_total": corpus_total,
         "r5_total": r5_total,
+        "r6_total": r6_total,
         "sf": float(sf) if sf else None,
     }
     # 10x soak leg: same suite, one rep, at sf1. Compact evidence on

@@ -91,3 +91,88 @@ def salted_join(
         "__salt", F.explode(F.array([F.lit(i) for i in range(buckets)]))
     )
     return salted.join(replicated, [key, "__salt"], how).drop("__salt")
+
+
+def bloom_prune_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    *,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 5,
+    how: str = "inner",
+) -> DataFrame:
+    """Bloom-filter semi-join reduction: prune ``fact`` rows that
+    cannot match ``dim`` BEFORE the join's shuffle, then run the exact
+    equi-join — result-identical to ``fact.join(dim, on, how)`` for
+    inner/semi joins (false positives survive the prefilter but die in
+    the exact join; false negatives are impossible).
+
+    Why it matters at 100 TB: when the build side is too large to
+    broadcast as rows (say 10^9 distinct keys x 8 bytes) its Bloom
+    bitmap still fits in single-digit MBs, and a selective dim
+    predicate then cuts the probe-side exchange by the join
+    selectivity — the dominant cost of a fact join at scale. This is
+    the same rewrite Spark's AQE applies with
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` (and Trino /
+    Iceberg call dynamic filtering); the explicit form is
+    deterministic — no size-threshold heuristics — so plans are
+    assertable in tests and stable across data growth.
+
+    Mechanics (all JVM-side, no UDFs):
+    - build: ``num_hashes`` positions per dim key via seeded xxhash64
+      mod ``num_bits``; distinct positions collapse to <= num_bits/64
+      (word, bits) rows via bit_or — a tiny aggregate over only the
+      key column;
+    - ship: the word->bits map rides a one-row broadcast crossJoin
+      (the Q22-style scalar attach), i.e. the bitmap is broadcast
+      ONCE, not re-evaluated per row;
+    - probe: each fact row recomputes its positions and AND-tests the
+      map words; a missing word means bit 0 -> row pruned.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bloom_prune_join supports how='inner'/'left_semi', got {how!r}: "
+            "outer/anti joins need the pruned rows"
+        )
+
+    def _positions(col):
+        return [
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(num_bits)) for i in range(num_hashes)
+        ]
+
+    pos = dim.select(
+        F.explode(F.array(*_positions(F.col(on)))).alias("__pos")
+    ).distinct()
+    def _one_shl(bits_col):
+        # shiftleft() only takes a Python int in the PySpark wrapper;
+        # call the SQL function directly for a column shift amount
+        return F.call_function(
+            "shiftleft", F.lit(1).cast("long"), bits_col.cast("int")
+        )
+
+    words = pos.groupBy(
+        (F.col("__pos") / 64).cast("int").alias("__word")
+    ).agg(
+        F.bit_or(_one_shl(F.pmod(F.col("__pos"), F.lit(64)))).alias("__bits")
+    )
+    bitmap = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("__word", "__bits"))).alias("__bloom")
+    )
+
+    tests = []
+    for p in _positions(F.col(on)):
+        word = (p / 64).cast("int")
+        bit = _one_shl(F.pmod(p, F.lit(64)))
+        tests.append(
+            F.coalesce(F.element_at(F.col("__bloom"), word), F.lit(0).cast("long"))
+            .bitwiseAND(bit)
+            != 0
+        )
+    cond = tests[0]
+    for t in tests[1:]:
+        cond = cond & t
+    pruned = (
+        fact.crossJoin(F.broadcast(bitmap)).where(cond).drop("__bloom")
+    )
+    return pruned.join(dim, on, how)

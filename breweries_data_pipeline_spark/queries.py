@@ -7698,6 +7698,274 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, probes, k=5)
 
 
+# ---------------------------------------------------------------------------
+# round 6: bloom-filter join pruning + corpus-sampling / quality family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_bloom_prune",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 bloom-filter semi-join reduction (``bloom_prune_join``):
+    urgent orders x their lineitems, with the fact side pruned by the
+    dim keys' Bloom bitmap BEFORE the join shuffle. Result-identical
+    to the plain join (the oracle IS the plain join — false positives
+    die in the exact join that follows), so correctness doesn't depend
+    on the filter at all; the filter only cuts how many probe rows
+    reach the exchange. At 100 TB this is the regime where the dim's
+    key set is too large to broadcast as rows but its ~MB bitmap is
+    not — Spark's own AQE runtime bloom filter
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) does the same
+    rewrite behind size heuristics; the explicit operator makes the
+    plan deterministic and test-assertable. Prune selectivity is
+    asserted in tests/test_units.py."""
+    from breweries_data_pipeline_spark.operators.joins import bloom_prune_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    urgent = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    cents = F.round(F.col("l_extendedprice") * 100.0).cast("long")
+    return (
+        bloom_prune_join(li, urgent, "l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents).cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "q_char_diversity",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch
+      FROM documents WHERE n_chars > 0
+    ),
+    counts AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_chars_counted,
+           count(*) AS n_distinct_chars,
+           1000000 - (CAST(sum(c * c) AS BIGINT) * 1000000)
+             // (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)) AS simpson_ppm
+    FROM counts GROUP BY doc_id
+    """,
+)
+def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 character-diversity quality scoring: per-document
+    Gini-Simpson index (1 - sum(p_c^2)) in fixed-point ppm — the
+    low-diversity tail flags mojibake, ascii-art, base64 blobs and
+    single-character spam that length/stopword filters miss. Chosen
+    over Shannon entropy deliberately: Simpson needs only integer
+    c^2 sums, so the score is EXACT and engine-portable, while
+    entropy's per-term log2 is not correctly-rounded libm math and
+    its float sum is shuffle-order-dependent. Plan: one narrow
+    char-explode (no UDF), two hash aggregates with map-side combine
+    — the (doc, char) shuffle carries at most |alphabet| partial
+    rows per doc per map task. Overflow headroom: sum(c^2)*1e6 stays
+    under 2^63 for docs to ~1e6 chars; longer docs should pre-chunk
+    (same bound documented at the call site)."""
+    docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    counts = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_remove(F.split(F.col("text"), ""), "")).alias("ch"),
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").cast("long")
+    sumsq = F.sum(F.col("c") * F.col("c")).cast("long")
+    return counts.groupBy("doc_id").agg(
+        n.alias("n_chars_counted"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        (F.lit(1000000) - F.expr("(sum(c * c) * 1000000) div (sum(c) * sum(c))"))
+        .cast("long")
+        .alias("simpson_ppm"),
+    )
+
+
+@register(
+    "q_token_budget_sample",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS ord_key
+      FROM documents WHERE n_chars > 0
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY ord_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 800
+    """,
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture token budgeting: greedily admit documents per
+    source — in a DETERMINISTIC pseudo-random order (md5 of doc_id)
+    — until the source's token budget is exhausted. This is how a
+    pretraining mix caps an over-represented crawl at N tokens
+    without biasing toward short or early documents; the hash order
+    makes the sample reproducible and incremental (re-runs admit the
+    same prefix). Plan: one shuffle by source, then a running-sum
+    window; the per-source sequential scan is inherent to an exact
+    greedy prefix. At 100 TB with few giant sources, the two-pass
+    variant applies: range-partition each source by hash, per-bucket
+    token subtotals (tiny) prefix-sum on the driver, then each
+    bucket admits independently against its offset — same result,
+    no single-reducer bottleneck."""
+    from breweries_data_pipeline_spark.functions.text import token_count
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("ord_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = docs.select(
+        "doc_id",
+        "source",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .where(F.col("cum_tokens") <= 800)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+@register(
+    "q_doc_lm_score",
+    rf"""
+    WITH grams AS (
+      SELECT doc_id, unnest({_SQL_BIGRAMS}) AS pair
+      FROM documents WHERE n_chars > 0
+    ),
+    pc AS (
+      SELECT pair, split_part(pair, ' ', 1) AS w1, count(*) AS n_pair
+      FROM grams GROUP BY pair
+    ),
+    uni AS (
+      SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_w1 FROM pc GROUP BY w1
+    ),
+    model AS (
+      SELECT pair, (n_pair * 1000000) // n_w1 AS p_ppm
+      FROM pc JOIN uni USING (w1)
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(p_ppm) AS BIGINT) // count(*) AS mean_p_ppm
+    FROM grams JOIN model USING (pair)
+    GROUP BY doc_id
+    """,
+)
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM document scoring (the CCNet-style LM quality filter,
+    with the corpus's own bigram model standing in for the external
+    LM): every document is scored by the mean conditional
+    continuation frequency P(w2|w1) of its bigrams under the
+    whole-corpus model — low scores flag machine-generated or
+    shuffled-token text whose local word order is globally unusual.
+    Self-scoring means every bigram exists in the model, so no
+    smoothing term and the score stays in exact fixed-point ppm
+    (integer div both engines). Plan: the corpus explodes to bigrams
+    once per consumer; the model (pair -> ppm) is a hash aggregate +
+    one w1-keyed join; scoring is a pair-keyed equi-join back onto
+    the doc bigrams — Zipf-hot pairs skew the exchange, which AQE
+    skew-split handles (the model side is one row per pair, so only
+    the probe side fans out), then one per-doc aggregate."""
+    docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    grams = docs.select("doc_id", F.explode(shingles("text", 2)).alias("pair"))
+    pc = (
+        grams.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .withColumn("w1", F.split(F.col("pair"), " ").getItem(0))
+    )
+    uni = pc.groupBy("w1").agg(F.sum("n_pair").cast("long").alias("n_w1"))
+    model = pc.join(uni, "w1").select(
+        "pair", F.expr("(n_pair * 1000000) div n_w1").alias("p_ppm")
+    )
+    return (
+        grams.join(model, "pair")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("sum(p_ppm) div count(*)").cast("long").alias("mean_p_ppm"),
+        )
+    )
+
+
+@register(
+    "q_rebalance_labels",
+    """
+    WITH r AS (
+      SELECT vec_id, label,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      FROM embeddings
+    ),
+    m AS (
+      SELECT CAST(min(c) AS BIGINT) AS min_n
+      FROM (SELECT count(*) AS c FROM embeddings GROUP BY label)
+    )
+    SELECT vec_id, label FROM r, m WHERE rn <= min_n
+    """,
+)
+def q_rebalance_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class rebalancing for training data: deterministic undersample
+    of every label to the minority class's count, selecting each
+    label's keep-set by hash order (md5 of vec_id) so the sample is
+    reproducible run-to-run and unbiased w.r.t. insertion order. The
+    per-class cap arrives as a one-row broadcast crossJoin (Q22-style
+    scalar attach) — no second scan, no collect of data rows. Plan:
+    one shuffle by label for the row_number window; with millions of
+    rows per label the same hash-order semantics distribute as a
+    two-pass bucket scheme (per-bucket counts -> driver prefix ->
+    per-bucket local row_number offset), keeping any single reducer
+    from owning a whole class."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    min_n = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.min("c").cast("long").alias("min_n"))
+    )
+    return (
+        emb.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(min_n))
+        .where(F.col("rn") <= F.col("min_n"))
+        .select("vec_id", "label")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -141,9 +141,6 @@ def bloom_prune_join(
             F.pmod(F.xxhash64(col, F.lit(i)), F.lit(num_bits)) for i in range(num_hashes)
         ]
 
-    pos = dim.select(
-        F.explode(F.array(*_positions(F.col(on)))).alias("__pos")
-    ).distinct()
     def _one_shl(bits_col):
         # shiftleft() only takes a Python int in the PySpark wrapper;
         # call the SQL function directly for a column shift amount
@@ -151,13 +148,29 @@ def bloom_prune_join(
             "shiftleft", F.lit(1).cast("long"), bits_col.cast("int")
         )
 
+    # no distinct before the bit_or: OR absorbs duplicate positions,
+    # so the partial (map-side) bit_or already collapses them — one
+    # shuffle of <= num_bits/64 words per map task, not a distinct's
+    # full position exchange
+    num_words = (num_bits + 63) // 64
+    pos = dim.select(F.explode(F.array(*_positions(F.col(on)))).alias("__pos"))
     words = pos.groupBy(
         (F.col("__pos") / 64).cast("int").alias("__word")
     ).agg(
         F.bit_or(_one_shl(F.pmod(F.col("__pos"), F.lit(64)))).alias("__bits")
     )
-    bitmap = words.agg(
-        F.map_from_entries(F.collect_list(F.struct("__word", "__bits"))).alias("__bloom")
+    # densify to an ARRAY indexed by word: Spark's map element_at is a
+    # LINEAR scan over ArrayBasedMapData (O(num_words) per lookup —
+    # measured 5x2048-entry scans per fact row before this), while
+    # array element_at is O(1)
+    sparse = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("__word", "__bits"))).alias("__m")
+    )
+    bitmap = sparse.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_words - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("__m"), i), F.lit(0).cast("long")),
+        ).alias("__bloom")
     )
 
     tests = []
@@ -165,9 +178,7 @@ def bloom_prune_join(
         word = (p / 64).cast("int")
         bit = _one_shl(F.pmod(p, F.lit(64)))
         tests.append(
-            F.coalesce(F.element_at(F.col("__bloom"), word), F.lit(0).cast("long"))
-            .bitwiseAND(bit)
-            != 0
+            F.element_at(F.col("__bloom"), word + 1).bitwiseAND(bit) != 0
         )
     cond = tests[0]
     for t in tests[1:]:

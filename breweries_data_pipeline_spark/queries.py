@@ -7966,6 +7966,85 @@ def q_rebalance_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_similarity_join_exact",
+    f"""
+    WITH s AS (
+      SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           (CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000000)
+             // (CAST(len(a.sh) AS BIGINT) + CAST(len(b.sh) AS BIGINT)
+                 - CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)) AS jaccard_ppm
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE (CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000000)
+             // (CAST(len(a.sh) AS BIGINT) + CAST(len(b.sh) AS BIGINT)
+                 - CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)) >= 800000
+    """,
+)
+def q_similarity_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 EXACT all-pairs Jaccard similarity join at t=0.8 via
+    AllPairs/PPJoin prefix filtering — the zero-recall-loss
+    complement to MinHash-LSH. The oracle is brute-force quadratic
+    (fine at oracle SF); the Spark plan is the prefix-filtered
+    equi-join from ``prefix_filtered_similarity_join``, whose
+    rarest-first global token order keeps candidate buckets small on
+    Zipfian shingle distributions. Every pair the quadratic oracle
+    finds MUST appear — the prefix lemma guarantees no false
+    negatives, and the exact verify kills false positives — so this
+    oracle row proves the filter's completeness, not just its
+    plumbing."""
+    from breweries_data_pipeline_spark.operators.dedup import (
+        prefix_filtered_similarity_join,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    return prefix_filtered_similarity_join(docs, threshold=0.8)
+
+
+@register(
+    "q_debounce_events",
+    """
+    WITH x AS (
+      SELECT event_id, user_id, event_type, ts,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    )
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM x
+    WHERE prev_us IS NULL OR epoch_us(ts) - prev_us > 300000000
+    """,
+)
+def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event debouncing: drop events of the same (user, type) arriving
+    within 300s of the PREVIOUS such event — the duplicate-click /
+    at-least-once-delivery cleanup every event pipeline runs before
+    sessionization. Lag-based (gap measured to the previous event,
+    kept or not), so it is a single window pass — the keep-dependent
+    variant is inherently sequential and belongs to the streaming
+    dedup operator. Gaps compare in integer MICROSECONDS
+    (unix_micros/epoch_us), never float seconds, so the cut is exact
+    cross-engine. One shuffle by (user, type); per-key order by
+    (time, event_id) makes simultaneous events deterministic."""
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id", "event_type").orderBy(us, F.col("event_id"))
+    return (
+        ev.withColumn("prev_us", F.lag(us).over(w))
+        .where(F.col("prev_us").isNull() | (us - F.col("prev_us") > 300000000))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -630,3 +630,52 @@ def test_bloom_prune_prefilter_selectivity(spark):
     # intermediate row count via the operator's semi form
     semi = bloom_prune_join(fact, dim, "k", how="left_semi")
     assert semi.count() == 100
+
+
+def test_prefix_filtered_similarity_join_complete_on_frequent_overlap(spark):
+    """Adversarial completeness check for the AllPairs prefix filter:
+    the planted near-dup pair overlaps ONLY in shingles that are
+    frequent corpus-wide (the worst case for a rarest-first prefix —
+    their shared tokens sort LAST), yet the lemma still guarantees the
+    pair survives. Reference = brute-force all-pairs Jaccard."""
+    from pyspark.sql import functions as F
+
+    from breweries_data_pipeline_spark.functions.text import shingles
+    from breweries_data_pipeline_spark.operators.dedup import (
+        prefix_filtered_similarity_join,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, base), (2, base + " extra tail")]
+    # flood the corpus with docs reusing the SAME shingles so none of
+    # the pair's tokens is rare
+    rows += [(10 + i, base) for i in range(8)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard_ppm
+        for r in prefix_filtered_similarity_join(docs, threshold=0.5).collect()
+    }
+
+    sets = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(shingles("text", 3)).alias("s"),
+    )
+    brute = (
+        sets.alias("a")
+        .crossJoin(sets.alias("b"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.expr(
+                "(cast(size(array_intersect(a.s, b.s)) as bigint) * 1000000) div "
+                "(cast(size(a.s) as bigint) + cast(size(b.s) as bigint) "
+                " - cast(size(array_intersect(a.s, b.s)) as bigint))"
+            ).alias("jaccard_ppm"),
+        )
+        .where(F.col("jaccard_ppm") >= 500000)
+    )
+    want = {(r.id_a, r.id_b): r.jaccard_ppm for r in brute.collect()}
+    assert got == want
+    assert (1, 2) in got  # the planted frequent-overlap pair survived

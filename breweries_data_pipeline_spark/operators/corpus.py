@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from breweries_data_pipeline_spark.functions.text import shingles
+from breweries_data_pipeline_spark.functions.text import shingles, tokens
 
 
 def hash_bucket(col: Column, salt: str, buckets: int) -> Column:
@@ -112,3 +112,82 @@ def decontaminate(
         .distinct()
     )
     return docs.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    buckets: int = 256,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR-style data selection by importance resampling (Xie et al.
+    2023, arXiv:2302.03169): score every document by how much more
+    likely its hashed-token features are under the TARGET distribution
+    (rows where ``target`` is true) than under the raw corpus, then
+    select high-scoring documents.
+
+    Returns (id, weight_micro, selected): ``weight_micro`` is an exact
+    integer — per feature f the add-1-smoothed ratio
+    p_f/q_f = ((ct_f+1)/(Tt+B)) / ((cr_f+1)/(Tr+B)) is linearized to
+    round((p/q - 1) * 1e6) (first-order Taylor of ln(p/q), exact under
+    IEEE rounding in any engine) and the document weight is the
+    integer sum of count_f * lr_micro_f. The paper's log-likelihood
+    form is one F.log swap away; the linearized form is used so the
+    DuckDB oracle hash-matches bit-for-bit (libm ln is not guaranteed
+    identical across engines, exactly-rounded +,-,*,/ and round()
+    are).
+
+    Plan shape at 100 TB: one explode to (doc, feature) pairs; the
+    feature model is B rows (bounded, independent of corpus size) so
+    it broadcasts; per-doc scoring is one groupBy(doc, feature) with
+    map-side combine then one groupBy(doc). No shuffle carries raw
+    text. Hashed features cap model size exactly as in the paper
+    (they use 10k buckets at trillion-token scale)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens(text_col)).alias("__w"),
+        target.alias("__is_t"),
+    )
+    feats = toks.select(
+        id_col,
+        hash_bucket(F.col("__w"), salt, buckets).alias("__f"),
+        "__is_t",
+    )
+    model = feats.groupBy("__f").agg(
+        F.count("*").alias("__cr"),
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("__ct"),
+    )
+    totals = model.agg(
+        F.sum("__cr").alias("__tr"), F.sum("__ct").alias("__tt")
+    )
+    b = float(buckets)
+    lr = (
+        model.crossJoin(F.broadcast(totals))
+        .select(
+            "__f",
+            F.round(
+                (
+                    ((F.col("__ct") + 1.0) / (F.col("__tt") + b))
+                    / ((F.col("__cr") + 1.0) / (F.col("__tr") + b))
+                    - 1.0
+                )
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("__lr_micro"),
+        )
+    )
+    perdoc = feats.groupBy(id_col, "__f").agg(F.count("*").alias("__cnt"))
+    return (
+        perdoc.join(F.broadcast(lr), "__f")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__cnt") * F.col("__lr_micro")).alias("weight_micro"))
+        .select(
+            id_col,
+            "weight_micro",
+            (F.col("weight_micro") >= 0).alias("selected"),
+        )
+    )

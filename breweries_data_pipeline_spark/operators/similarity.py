@@ -817,3 +817,104 @@ def pq_topk(
         k,
         rank_name="rank",
     ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    tau: float = 0.25,
+    n_iter: int = 0,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus, then inside each cluster
+    drop every vector whose cosine to an earlier-RANKED cluster member
+    reaches ``tau`` (rank-ordered pruning — one deterministic pass,
+    the paper's epsilon-grouping with the diversity-keeping order). Returns the KEPT rows as
+    (id, cluster_id, cos_centroid, rnk).
+
+    Plan shape, in scale order:
+    1. centroids: ``kmeans_centroids`` (deterministic lowest-id seeds;
+       ``n_iter`` Lloyd rounds — 0 keeps the whole operator
+       SQL-oracle-reproducible, >0 is the production setting).
+    2. assignment: k exact-fold dots per row against the k*d literal
+       centroid matrix riding the plan (no join, no shuffle) —
+       argmax by (cosine desc, centroid id asc) via array_max over
+       (cos, -cid) structs, all codegen except the Arrow dot kernel.
+    3. within-cluster ranking: SemDeDup's keep-order. We rank
+       ASCENDING by cosine-to-centroid (lowest-similarity first) so
+       the survivors are the DIVERSE members — the paper's choice —
+       with the row id as tie-break; one hash exchange on cluster_id.
+    4. candidate pairs: a self EQUI-join on cluster_id (rank_a <
+       rank_b), never a crossJoin — pair volume is sum of
+       cluster_size^2, the SemDeDup cost model. At 100 TB, k scales
+       with N (k ~ N / target_cluster_size, the paper uses ~10k-100k
+       clusters) so cluster sizes stay bounded; a hub cluster that
+       still blows up gets sub-sharded by a secondary LSH band over
+       its members (compose with ann_topk's banding) before pairing.
+    5. drops: pair qualifies when exact cosine >= tau; surviving set =
+       anti-join. All cosine arithmetic is the pinned-order exact
+       fold, so DuckDB reproduces the output bit-for-bit.
+    """
+    import math
+
+    cents = kmeans_centroids(df, vec_col=vec_col, id_col=id_col, k=k, n_iter=n_iter)
+    dot = _exact_dot_udf()
+    base = df.select(id_col, vec_col).withColumn(
+        "__n", F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+    )
+
+    def _fold_norm(vec: list[float]) -> float:
+        acc = 0.0
+        for x in vec:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    sims = []
+    for i, c in enumerate(cents):
+        cvec = F.array(*[F.lit(float(x)) for x in c])
+        cn = _fold_norm(c)
+        cos_i = dot(F.col(vec_col), cvec) / (F.col("__n") * F.lit(cn))
+        sims.append(F.struct(cos_i.alias("c"), F.lit(-i).alias("ni")))
+    best = F.array_max(F.array(*sims))
+    assigned = base.select(
+        id_col,
+        vec_col,
+        "__n",
+        (-best["ni"]).alias("cluster_id"),
+        best["c"].alias("cos_centroid"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("cos_centroid").asc(), F.col(id_col).asc()
+    )
+    ranked = assigned.withColumn("rnk", F.row_number().over(w).cast("long"))
+    a = ranked.select(
+        "cluster_id",
+        F.col(id_col).alias("__a_id"),
+        F.col(vec_col).alias("__a_vec"),
+        F.col("__n").alias("__a_n"),
+        F.col("rnk").alias("__a_rnk"),
+    )
+    b = ranked.select(
+        "cluster_id",
+        F.col(id_col).alias("__b_id"),
+        F.col(vec_col).alias("__b_vec"),
+        F.col("__n").alias("__b_n"),
+        F.col("rnk").alias("__b_rnk"),
+    )
+    drops = (
+        a.join(b, "cluster_id")
+        .filter(F.col("__a_rnk") < F.col("__b_rnk"))
+        .filter(
+            dot(F.col("__a_vec"), F.col("__b_vec"))
+            / (F.col("__a_n") * F.col("__b_n"))
+            >= F.lit(tau)
+        )
+        .select(F.col("__b_id").alias(id_col))
+        .distinct()
+    )
+    kept = ranked.join(drops, id_col, "left_anti")
+    return kept.select(id_col, "cluster_id", "cos_centroid", "rnk")

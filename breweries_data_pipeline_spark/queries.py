@@ -8051,3 +8051,132 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: sql.strip() for name, (_, sql) in REGISTRY.items() if sql is not None}
+
+
+# ---------------------------------------------------------------------------
+# round 6: semantic dedup, DSIR resampling, incremental agg maintenance,
+# k-anonymity, graph node similarity, count-min sketch
+# ---------------------------------------------------------------------------
+
+_SQL_DOT_V = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i] * {b}[i]))"
+)
+
+
+@register(
+    "q_semantic_dedup",
+    f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid,
+             v AS c
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+    ),
+    sims AS (
+      SELECT e.vec_id, s.cid,
+             {_SQL_DOT_V.format(a='e.v', b='s.c')}
+             / (sqrt({_SQL_DOT_V.format(a='e.v', b='e.v')})
+                * sqrt({_SQL_DOT_V.format(a='s.c', b='s.c')})) AS cos
+      FROM e CROSS JOIN seeds s
+    ),
+    assigned AS (
+      SELECT vec_id, cluster_id, cos_centroid FROM (
+        SELECT vec_id, cid AS cluster_id, cos AS cos_centroid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM sims
+      ) t WHERE rn = 1
+    ),
+    ranked AS (
+      SELECT vec_id, cluster_id, cos_centroid,
+             CAST(row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY cos_centroid ASC, vec_id)
+                  AS BIGINT) AS rnk
+      FROM assigned
+    ),
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM ranked a
+      JOIN ranked b ON a.cluster_id = b.cluster_id AND a.rnk < b.rnk
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE {_SQL_DOT_V.format(a='ea.v', b='eb.v')}
+            / (sqrt({_SQL_DOT_V.format(a='ea.v', b='ea.v')})
+               * sqrt({_SQL_DOT_V.format(a='eb.v', b='eb.v')})) >= 0.25
+    )
+    SELECT vec_id, CAST(cluster_id AS INTEGER) AS cluster_id,
+           cos_centroid, rnk
+    FROM ranked WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 SemDeDup semantic deduplication (cluster -> rank by
+    diversity -> within-cluster cosine pruning). The oracle replays
+    the full algorithm in SQL — deterministic seeds (k lowest-id
+    vectors, n_iter=0), pinned-order exact-fold cosine — so the kept
+    set, cluster assignment, and ranks hash-match bit-for-bit. The
+    production path flips n_iter>0 for real Lloyd centroids; plan
+    shape is identical. See operators/similarity.py:semantic_dedup
+    for the 100 TB posture (cluster-count scaling, hub-cluster
+    sub-sharding)."""
+    from breweries_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=8, tau=0.25, n_iter=0)
+
+
+@register(
+    "q_dsir_weights",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+             lang = 'en' AS is_t
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(w || ':dsir'), 1, 8))::BIGINT % 256 AS f,
+             is_t
+      FROM toks
+    ),
+    model AS (
+      SELECT f, count(*) AS cr,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+      FROM feats GROUP BY f
+    ),
+    tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM model),
+    lr AS (
+      SELECT f,
+             CAST(round(
+               (((ct + 1.0) / (tt + 256.0)) / ((cr + 1.0) / (tr + 256.0))
+                - 1.0) * 1000000.0) AS BIGINT) AS lr_micro
+      FROM model CROSS JOIN tot
+    ),
+    perdoc AS (
+      SELECT doc_id, f, count(*) AS cnt FROM feats GROUP BY doc_id, f
+    )
+    SELECT p.doc_id,
+           CAST(sum(p.cnt * l.lr_micro) AS BIGINT) AS weight_micro,
+           CAST(sum(p.cnt * l.lr_micro) AS BIGINT) >= 0 AS selected
+    FROM perdoc p JOIN lr l USING (f)
+    GROUP BY p.doc_id
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 DSIR importance weights for domain-targeted data selection
+    (target = English documents). Hashed-token feature model (256
+    buckets, bounded size -> broadcast), exact-integer linearized
+    likelihood ratios, one explode + two hash aggregates — the
+    trillion-token data-selection recipe of Xie et al. 2023 with the
+    model-size/scan-count posture preserved. Oracle replays the whole
+    pipeline in SQL bit-for-bit."""
+    from breweries_data_pipeline_spark.operators.corpus import dsir_weights
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dsir_weights(docs, target=F.col("lang") == "en")

@@ -293,3 +293,64 @@ def triangle_stats(
         )
     )
     return out
+
+
+def node_jaccard(
+    edges: DataFrame,
+    item_col: str,
+    node_col: str,
+    *,
+    hub_cap: int = 30,
+) -> DataFrame:
+    """Node-similarity by neighborhood Jaccard over a bipartite graph
+    (node -> item adjacency): for every node pair sharing an item,
+    |common items| / |union of items| — the classic common-neighbor
+    link-prediction / entity-similarity score.
+
+    Scale structure: candidate pairs come ONLY from a self equi-join
+    on the item key — pair volume is sum(deg_item^2), so hub items
+    dominate cost while contributing near-zero signal (an item
+    touched by everyone says nothing about any pair). ``hub_cap``
+    drops items with more than that many neighbors BEFORE pairing —
+    the standard prefix/hub-pruning trade (cf. positional prefix
+    filtering in similarity joins): deterministic, and both degrees
+    and intersections are computed over the SAME pruned graph so the
+    Jaccard stays internally consistent. At 100 TB the remaining
+    skew knob is the cap itself; cost is linear in edges plus
+    sum-of-squared capped degrees."""
+    e = edges.select(
+        F.col(item_col).alias("__item"), F.col(node_col).alias("__node")
+    ).distinct()
+    deg_item = e.groupBy("__item").agg(F.count("*").alias("__di"))
+    kept = e.join(
+        F.broadcast(deg_item.filter(F.col("__di") <= hub_cap).select("__item")),
+        "__item",
+    )
+    deg_node = kept.groupBy("__node").agg(F.count("*").alias("__dn"))
+    a = kept.select("__item", F.col("__node").alias("node_a"))
+    b = kept.select("__item", F.col("__node").alias("node_b"))
+    common = (
+        a.join(b, "__item")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count("*").alias("common_items"))
+    )
+    da = deg_node.select(
+        F.col("__node").alias("node_a"), F.col("__dn").alias("__da")
+    )
+    db = deg_node.select(
+        F.col("__node").alias("node_b"), F.col("__dn").alias("__db")
+    )
+    return (
+        common.join(da, "node_a")
+        .join(db, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            F.col("common_items").cast("long").alias("common_items"),
+            (
+                F.col("common_items")
+                / (F.col("__da") + F.col("__db") - F.col("common_items"))
+            ).alias("jaccard"),
+        )
+    )

@@ -43,3 +43,29 @@ def merge_upsert(
     if delete_predicate is not None:
         latest = latest.filter(~delete_predicate)
     return latest
+
+
+def merge_partial_aggs(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    merge_spec: dict[str, str],
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: combine an
+    existing aggregate table with the aggregate of a NEW partition
+    without touching the already-aggregated history — the standard
+    refresh path for a rollup over an append-only 100 TB fact table
+    (recomputing from raw would re-shuffle the full history every
+    load; merging shuffles only |keys| rows per side).
+
+    ``merge_spec`` maps column -> combine fn over ALGEBRAIC partials:
+    'sum' (also merges COUNT partials — counts add), 'min', 'max'.
+    Non-algebraic aggregates (distinct counts, exact medians) don't
+    merge; keep a sketch column (HLL / GK) instead and merge that.
+
+    Plan: unionByName + one hash aggregate keyed by ``keys`` — partial
+    (map-side) combine applies, and with both inputs bucketed on the
+    keys the exchange disappears entirely."""
+    fns = {"sum": F.sum, "min": F.min, "max": F.max}
+    aggs = [fns[how](c).alias(c) for c, how in merge_spec.items()]
+    return base.unionByName(delta).groupBy(*keys).agg(*aggs)

@@ -1,0 +1,90 @@
+"""Count-min sketch over a key column (SURVEY.md §2.6 extension
+surface: mergeable frequency sketches for 100 TB streams).
+
+A CMS is a depth x width integer grid; every key increments one
+counter per row (bucket = hash_r(key) % width) and a point estimate
+is the MIN over the key's depth counters — always an overestimate,
+with error <= 2N/width at 1 - (1/2)^depth probability.
+
+Why it matters at scale: the sketch is a (depth * width)-row counts
+table, independent of cardinality, built by ONE explode + hash
+aggregate with map-side combine — and it MERGES by cell-wise sum
+(compose with merge.merge_partial_aggs), so per-partition /
+per-day sketches roll up without re-reading history, exactly where
+exact per-key counts would need a full re-shuffle of the raw keys.
+
+Hashing is the engine's cross-engine md5 idiom (corpus.hash_bucket
+with a per-row salt), so DuckDB reproduces the grid bit-for-bit —
+the sketch is deterministic, not sampled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from breweries_data_pipeline_spark.operators.corpus import hash_bucket
+
+
+def cms_build(
+    keys: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 128,
+    salt: str = "cms",
+) -> DataFrame:
+    """Build the sketch: (r, bucket, cnt) with one row per non-empty
+    cell (<= depth * width rows regardless of input size)."""
+    cells = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        hash_bucket(
+                            F.col(key_col), f"{salt}{r}", width
+                        ).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell")
+    )
+    return cells.groupBy(
+        F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 128,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-estimate each probe key: min over its depth counters.
+    The sketch (bounded size) is broadcast; probes never shuffle."""
+    probed = probes.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        hash_bucket(
+                            F.col(key_col), f"{salt}{r}", width
+                        ).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(key_col, F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket"))
+    return (
+        probed.join(F.broadcast(sketch), ["r", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
+    )

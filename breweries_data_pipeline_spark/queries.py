@@ -8180,3 +8180,213 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return dsir_weights(docs, target=F.col("lang") == "en")
+
+
+@register(
+    "q_incremental_agg",
+    """
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS order_cnt,
+           CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS last_order_date
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the per-customer
+    rollup is built as base (orders before 1997) MERGED with the delta
+    partition (1997 onward) via merge_partial_aggs — counts add, sums
+    add, maxes max. The oracle is the direct one-shot aggregate over
+    the full table, proving the algebraic merge reproduces it exactly.
+    At 100 TB the merge touches |keys| rows per side instead of
+    re-shuffling the full fact history every refresh."""
+    from breweries_data_pipeline_spark.operators.merge import merge_partial_aggs
+
+    orders = read_table(spark, sf_dir, "orders")
+
+    def part_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("order_cnt"),
+            F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias(
+                "total_cents"
+            ),
+            F.max("o_orderdate").alias("__last"),
+        )
+
+    cut = "1997-01-01"
+    base = part_agg(orders.filter(F.col("o_orderdate") < cut))
+    delta = part_agg(orders.filter(F.col("o_orderdate") >= cut))
+    merged = merge_partial_aggs(
+        base,
+        delta,
+        ["o_custkey"],
+        {"order_cnt": "sum", "total_cents": "sum", "__last": "max"},
+    )
+    return merged.select(
+        "o_custkey",
+        F.col("order_cnt").cast("long").alias("order_cnt"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+        F.date_format("__last", "yyyy-MM-dd").alias("last_order_date"),
+    )
+
+
+@register(
+    "q_k_anonymity",
+    """
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             count(*) AS k
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT k,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(k) AS BIGINT) AS n_rows,
+           k < 5 AS at_risk
+    FROM classes GROUP BY k
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit for training-data release: k-anonymity histogram
+    over quasi-identifier equivalence classes (nation, market segment,
+    account-balance band). Rows in classes with k < 5 are
+    re-identifiable and need suppression/generalization before the
+    table ships. Two hash aggregates; the first (the wide one) gets
+    map-side combine, the second groups ~hundreds of k values — at
+    100 TB cost is one shuffle of |classes| rows, and the QI class key
+    is the natural bucketing key for repeated audits."""
+    cust = read_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(F.count("*").alias("k"))
+    return classes.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("k").cast("long").alias("n_rows"),
+    ).select("k", "n_classes", "n_rows", (F.col("k") < 5).alias("at_risk"))
+
+
+@register(
+    "q_node_jaccard",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_partkey AS item, l_suppkey AS node FROM lineitem
+    ),
+    kept AS (
+      SELECT e.item, e.node FROM e
+      JOIN (SELECT item FROM e GROUP BY item HAVING count(*) <= 30) h
+        USING (item)
+    ),
+    dn AS (SELECT node, count(*) AS d FROM kept GROUP BY node),
+    common AS (
+      SELECT a.node AS node_a, b.node AS node_b, count(*) AS common_items
+      FROM kept a JOIN kept b ON a.item = b.item AND a.node < b.node
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT node_a, node_b, CAST(common_items AS BIGINT) AS common_items,
+             common_items / (da.d + db.d - common_items) AS jaccard
+      FROM common
+      JOIN dn da ON da.node = node_a
+      JOIN dn db ON db.node = node_b
+    )
+    SELECT node_a, node_b, common_items, jaccard, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY jaccard DESC, node_a, node_b) AS rn
+      FROM scored
+    ) t WHERE rn <= 50
+    """,
+)
+def q_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph node similarity: top-50 supplier pairs by Jaccard of
+    their part neighborhoods (common-neighbor link prediction), with
+    hub-part pruning (cap 30) ahead of the pairing self-join — see
+    operators/graph.py:node_jaccard for the sum(deg^2) cost model.
+    Global top-k plans as TakeOrderedAndProject. Jaccard division is
+    a single exactly-rounded IEEE op, hash-stable cross-engine."""
+    from breweries_data_pipeline_spark.operators.graph import node_jaccard
+
+    li = read_table(spark, sf_dir, "lineitem")
+    sims = node_jaccard(
+        li.select("l_partkey", "l_suppkey"), "l_partkey", "l_suppkey", hub_cap=30
+    )
+    w = Window.orderBy(F.col("jaccard").desc(), F.col("node_a"), F.col("node_b"))
+    return (
+        topk_global(
+            sims, [F.col("jaccard").desc(), F.col("node_a"), F.col("node_b")], 50
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
+@register(
+    "q_cms_frequencies",
+    r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      FROM documents
+    ),
+    rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    grid AS (
+      SELECT rs.r,
+             ('0x' || substr(md5(w || ':cms' || rs.r), 1, 8))::BIGINT % 128
+               AS bucket,
+             count(*) AS cnt
+      FROM toks CROSS JOIN rs
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT w, count(*) AS true_cnt FROM toks GROUP BY w
+      ORDER BY true_cnt DESC, w LIMIT 20
+    ),
+    est AS (
+      SELECT t.w, min(g.cnt) AS est_cnt
+      FROM top t CROSS JOIN rs
+      JOIN grid g
+        ON g.r = rs.r
+       AND g.bucket = ('0x' || substr(md5(t.w || ':cms' || rs.r), 1, 8))::BIGINT
+                      % 128
+      GROUP BY t.w
+    )
+    SELECT t.w AS word, CAST(t.true_cnt AS BIGINT) AS true_cnt,
+           CAST(e.est_cnt AS BIGINT) AS est_cnt
+    FROM top t JOIN est e ON e.w = t.w
+    """,
+)
+def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation over corpus tokens: build
+    the 4x128 mergeable grid in one explode + hash aggregate, then
+    point-estimate the exact top-20 words against it (sketch
+    broadcast, probes never shuffle). The md5-salted hashing makes the
+    grid deterministic, so the DuckDB oracle reproduces estimates
+    bit-for-bit — estimates are provable overestimates bounded by
+    2N/width. See operators/sketch.py for the merge-by-sum rollup
+    story at 100 TB."""
+    from breweries_data_pipeline_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+    from breweries_data_pipeline_spark.functions.text import tokens as _toks
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_toks("text")).alias("w"))
+    sketch = cms_build(toks, "w")
+    top = topk_global(
+        toks.groupBy("w").agg(F.count("*").alias("true_cnt")),
+        [F.col("true_cnt").desc(), F.col("w")],
+        20,
+    )
+    est = cms_estimate(sketch, top.select("w"), "w")
+    return (
+        top.join(est, "w")
+        .select(
+            F.col("w").alias("word"),
+            F.col("true_cnt").cast("long").alias("true_cnt"),
+            F.col("est_cnt").cast("long").alias("est_cnt"),
+        )
+    )

@@ -126,6 +126,17 @@ R6 = [
     "q_debounce_events",
 ]
 
+# round-6 second wave (semantic dedup / data selection / sketches /
+# privacy / graph similarity) — summed under "r6b_total"
+R6B = [
+    "q_semantic_dedup",
+    "q_dsir_weights",
+    "q_incremental_agg",
+    "q_k_anonymity",
+    "q_node_jaccard",
+    "q_cms_frequencies",
+]
+
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",
                  "documents", "embeddings")
 
@@ -181,7 +192,7 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name in HEADLINE + [q for q in EXTENDED + CORPUS + R5 + R6 if q in REGISTRY]:
+    for name in HEADLINE + [q for q in EXTENDED + CORPUS + R5 + R6 + R6B if q in REGISTRY]:
         fn, _ = REGISTRY[name]
         runs = []
         for _ in range(reps):
@@ -205,6 +216,7 @@ def main() -> None:
     corpus_total = round(sum(timings[q] for q in CORPUS if q in timings), 3)
     r5_total = round(sum(timings[q] for q in R5 if q in timings), 3)
     r6_total = round(sum(timings[q] for q in R6 if q in timings), 3)
+    r6b_total = round(sum(timings[q] for q in R6B if q in timings), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     payload = {
         "metric": "headline_queries_total_wall",
@@ -216,6 +228,7 @@ def main() -> None:
         "corpus_total": corpus_total,
         "r5_total": r5_total,
         "r6_total": r6_total,
+        "r6b_total": r6b_total,
         "sf": float(sf) if sf else None,
     }
     # 10x soak leg: same suite, one rep, at sf1. Compact evidence on

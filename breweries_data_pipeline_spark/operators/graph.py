@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def connected_components(
@@ -354,3 +355,105 @@ def node_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source: int,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Single-source shortest hop-distances by frontier BFS, bounded
+    at ``max_hops`` (node, dist).
+
+    Each round is one equi-join of the CURRENT frontier (new nodes
+    only) against the edge table plus an anti-join against the
+    settled set — the standard distributed BFS: work per round is
+    proportional to the frontier's out-edges, never the whole graph,
+    and the settled set only grows by genuinely new nodes so the
+    anti-join input is bounded by |V|. Rounds localCheckpoint like
+    pagerank/connected_components to keep lineage flat. Bounded-hop
+    BFS is the scalable form (k-hop neighborhoods for GNN sampling /
+    blast-radius queries); full-graph diameter scans don't survive
+    100 TB and aren't offered."""
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(source, 0)], T.StructType([
+            T.StructField("node", T.LongType()),
+            T.StructField("dist", T.IntegerType()),
+        ])
+    )
+    frontier = dist
+    e = edges.select(
+        F.col(src_col).cast("long").alias("__s"),
+        F.col(dst_col).cast("long").alias("__d"),
+    )
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["__s"])
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+    return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 2,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007), deterministic variant: labels start as node ids; each
+    round every node adopts the most frequent label among its
+    neighbors, ties broken by the smallest label. Fixed ``n_iter``
+    synchronous rounds (deterministic and SQL-reproducible, unlike
+    the async/random-order original). Returns (node, community).
+
+    Each round is one equi-join (edges x labels, carrying only
+    (node, label) longs) + one count aggregate + one row_number over
+    (node) — two shuffles on node keys, partial-aggregated, skew
+    limited by max degree; rounds localCheckpoint to keep lineage
+    flat, exactly like pagerank/connected_components. Isolated nodes
+    keep their own label via the final left join."""
+    e = edges.select(
+        F.col(src_col).cast("long").alias("__a"),
+        F.col(dst_col).cast("long").alias("__b"),
+    )
+    sym = e.unionByName(
+        e.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
+    ).distinct()
+    nodes = sym.select(F.col("__a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    from pyspark.sql import Window
+
+    for _ in range(n_iter):
+        votes = (
+            sym.join(labels, sym["__b"] == labels["node"])
+            .groupBy(F.col("__a").alias("n"), "label")
+            .agg(F.count("*").alias("__c"))
+        )
+        w = Window.partitionBy("n").orderBy(
+            F.col("__c").desc(), F.col("label").asc()
+        )
+        new = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("n").alias("node"), "label")
+        )
+        labels = (
+            nodes.join(new, "node", "left")
+            .select("node", F.coalesce("label", "node").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))

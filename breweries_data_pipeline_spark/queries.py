@@ -8390,3 +8390,187 @@ def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("est_cnt").cast("long").alias("est_cnt"),
         )
     )
+
+
+@register(
+    "q_bfs_hops",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    walk(node, d) AS (
+      SELECT CAST(1 AS BIGINT) AS node, 0 AS d
+      UNION
+      SELECT e.dst, w.d + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d < 3
+    )
+    SELECT node, CAST(min(d) AS INTEGER) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph traversal: hop-distances (<= 3) from part 1 over the
+    part co-occurrence graph (parts sharing an order). Frontier BFS —
+    per-round cost proportional to frontier out-edges, settled-set
+    anti-join, localCheckpoint per round (see graph.py:bfs_distances).
+    Oracle is DuckDB's WITH RECURSIVE with the same hop bound; min(d)
+    collapses multiple discovery depths to the true distance."""
+    from breweries_data_pipeline_spark.operators.graph import bfs_distances
+
+    li = read_table(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return bfs_distances(edges, 1, max_hops=3)
+
+
+@register(
+    "q_ohlc_bars",
+    """
+    WITH ranked AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, value, ts, event_id,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM events
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS bar_start, event_type,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_z = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_ticks
+    FROM ranked GROUP BY h, event_type
+    """,
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to OHLC bars (open/high/low/close per
+    hour per event type) — the canonical resample for tick/metric
+    streams. One window pass (forward + reverse row_number share the
+    same hash exchange on the bar key) + one hash aggregate; no
+    self-join back to the extremes, ties broken by (ts, event_id) so
+    the bars are deterministic. At scale the exchange is on
+    (hour, type) — naturally bounded key cardinality; a hot bar is
+    splittable by AQE since the window functions only need
+    partition-local order."""
+    events = read_table(spark, sf_dir, "events")
+    h = F.date_trunc("hour", F.col("ts"))
+    wa = Window.partitionBy(h, F.col("event_type")).orderBy(
+        F.col("ts"), F.col("event_id")
+    )
+    wz = Window.partitionBy(h, F.col("event_type")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = events.select(
+        h.alias("h"),
+        "event_type",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wz).alias("rn_z"),
+    )
+    return ranked.groupBy("h", "event_type").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_z") == 1, F.col("value"))).alias("close"),
+        F.count("*").cast("long").alias("n_ticks"),
+    ).select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
+        "event_type",
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_ticks",
+    )
+
+
+@register(
+    "q_label_propagation",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_partkey AS item, l_suppkey AS node FROM lineitem
+    ),
+    kept AS (
+      SELECT e.item, e.node FROM e
+      JOIN (SELECT item FROM e GROUP BY item HAVING count(*) <= 30) h
+        USING (item)
+    ),
+    dn AS (SELECT node, count(*) AS d FROM kept GROUP BY node),
+    s AS (
+      SELECT node_a, node_b FROM (
+        SELECT a.node AS node_a, b.node AS node_b, count(*) AS c
+        FROM kept a JOIN kept b ON a.item = b.item AND a.node < b.node
+        GROUP BY 1, 2
+      ) cm
+      JOIN dn da ON da.node = cm.node_a
+      JOIN dn db ON db.node = cm.node_b
+      WHERE cm.c / (da.d + db.d - cm.c) >= 0.155
+    ),
+    sym AS (
+      SELECT node_a AS a, node_b AS b FROM s
+      UNION
+      SELECT node_b AS a, node_a AS b FROM s
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    r1 AS (
+      SELECT n AS node, label FROM (
+        SELECT sym.a AS n, l0.label, count(*) AS c,
+               row_number() OVER (PARTITION BY sym.a
+                                  ORDER BY count(*) DESC, l0.label) AS rn
+        FROM sym JOIN l0 ON l0.node = sym.b
+        GROUP BY sym.a, l0.label
+      ) t WHERE rn = 1
+    ),
+    l1 AS (
+      SELECT nodes.node, coalesce(r1.label, nodes.node) AS label
+      FROM nodes LEFT JOIN r1 USING (node)
+    ),
+    r2 AS (
+      SELECT n AS node, label FROM (
+        SELECT sym.a AS n, l1.label, count(*) AS c,
+               row_number() OVER (PARTITION BY sym.a
+                                  ORDER BY count(*) DESC, l1.label) AS rn
+        FROM sym JOIN l1 ON l1.node = sym.b
+        GROUP BY sym.a, l1.label
+      ) t WHERE rn = 1
+    ),
+    l2 AS (
+      SELECT nodes.node, coalesce(r2.label, nodes.node) AS label
+      FROM nodes LEFT JOIN r2 USING (node)
+    )
+    SELECT node, label AS community FROM l2
+    """,
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection: 2 synchronous label-propagation rounds
+    over the supplier similarity graph (edges = supplier pairs whose
+    part-neighborhood Jaccard >= 0.155, i.e. the top decile of
+    node_jaccard scores). Deterministic most-frequent-neighbor-label
+    update with min-label tie-break; the oracle unrolls both rounds in
+    SQL. Composes two round-6 operators (node_jaccard ->
+    label_propagation); see graph.py for the per-round shuffle
+    structure."""
+    from breweries_data_pipeline_spark.operators.graph import (
+        label_propagation,
+        node_jaccard,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    sims = node_jaccard(
+        li.select("l_partkey", "l_suppkey"), "l_partkey", "l_suppkey", hub_cap=30
+    )
+    edges = sims.filter(F.col("jaccard") >= 0.155).select("node_a", "node_b")
+    return label_propagation(
+        edges, src_col="node_a", dst_col="node_b", n_iter=2
+    )

@@ -135,6 +135,11 @@ R6B = [
     "q_k_anonymity",
     "q_node_jaccard",
     "q_cms_frequencies",
+    "q_bfs_hops",
+    "q_ohlc_bars",
+    "q_label_propagation",
+    "q_minhash_lsh",
+    "q_hard_negatives",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

@@ -8574,3 +8574,198 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(
         edges, src_col="node_a", dst_col="node_b", n_iter=2
     )
+
+
+def _sql_minhash_cols(n: int = 16) -> str:
+    return ",\n             ".join(
+        f"min(('0x' || substr(md5(s || ':mh{r}'), 1, 8))::BIGINT) AS h{r}"
+        for r in range(n)
+    )
+
+
+def _sql_minhash_bands(n_bands: int = 4, rows: int = 4) -> str:
+    parts = []
+    for b in range(n_bands):
+        cols = ", ".join(
+            f"h{b * rows + i} AS v{i}" for i in range(rows)
+        )
+        parts.append(f"SELECT doc_id, {b} AS band, {cols} FROM sig")
+    return "\n      UNION ALL\n      ".join(parts)
+
+
+@register(
+    "q_minhash_lsh",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES})) AS s
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_sql_minhash_cols(16)}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {_sql_minhash_bands(4, 4)}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
+       AND a.v2 = b.v2 AND a.v3 = b.v3 AND a.doc_id < b.doc_id
+    ),
+    shs AS (
+      SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS s FROM documents
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)
+               AS jaccard
+      FROM cand c
+      JOIN shs sa ON sa.doc_id = c.id_a
+      JOIN shs sb ON sb.doc_id = c.id_b
+    ) t WHERE jaccard >= 0.5
+    """,
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 MinHash-LSH near-dup pairs with a FULL cross-engine oracle:
+    the 16 min-hash lanes derive from the md5 idiom (first 8 hex chars
+    as a long) instead of xxhash64, so — unlike q_neardup_pairs_minhash
+    (rows-only by hash family) — signatures, banding (4 bands x 4
+    rows), candidate generation AND exact-Jaccard verification (>= 0.5)
+    are all reproduced bit-for-bit by DuckDB. Plan: one shingle
+    explode + ONE hash aggregate computes all 16 lanes (map-side
+    combined mins); banding self-joins on (band, 4 lane values) —
+    candidate volume only from genuine signature collisions; verify
+    re-attaches shingle sets to candidates only. md5 costs ~3x
+    xxhash64 per shingle — the production path keeps xxhash64; this
+    query is the auditable twin with identical plan shape."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("s")
+    )
+
+    def lane(r: int) -> Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.col("s"), F.lit(f":mh{r}"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(lane(r)).alias(f"h{r}") for r in range(16)]
+    )
+    band_frames = [
+        sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            *[F.col(f"h{b * 4 + i}").alias(f"v{i}") for i in range(4)],
+        )
+        for b in range(4)
+    ]
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+    left = bands.select(
+        F.col("doc_id").alias("id_a"), "band", "v0", "v1", "v2", "v3"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("id_b"), "band", "v0", "v1", "v2", "v3"
+    )
+    cand = (
+        left.join(right, ["band", "v0", "v1", "v2", "v3"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    shs = docs.select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("s")
+    )
+    sa = shs.select(F.col("doc_id").alias("id_a"), F.col("s").alias("__sa"))
+    sb = shs.select(F.col("doc_id").alias("id_b"), F.col("s").alias("__sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("__sa", "__sb")).cast("double")
+                / F.size(
+                    F.array_distinct(F.concat("__sa", "__sb"))
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@register(
+    "q_hard_negatives",
+    f"""
+    WITH p AS (
+        SELECT vec_id AS probe_id, embedding AS pe, label AS plabel
+        FROM embeddings WHERE vec_id < 10
+    ),
+    s AS (
+        SELECT p.probe_id, c.vec_id,
+               {_SQL_DOT.format(a="c.embedding", b="pe")}
+               / (sqrt({_SQL_DOT.format(a="c.embedding", b="c.embedding")})
+                  * sqrt({_SQL_DOT.format(a="pe", b="pe")})) AS cosine
+        FROM embeddings c
+        JOIN p ON c.vec_id <> p.probe_id AND c.label <> p.plabel
+    )
+    SELECT probe_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY cosine DESC, vec_id
+        ) AS rn FROM s
+    ) t WHERE rn <= 3
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 hard-negative mining for contrastive/embedding training: for
+    each probe, the top-3 most-similar vectors carrying a DIFFERENT
+    label — the highest-value negatives for a triplet/InfoNCE batch.
+    Same broadcast-probes one-corpus-scan plan as q_similarity_topk
+    with the label inequality fused into the join condition (pushed
+    ahead of the dot product, so mismatched pairs never reach the
+    kernel); exact-fold cosine keeps the oracle bit-exact."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    dot = _exact_dot_udf_cached()
+    c = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("__cn"),
+    )
+    p = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("__plabel"),
+        F.col("embedding").alias("__pe"),
+    )
+    p = p.withColumn("__pn", F.sqrt(dot(F.col("__pe"), F.col("__pe"))))
+    scored = c.join(
+        F.broadcast(p),
+        (F.col("vec_id") != F.col("probe_id"))
+        & (F.col("label") != F.col("__plabel")),
+    ).select(
+        "probe_id",
+        "vec_id",
+        (dot(F.col("embedding"), F.col("__pe")) / (F.col("__cn") * F.col("__pn")))
+        .alias("cosine"),
+    )
+    return topk_per_group(
+        scored,
+        ["probe_id"],
+        [F.col("cosine").desc(), F.col("vec_id")],
+        3,
+        rank_name="rank",
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def _exact_dot_udf_cached():
+    from breweries_data_pipeline_spark.operators.similarity import _exact_dot_udf
+
+    return _exact_dot_udf()

@@ -819,6 +819,38 @@ def pq_topk(
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+
+def _assign_with_cos_udf(centroids: list[list[float]]) -> Column:
+    """struct<cluster:int, cos:double>: nearest centroid by cosine via
+    one numpy matmul per Arrow batch — the large-k assignment kernel
+    (one pass for ALL centroids, vs one exact-fold column per centroid
+    on the small-k oracle path). Ties broken toward the lowest
+    centroid id via argmax over (cos, -id) lexicographic order."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nc(vs):
+        import numpy as np
+
+        if len(vs) == 0:
+            return pd.DataFrame({"cluster": [], "cos": []})
+        C = np.asarray(centroids, dtype=np.float64)
+        C = C / np.linalg.norm(C, axis=1, keepdims=True)
+        V = np.vstack(vs.to_numpy()).astype(np.float64)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+        sims = V @ C.T  # (n, k)
+        best = sims.argmax(axis=1)  # numpy argmax takes FIRST max = lowest id
+        return pd.DataFrame(
+            {
+                "cluster": best.astype("int32"),
+                "cos": sims[np.arange(len(V)), best],
+            }
+        )
+
+    _nc.__annotations__ = {"vs": pd.Series, "return": pd.DataFrame}
+    return pandas_udf("cluster int, cos double")(_nc)
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -826,95 +858,176 @@ def semantic_dedup(
     k: int = 8,
     tau: float = 0.25,
     n_iter: int = 0,
+    collapse_exact: bool = True,
+    force_scale_path: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus, then inside each cluster
     drop every vector whose cosine to an earlier-RANKED cluster member
     reaches ``tau`` (rank-ordered pruning — one deterministic pass,
-    the paper's epsilon-grouping with the diversity-keeping order). Returns the KEPT rows as
-    (id, cluster_id, cos_centroid, rnk).
+    the paper's epsilon-grouping with the diversity-keeping order).
+    Returns the KEPT rows as (id, cluster_id, cos_centroid, rnk).
 
     Plan shape, in scale order:
+    0. exact collapse (``collapse_exact``, on when tau <= 1.0): bit-
+       identical vectors collapse to their min-id representative
+       BEFORE clustering. Exact copies always lose to their rep under
+       rank-ordered pruning (cosine exactly 1.0, rep ranks earlier by
+       the id tie-break), so the output is IDENTICAL — but a corpus
+       with c copies per vector would otherwise fan c^2 pairs per
+       clique into every cluster: the r6 sf1 soak (10 copies each)
+       measured 14.9x wall vs 10x data before this pre-pass.
     1. centroids: ``kmeans_centroids`` (deterministic lowest-id seeds;
        ``n_iter`` Lloyd rounds — 0 keeps the whole operator
        SQL-oracle-reproducible, >0 is the production setting).
-    2. assignment: k exact-fold dots per row against the k*d literal
-       centroid matrix riding the plan (no join, no shuffle) —
-       argmax by (cosine desc, centroid id asc) via array_max over
-       (cos, -cid) structs, all codegen except the Arrow dot kernel.
-    3. within-cluster ranking: SemDeDup's keep-order. We rank
-       ASCENDING by cosine-to-centroid (lowest-similarity first) so
-       the survivors are the DIVERSE members — the paper's choice —
-       with the row id as tie-break; one hash exchange on cluster_id.
-    4. candidate pairs: a self EQUI-join on cluster_id (rank_a <
+    2. assignment — two kernels, same contract:
+       - k <= 16 (oracle regime): k exact-fold dots per row against
+         literal centroid arrays, argmax via array_max over (cos, -id)
+         structs — bit-identical to the DuckDB replay.
+       - k > 16 (scale regime): ONE numpy matmul per Arrow batch over
+         the k x d centroid matrix (_assign_with_cos_udf); k scales
+         with N (the paper uses ~10k-100k clusters) so per-centroid
+         fold columns would explode codegen.
+    3. within-cluster ranking: SemDeDup's keep-order. Rank ASCENDING
+       by cosine-to-centroid (lowest-similarity first) so survivors
+       are the DIVERSE members — the paper's choice — id tie-break;
+       one hash exchange on cluster_id.
+    4. candidate pairs: self EQUI-join on cluster_id (rank_a <
        rank_b), never a crossJoin — pair volume is sum of
-       cluster_size^2, the SemDeDup cost model. At 100 TB, k scales
-       with N (k ~ N / target_cluster_size, the paper uses ~10k-100k
-       clusters) so cluster sizes stay bounded; a hub cluster that
+       cluster_size^2, the SemDeDup cost model. Pick k ~ N /
+       target_cluster_size to bound cluster sizes; a hub cluster that
        still blows up gets sub-sharded by a secondary LSH band over
        its members (compose with ann_topk's banding) before pairing.
-    5. drops: pair qualifies when exact cosine >= tau; surviving set =
-       anti-join. All cosine arithmetic is the pinned-order exact
-       fold, so DuckDB reproduces the output bit-for-bit.
+       Pair scoring: exact-fold kernel on the oracle path, einsum
+       kernel (order-free) on the scale path.
+    5. drops: pair qualifies when cosine >= tau; survivors via
+       anti-join.
     """
     import math
 
-    cents = kmeans_centroids(df, vec_col=vec_col, id_col=id_col, k=k, n_iter=n_iter)
+    work = df
+    if collapse_exact and tau <= 1.0:
+        _, work = collapse_exact_vector_duplicates(df, id_col, vec_col)
+
+    cents = kmeans_centroids(
+        work, vec_col=vec_col, id_col=id_col, k=k, n_iter=n_iter
+    )
+    exact_path = k <= 16 and not force_scale_path
     dot = _exact_dot_udf()
-    base = df.select(id_col, vec_col).withColumn(
-        "__n", F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
-    )
+    pair_dot = dot if exact_path else _pairwise_dot_udf()
 
-    def _fold_norm(vec: list[float]) -> float:
-        acc = 0.0
-        for x in vec:
-            acc = acc + float(x) * float(x)
-        return math.sqrt(acc)
-
-    sims = []
-    for i, c in enumerate(cents):
-        cvec = F.array(*[F.lit(float(x)) for x in c])
-        cn = _fold_norm(c)
-        cos_i = dot(F.col(vec_col), cvec) / (F.col("__n") * F.lit(cn))
-        sims.append(F.struct(cos_i.alias("c"), F.lit(-i).alias("ni")))
-    best = F.array_max(F.array(*sims))
-    assigned = base.select(
-        id_col,
-        vec_col,
-        "__n",
-        (-best["ni"]).alias("cluster_id"),
-        best["c"].alias("cos_centroid"),
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("cos_centroid").asc(), F.col(id_col).asc()
-    )
-    ranked = assigned.withColumn("rnk", F.row_number().over(w).cast("long"))
-    a = ranked.select(
-        "cluster_id",
-        F.col(id_col).alias("__a_id"),
-        F.col(vec_col).alias("__a_vec"),
-        F.col("__n").alias("__a_n"),
-        F.col("rnk").alias("__a_rnk"),
-    )
-    b = ranked.select(
-        "cluster_id",
-        F.col(id_col).alias("__b_id"),
-        F.col(vec_col).alias("__b_vec"),
-        F.col("__n").alias("__b_n"),
-        F.col("rnk").alias("__b_rnk"),
-    )
-    drops = (
-        a.join(b, "cluster_id")
-        .filter(F.col("__a_rnk") < F.col("__b_rnk"))
-        .filter(
-            dot(F.col("__a_vec"), F.col("__b_vec"))
-            / (F.col("__a_n") * F.col("__b_n"))
-            >= F.lit(tau)
+    if exact_path:
+        base = work.select(id_col, vec_col).withColumn(
+            "__n", F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
         )
-        .select(F.col("__b_id").alias(id_col))
-        .distinct()
+
+        def _fold_norm(vec: list[float]) -> float:
+            acc = 0.0
+            for x in vec:
+                acc = acc + float(x) * float(x)
+            return math.sqrt(acc)
+
+        sims = []
+        for i, c in enumerate(cents):
+            cvec = F.array(*[F.lit(float(x)) for x in c])
+            cn = _fold_norm(c)
+            cos_i = dot(F.col(vec_col), cvec) / (F.col("__n") * F.lit(cn))
+            sims.append(F.struct(cos_i.alias("c"), F.lit(-i).alias("ni")))
+        best = F.array_max(F.array(*sims))
+        assigned = base.select(
+            id_col,
+            vec_col,
+            "__n",
+            (-best["ni"]).alias("cluster_id"),
+            best["c"].alias("cos_centroid"),
+        )
+    else:
+        assign = _assign_with_cos_udf(cents)
+        norm = _pairwise_dot_udf()
+        assigned = (
+            work.select(id_col, vec_col)
+            .withColumn("__a", assign(F.col(vec_col)))
+            .select(
+                id_col,
+                vec_col,
+                F.sqrt(norm(F.col(vec_col), F.col(vec_col))).alias("__n"),
+                F.col("__a.cluster").alias("cluster_id"),
+                F.col("__a.cos").alias("cos_centroid"),
+            )
+        )
+
+    if exact_path:
+        # oracle path: explicit pair join + exact-fold scoring — every
+        # intermediate reproducible in SQL
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("cos_centroid").asc(), F.col(id_col).asc()
+        )
+        ranked = assigned.withColumn(
+            "rnk", F.row_number().over(w).cast("long")
+        )
+        a = ranked.select(
+            "cluster_id",
+            F.col(id_col).alias("__a_id"),
+            F.col(vec_col).alias("__a_vec"),
+            F.col("__n").alias("__a_n"),
+            F.col("rnk").alias("__a_rnk"),
+        )
+        b = ranked.select(
+            "cluster_id",
+            F.col(id_col).alias("__b_id"),
+            F.col(vec_col).alias("__b_vec"),
+            F.col("__n").alias("__b_n"),
+            F.col("rnk").alias("__b_rnk"),
+        )
+        drops = (
+            a.join(b, "cluster_id")
+            .filter(F.col("__a_rnk") < F.col("__b_rnk"))
+            .filter(
+                pair_dot(F.col("__a_vec"), F.col("__b_vec"))
+                / (F.col("__a_n") * F.col("__b_n"))
+                >= F.lit(tau)
+            )
+            .select(F.col("__b_id").alias(id_col))
+            .distinct()
+        )
+        kept = ranked.join(drops, id_col, "left_anti")
+        return kept.select(id_col, "cluster_id", "cos_centroid", "rnk")
+
+    # scale path: the pair join would ship |pairs| * d vector bytes
+    # through the exchange (measured 4x wall at 20k vectors); instead
+    # each cluster prunes in ONE pandas task with a single s x s
+    # matmul — SemDeDup's per-cluster kernel — and the diversity rank
+    # is computed in-kernel, saving the separate window exchange.
+    # Memory is s^2 doubles per task, so keep target_cluster_size
+    # ~<= a few thousand via k; skew note: one cluster = one task,
+    # same caveat as any grouped pandas op (sub-shard a hub cluster
+    # before this step if needed).
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, cluster_id int, cos_centroid double, rnk long"
     )
-    kept = ranked.join(drops, id_col, "left_anti")
-    return kept.select(id_col, "cluster_id", "cos_centroid", "rnk")
+
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["cos_centroid", id_col]).reset_index(drop=True)
+        V = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+        sims = np.triu(V @ V.T, k=1)  # sims[i, j] for i < j only
+        dropped = (sims >= tau).any(axis=0)
+        kept_pdf = pdf.loc[~dropped, [id_col, "cluster_id", "cos_centroid"]]
+        kept_pdf = kept_pdf.assign(
+            rnk=(np.arange(len(pdf)) + 1)[~dropped].astype("int64")
+        )
+        return kept_pdf
+
+    return (
+        assigned.select(
+            id_col, "cluster_id", "cos_centroid", F.col(vec_col).alias("__v")
+        )
+        .groupBy("cluster_id")
+        .applyInPandas(_prune, out_schema)
+    )

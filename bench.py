@@ -140,6 +140,9 @@ R6B = [
     "q_label_propagation",
     "q_minhash_lsh",
     "q_hard_negatives",
+    "q_cumulative_reach",
+    "q_skew_report",
+    "q_corpus_funnel",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

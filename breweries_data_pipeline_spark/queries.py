@@ -8776,3 +8776,269 @@ def _exact_dot_udf_cached():
     from breweries_data_pipeline_spark.operators.similarity import _exact_dot_udf
 
     return _exact_dot_udf()
+
+
+@register(
+    "q_cumulative_reach",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT first_day AS day, count(*) AS new_users
+      FROM firsts GROUP BY first_day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM daily
+    """,
+)
+def q_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative reach (running count of DISTINCT users ever seen) —
+    the growth KPI that naively needs a running COUNT(DISTINCT) over
+    an ever-expanding frame. Rewritten exactly: distinct-user first
+    dates (one hash aggregate on user_id), daily new-user counts (one
+    tiny aggregate), then a running sum over DAYS — the unbounded
+    window orders ~hundreds of day rows, not events, so the usually
+    non-scalable global window is over bounded cardinality. This is
+    the standard scale rewrite: convert running-distinct into
+    first-occurrence flags + running sum."""
+    events = read_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("first_day")
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
+
+
+@register(
+    "q_skew_report",
+    """
+    WITH per_key AS (
+      SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+      SELECT count(*) AS n_keys, sum(cnt) AS n_rows, max(cnt) AS max_cnt
+      FROM per_key
+    )
+    SELECT p.key, CAST(p.cnt AS BIGINT) AS cnt,
+           CAST(p.cnt * s.n_keys * 1000000 // s.n_rows AS BIGINT)
+             AS skew_ppm_of_uniform,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT key, cnt,
+             row_number() OVER (ORDER BY cnt DESC, key) AS rn
+      FROM per_key
+    ) p CROSS JOIN stats s
+    WHERE rn <= 20
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostics: top-20 hottest join/agg keys with
+    each key's load expressed as ppm of the uniform share (1e6 =
+    perfectly uniform; 10e6 = this key carries 10 keys' worth). This
+    is the operational pre-check before choosing salted vs plain
+    dedup/join (the engine ships both) — at 100 TB it is one
+    map-side-combined aggregate + a 20-row TakeOrderedAndProject,
+    with the scalar totals attached via a one-row broadcast
+    crossJoin."""
+    orders = read_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    stats = per_key.agg(
+        F.count("*").alias("__n_keys"), F.sum("cnt").alias("__n_rows")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
+    top = (
+        topk_global(per_key, [F.col("cnt").desc(), F.col("key")], 20)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "key",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.expr("(cnt * __n_keys * 1000000L) div __n_rows")
+        .cast("long")
+        .alias("skew_ppm_of_uniform"),
+        "rank",
+    )
+
+
+@register(
+    "q_corpus_funnel",
+    f"""
+    WITH raw AS (SELECT doc_id, text FROM documents),
+    quality AS (
+      SELECT doc_id, text FROM raw
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 20
+    ),
+    exact AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (
+                 PARTITION BY md5(regexp_replace(trim(lower(text)),
+                                                 '\\s+', ' ', 'g'))
+                 ORDER BY doc_id) AS rn
+        FROM quality
+      ) t WHERE rn = 1
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES})) AS s FROM exact
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_sql_minhash_cols(16)}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {_sql_minhash_bands(4, 4)}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
+       AND a.v2 = b.v2 AND a.v3 = b.v3 AND a.doc_id < b.doc_id
+    ),
+    shs AS (
+      SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS s FROM exact
+    ),
+    neardup_drops AS (
+      SELECT DISTINCT id_b FROM (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)
+                 AS j
+        FROM cand c
+        JOIN shs sa ON sa.doc_id = c.id_a
+        JOIN shs sb ON sb.doc_id = c.id_b
+      ) v WHERE j >= 0.5
+    ),
+    neardup AS (
+      SELECT doc_id FROM exact
+      WHERE doc_id NOT IN (SELECT id_b FROM neardup_drops)
+    ),
+    train AS (
+      SELECT doc_id FROM neardup
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))
+            ::BIGINT % 100 < 90
+    )
+    SELECT stage, rows, stage_order FROM (
+      SELECT 'raw' AS stage, CAST(count(*) AS BIGINT) AS rows,
+             1 AS stage_order FROM raw
+      UNION ALL
+      SELECT 'quality', CAST(count(*) AS BIGINT), 2 FROM quality
+      UNION ALL
+      SELECT 'exact_dedup', CAST(count(*) AS BIGINT), 3 FROM exact
+      UNION ALL
+      SELECT 'near_dedup', CAST(count(*) AS BIGINT), 4 FROM neardup
+      UNION ALL
+      SELECT 'train_split', CAST(count(*) AS BIGINT), 5 FROM train
+    ) t
+    """,
+)
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-build pipeline as ONE DAG, reported as a
+    funnel (stage -> surviving rows): quality gate (>= 20 tokens) ->
+    exact dedup (md5 fingerprint, min-id survivor) -> MinHash-LSH
+    near-dup removal (md5-lane signatures, 4x4 banding, exact-Jaccard
+    verify at 0.5, later-id dropped) -> deterministic 90% train
+    split. Every stage reuses an already-oracled primitive and the
+    whole composition is replayed by one DuckDB query — demonstrating
+    that the engine's pieces compose into the actual production
+    pipeline, with counts computed as five tiny aggregates over the
+    shared lineage (Catalyst reuses the scan; no stage re-reads the
+    corpus from disk)."""
+    from breweries_data_pipeline_spark.functions.text import normalized_text
+
+    raw = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    quality = raw.filter(F.size(tokens("text")) >= 20)
+    wfp = Window.partitionBy(F.md5(normalized_text("text"))).orderBy("doc_id")
+    exact = (
+        quality.withColumn("__rn", F.row_number().over(wfp))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    sh = exact.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("s")
+    )
+
+    def lane(r: int) -> Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.col("s"), F.lit(f":mh{r}"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(lane(r)).alias(f"h{r}") for r in range(16)]
+    )
+    band_frames = [
+        sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            *[F.col(f"h{b * 4 + i}").alias(f"v{i}") for i in range(4)],
+        )
+        for b in range(4)
+    ]
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+    cand = (
+        bands.select(F.col("doc_id").alias("id_a"), "band", "v0", "v1", "v2", "v3")
+        .join(
+            bands.select(
+                F.col("doc_id").alias("id_b"), "band", "v0", "v1", "v2", "v3"
+            ),
+            ["band", "v0", "v1", "v2", "v3"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    shs = exact.select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("s")
+    )
+    drops = (
+        cand.join(shs.select(F.col("doc_id").alias("id_a"), F.col("s").alias("__sa")), "id_a")
+        .join(shs.select(F.col("doc_id").alias("id_b"), F.col("s").alias("__sb")), "id_b")
+        .filter(
+            F.size(F.array_intersect("__sa", "__sb")).cast("double")
+            / F.size(F.array_distinct(F.concat("__sa", "__sb"))).cast("double")
+            >= 0.5
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    neardup = exact.join(drops, "doc_id", "left_anti").select("doc_id")
+    from breweries_data_pipeline_spark.operators.corpus import hash_bucket
+
+    train = neardup.filter(hash_bucket(F.col("doc_id"), "split", 100) < 90)
+
+    def stage(df: DataFrame, name: str, order: int) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").cast("long").alias("rows"),
+            F.lit(order).alias("stage_order"),
+        )
+
+    out = stage(raw, "raw", 1)
+    for df_, nm, o in [
+        (quality, "quality", 2),
+        (exact, "exact_dedup", 3),
+        (neardup, "near_dedup", 4),
+        (train, "train_split", 5),
+    ]:
+        out = out.unionByName(stage(df_, nm, o))
+    return out

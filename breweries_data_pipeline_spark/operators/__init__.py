@@ -68,3 +68,19 @@ from breweries_data_pipeline_spark.operators.multimodal import (  # noqa: F401
     resize_images,
 )
 from breweries_data_pipeline_spark.operators.profile import profile_table  # noqa: F401
+from breweries_data_pipeline_spark.operators.graph import (  # noqa: F401
+    bfs_distances,
+    label_propagation,
+    node_jaccard,
+)
+from breweries_data_pipeline_spark.operators.similarity import (  # noqa: F401
+    semantic_dedup,
+)
+from breweries_data_pipeline_spark.operators.corpus import dsir_weights  # noqa: F401
+from breweries_data_pipeline_spark.operators.merge import (  # noqa: F401
+    merge_partial_aggs,
+)
+from breweries_data_pipeline_spark.operators.sketch import (  # noqa: F401
+    cms_build,
+    cms_estimate,
+)

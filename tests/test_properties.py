@@ -157,3 +157,57 @@ def test_pagerank_star_graph_ranks_center_highest(spark):
     assert ranks["b"] == ranks["c"] == ranks["d"]
     assert ranks["a"] > ranks["b"]
     assert sum(ranks.values()) <= 1_000_000_000_000
+
+
+@given(rows=ROWS, splitmod=st.integers(min_value=2, max_value=4))
+@settings(**_SETTINGS)
+def test_merge_partial_aggs_model(spark, rows, splitmod):
+    """Algebraic merge over ANY partitioning of the input equals the
+    one-shot aggregate — the invariant incremental materialized-view
+    maintenance rests on."""
+    from pyspark.sql import functions as F
+
+    from breweries_data_pipeline_spark.operators.merge import merge_partial_aggs
+
+    df = spark.createDataFrame(rows, "k long, o long, s string")
+
+    def agg(d):
+        return d.groupBy("k").agg(
+            F.count("*").alias("n"),
+            F.sum("o").alias("so"),
+            F.min("o").alias("mn"),
+            F.max("o").alias("mx"),
+        )
+
+    base = agg(df.filter(F.col("o") % splitmod == 0))
+    delta = agg(df.filter(F.col("o") % splitmod != 0))
+    merged = merge_partial_aggs(
+        base, delta, ["k"], {"n": "sum", "so": "sum", "mn": "min", "mx": "max"}
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, agg(df).collect())
+    )
+
+
+@given(
+    keys=st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=3), min_size=1, max_size=30
+    )
+)
+@settings(**_SETTINGS)
+def test_cms_point_estimates_upper_bound_truth(spark, keys):
+    """CMS estimates are overestimates for EVERY key under any input
+    multiset (hash collisions only ever add)."""
+    from pyspark.sql import functions as F
+
+    from breweries_data_pipeline_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "w string")
+    sketch = cms_build(df, "w", depth=3, width=8)  # tiny grid: force collisions
+    truth = df.groupBy("w").agg(F.count("*").alias("t"))
+    est = cms_estimate(sketch, truth.select("w"), "w", depth=3, width=8)
+    bad = truth.join(est, "w").filter(F.col("est_cnt") < F.col("t"))
+    assert bad.isEmpty()

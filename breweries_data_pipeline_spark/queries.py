@@ -9042,3 +9042,72 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]:
         out = out.unionByName(stage(df_, nm, o))
     return out
+
+
+@register(
+    "q_streaming_cms",
+    """
+    WITH rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    grid AS (
+      SELECT rs.r,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':cms' || rs.r),
+                             1, 8))::BIGINT % 128 AS bucket,
+             count(*) AS cnt
+      FROM events CROSS JOIN rs
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT user_id, count(*) AS true_cnt FROM events GROUP BY user_id
+      ORDER BY true_cnt DESC, user_id LIMIT 10
+    ),
+    est AS (
+      SELECT t.user_id, min(g.cnt) AS est_cnt
+      FROM top t CROSS JOIN rs
+      JOIN grid g
+        ON g.r = rs.r
+       AND g.bucket = ('0x' || substr(md5(CAST(t.user_id AS VARCHAR)
+                                          || ':cms' || rs.r), 1, 8))::BIGINT
+                      % 128
+      GROUP BY t.user_id
+    )
+    SELECT t.user_id, CAST(t.true_cnt AS BIGINT) AS true_cnt,
+           CAST(e.est_cnt AS BIGINT) AS est_cnt
+    FROM top t JOIN est e ON e.user_id = t.user_id
+    """,
+)
+def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy-hitter tracking: the count-min grid built AS A
+    STREAMING AGGREGATE over the events file-stream (micro-batch
+    partial counts merge by sum in the stateful aggregation — the CMS
+    merge property means the drained grid is EXACTLY the batch grid),
+    then point-estimates for the true top-10 users attached in batch.
+    Full oracle: deterministic md5 lanes + exact merge = the whole
+    streaming pipeline hash-matches the batch SQL replay. At scale
+    the grid state is <= depth*width rows — O(1) streaming state, the
+    reason sketches (not exact per-key counts) are the streaming
+    frequency answer."""
+    from breweries_data_pipeline_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+    from breweries_data_pipeline_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    sdf = read_events_stream(spark, sf_dir)
+    grid_stream = cms_build(sdf.select("user_id"), "user_id")
+    grid = run_available_now(grid_stream, "q_streaming_cms_grid")
+
+    events = read_table(spark, sf_dir, "events")
+    top = topk_global(
+        events.groupBy("user_id").agg(F.count("*").alias("true_cnt")),
+        [F.col("true_cnt").desc(), F.col("user_id")],
+        10,
+    )
+    est = cms_estimate(grid, top.select("user_id"), "user_id")
+    return top.join(est, "user_id").select(
+        "user_id",
+        F.col("true_cnt").cast("long").alias("true_cnt"),
+        F.col("est_cnt").cast("long").alias("est_cnt"),
+    )

@@ -9146,3 +9146,95 @@ def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("true_cnt").cast("long").alias("true_cnt"),
         F.col("est_cnt").cast("long").alias("est_cnt"),
     )
+
+
+@register(
+    "q_pmi_collocations",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, w, idx FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+               generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1)
+                 AS idx
+        FROM documents
+      )
+    ),
+    uni AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    tot_u AS (SELECT sum(c) AS u FROM uni),
+    big AS (
+      SELECT a.w AS wa, b.w AS wb, count(*) AS cab
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+      GROUP BY 1, 2
+    ),
+    tot_b AS (SELECT sum(cab) AS bt FROM big),
+    scored AS (
+      SELECT wa, wb, CAST(cab AS BIGINT) AS pair_cnt,
+             CAST((cab * u.u * u.u * 1000000) // (bt.bt * ua.c * ub.c)
+                  AS BIGINT) AS lift_ppm
+      FROM big
+      JOIN uni ua ON ua.w = wa
+      JOIN uni ub ON ub.w = wb
+      CROSS JOIN tot_u u CROSS JOIN tot_b bt
+      WHERE cab >= 5
+    )
+    SELECT wa, wb, pair_cnt, lift_ppm, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY lift_ppm DESC, wa, wb) AS rn
+      FROM scored
+    ) t WHERE rn <= 30
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-30 adjacent-token bigrams by PMI lift
+    (p(ab) / (p(a)p(b)), exact-integer ppm — the ln is monotone, so
+    ranking by the ratio IS ranking by PMI without cross-engine libm
+    risk). Plan: posexplode tokens once; bigrams via a self-join on
+    (doc, position+1) — at scale this is expressed as a shifted-array
+    zip (no join) but the join form shares the oracle's shape;
+    unigram/bigram model tables join broadcast-style; min-support
+    cab >= 5 prunes the Zipf tail before ranking. Magnitudes: the
+    ppm numerator is c_ab * U^2 * 1e6 — fits a long through ~1e5
+    tokens; larger corpora lift to decimal(38,0)/HUGEINT, same
+    arithmetic."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("idx0", "w")
+    ).select("doc_id", F.col("w"), (F.col("idx0") + 1).alias("idx"))
+    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    tot_u = uni.agg(F.sum("c").alias("u"))
+    a = toks.select("doc_id", F.col("w").alias("wa"), "idx")
+    b = toks.select(
+        "doc_id", F.col("w").alias("wb"), (F.col("idx") - 1).alias("idx")
+    )
+    big = (
+        a.join(b, ["doc_id", "idx"])
+        .groupBy("wa", "wb")
+        .agg(F.count("*").alias("cab"))
+        .filter(F.col("cab") >= 5)
+    )
+    # bt is the total over ALL bigrams (not just supported ones) —
+    # computed from the unfiltered pair stream
+    tot_b = a.join(b, ["doc_id", "idx"]).agg(F.count("*").alias("bt"))
+    ua = uni.select(F.col("w").alias("wa"), F.col("c").alias("__ca"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("c").alias("__cb"))
+    scored = (
+        big.join(ua, "wa")
+        .join(ub, "wb")
+        .crossJoin(F.broadcast(tot_u))
+        .crossJoin(F.broadcast(tot_b))
+        .select(
+            "wa",
+            "wb",
+            F.col("cab").cast("long").alias("pair_cnt"),
+            F.expr("(cab * u * u * 1000000L) div (bt * __ca * __cb)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )
+    w = Window.orderBy(F.col("lift_ppm").desc(), F.col("wa"), F.col("wb"))
+    return (
+        topk_global(scored, [F.col("lift_ppm").desc(), F.col("wa"), F.col("wb")], 30)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )

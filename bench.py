@@ -143,6 +143,7 @@ R6B = [
     "q_cumulative_reach",
     "q_skew_report",
     "q_corpus_funnel",
+    "q_pmi_collocations",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

@@ -9238,3 +9238,71 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk_global(scored, [F.col("lift_ppm").desc(), F.col("wa"), F.col("wb")], 30)
         .withColumn("rank", F.row_number().over(w).cast("long"))
     )
+
+
+@register(
+    "q_referential_integrity",
+    """
+    SELECT rel, CAST(orphans AS BIGINT) AS orphans,
+           CAST(child_rows AS BIGINT) AS child_rows FROM (
+      SELECT 'lineitem->orders' AS rel,
+             count(*) FILTER (WHERE o.o_orderkey IS NULL) AS orphans,
+             count(*) AS child_rows
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'orders->customer',
+             count(*) FILTER (WHERE c.c_custkey IS NULL), count(*)
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'customer->nation',
+             count(*) FILTER (WHERE n.n_nationkey IS NULL), count(*)
+      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      UNION ALL
+      SELECT 'supplier->nation',
+             count(*) FILTER (WHERE n.n_nationkey IS NULL), count(*)
+      FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+      UNION ALL
+      SELECT 'lineitem->part',
+             count(*) FILTER (WHERE p.p_partkey IS NULL), count(*)
+      FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    ) t
+    """,
+)
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit: orphan counts for the
+    five FK relationships in the warehouse, each as count-if over a
+    LEFT join — the load-time gate every multi-table pipeline runs.
+    Plan shape: the parent side of each relationship is dimension-
+    sized (or key-only) so every join broadcasts its parent keys;
+    orphan counting is a filtered aggregate fused into the same pass
+    (one job per relationship, no second scan). At 100 TB the
+    fact-side scans dominate and are key-column-only (ReadSchema
+    pruned to the FK)."""
+
+    def check(child: DataFrame, ck: str, parent: DataFrame, pk: str, rel: str):
+        c = child.select(F.col(ck).alias("__ck"))
+        p = parent.select(F.col(pk).alias("__pk")).distinct()
+        return (
+            c.join(F.broadcast(p), c["__ck"] == p["__pk"], "left")
+            .agg(
+                F.lit(rel).alias("rel"),
+                F.count_if(F.col("__pk").isNull()).cast("long").alias("orphans"),
+                F.count("*").cast("long").alias("child_rows"),
+            )
+        )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    supp = read_table(spark, sf_dir, "supplier")
+    part = read_table(spark, sf_dir, "part")
+    out = check(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders")
+    for args in [
+        (orders, "o_custkey", cust, "c_custkey", "orders->customer"),
+        (cust, "c_nationkey", nation, "n_nationkey", "customer->nation"),
+        (supp, "s_nationkey", nation, "n_nationkey", "supplier->nation"),
+        (li, "l_partkey", part, "p_partkey", "lineitem->part"),
+    ]:
+        out = out.unionByName(check(*args))
+    return out

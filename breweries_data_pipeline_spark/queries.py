@@ -9306,3 +9306,143 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]:
         out = out.unionByName(check(*args))
     return out
+
+
+def _sql_simhash_bitsums() -> str:
+    cols = []
+    for half, hx in (("h1", "lo"), ("h2", "hi")):
+        for b in range(32):
+            cols.append(
+                f"sum(CASE WHEN ({half} >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+                f" AS s_{hx}_{b}"
+            )
+    return ",\n             ".join(cols)
+
+
+def _sql_simhash_assemble(hx: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN s_{hx}_{b} >= 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(32)
+    )
+
+
+@register(
+    "q_simhash_md5",
+    rf"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents
+      )
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(w || ':sim'), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(w || ':sim'), 9, 8))::BIGINT AS h2
+      FROM toks
+    ),
+    bitsums AS (
+      SELECT doc_id,
+             {_sql_simhash_bitsums()}
+      FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST({_sql_simhash_assemble("lo")} AS BIGINT) AS lo,
+             CAST({_sql_simhash_assemble("hi")} AS BIGINT) AS hi
+      FROM bitsums
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+                AS INTEGER) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+    """,
+)
+def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 SimHash near-dup pairs with a FULL cross-engine oracle: the
+    64 signature bits derive from md5 (two 32-bit halves per token),
+    so signatures, pigeonhole blocking AND the Hamming <= 3 verify are
+    all DuckDB-reproducible — the auditable twin of q_simhash_pairs
+    (xxhash64, rows-only). Plan identical to the production path: one
+    distinct-token explode, ONE 64-column signed-bit-sum aggregate
+    (map-side combined), 4 block equi-joins (hamming <= 3 implies one
+    identical 16-bit block), exact bit_count verify on candidates
+    only. The oracle joins all pairs — fine at oracle SF, and it
+    proves the blocking loses nothing."""
+    from breweries_data_pipeline_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _ensure_parallelism(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(tokens("text")).alias("w")
+    ).distinct()
+    hashed = toks.select(
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("w"), F.lit(":sim"))), 1, 8), 16, 10
+        ).cast("long").alias("h1"),
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("w"), F.lit(":sim"))), 9, 8), 16, 10
+        ).cast("long").alias("h2"),
+    )
+    sums = []
+    for half, hx in (("h1", "lo"), ("h2", "hi")):
+        for b in range(32):
+            bit = F.shiftright(F.col(half), b).bitwiseAND(F.lit(1))
+            sums.append(
+                F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s_{hx}_{b}")
+            )
+    bitsums = hashed.groupBy("doc_id").agg(*sums)
+
+    def assemble(hx: str) -> Column:
+        out = F.lit(0).cast("long")
+        for b in range(32):
+            out = out + F.when(
+                F.col(f"s_{hx}_{b}") >= 0, F.lit(1 << b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return out
+
+    sigs = bitsums.select(
+        "doc_id", assemble("lo").alias("lo"), assemble("hi").alias("hi")
+    ).persist()
+    mask = F.lit(0xFFFF).cast("long")
+    blocks = sigs.select(
+        "doc_id",
+        "lo",
+        "hi",
+        F.col("lo").bitwiseAND(mask).alias("blk0"),
+        F.shiftright("lo", 16).bitwiseAND(mask).alias("blk1"),
+        F.col("hi").bitwiseAND(mask).alias("blk2"),
+        F.shiftright("hi", 16).bitwiseAND(mask).alias("blk3"),
+    )
+    cand = None
+    for j in range(4):
+        a = blocks.alias("a")
+        b = blocks.alias("b")
+        cj = a.join(
+            b,
+            (F.col(f"a.blk{j}") == F.col(f"b.blk{j}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.lo").alias("__la"),
+            F.col("a.hi").alias("__ha"),
+            F.col("b.lo").alias("__lb"),
+            F.col("b.hi").alias("__hb"),
+        )
+        cand = cj if cand is None else cand.unionByName(cj)
+    return (
+        cand.distinct()
+        .withColumn(
+            "hamming",
+            (
+                F.bit_count(F.col("__la").bitwiseXOR(F.col("__lb")))
+                + F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -9198,8 +9198,12 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm numerator is c_ab * U^2 * 1e6 — fits a long through ~1e5
     tokens; larger corpora lift to decimal(38,0)/HUGEINT, same
     arithmetic."""
+    from breweries_data_pipeline_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
+
     docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = _ensure_parallelism(docs.select("doc_id", "text")).select(
         "doc_id", F.posexplode(tokens("text")).alias("idx0", "w")
     ).select("doc_id", F.col("w"), (F.col("idx0") + 1).alias("idx"))
     uni = toks.groupBy("w").agg(F.count("*").alias("c"))
@@ -9228,9 +9232,10 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wa",
             "wb",
             F.col("cab").cast("long").alias("pair_cnt"),
-            F.expr("(cab * u * u * 1000000L) div (bt * __ca * __cb)")
-            .cast("long")
-            .alias("lift_ppm"),
+            F.expr(
+                "cast((cast(cab as decimal(38,0)) * u * u * 1000000)"
+                " div (cast(bt as decimal(38,0)) * __ca * __cb) as long)"
+            ).alias("lift_ppm"),
         )
     )
     w = Window.orderBy(F.col("lift_ppm").desc(), F.col("wa"), F.col("wb"))

@@ -386,10 +386,13 @@ def bfs_distances(
         ])
     )
     frontier = dist
+    # the edge list is consumed once PER ROUND — persist it, or an
+    # expensive upstream pipeline (e.g. the order-co-occurrence
+    # self-join) re-executes max_hops times (measured 3x wall at sf0.1)
     e = edges.select(
         F.col(src_col).cast("long").alias("__s"),
         F.col(dst_col).cast("long").alias("__d"),
-    )
+    ).persist()
     for hop in range(1, max_hops + 1):
         nxt = (
             frontier.join(e, frontier["node"] == e["__s"])
@@ -403,6 +406,7 @@ def bfs_distances(
             break
         dist = dist.unionByName(nxt)
         frontier = nxt
+    e.unpersist()
     return dist
 
 
@@ -430,10 +434,13 @@ def label_propagation(
         F.col(src_col).cast("long").alias("__a"),
         F.col(dst_col).cast("long").alias("__b"),
     )
+    # sym feeds every round's vote join and nodes — persist, or the
+    # upstream edge pipeline (e.g. the full node_jaccard candidate
+    # join) re-executes once per round (measured 3.6x at the sf1 soak)
     sym = e.unionByName(
         e.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
-    ).distinct()
-    nodes = sym.select(F.col("__a").alias("node")).distinct()
+    ).distinct().persist()
+    nodes = sym.select(F.col("__a").alias("node")).distinct().persist()
     labels = nodes.select("node", F.col("node").alias("label"))
     from pyspark.sql import Window
 
@@ -456,4 +463,10 @@ def label_propagation(
             .select("node", F.coalesce("label", "node").alias("label"))
             .localCheckpoint(eager=True)
         )
-    return labels.select("node", F.col("label").alias("community"))
+    # safe to unpersist: each round's labels table was eagerly
+    # localCheckpoint'ed, so the returned plan no longer references
+    # the cached inputs
+    out = labels.select("node", F.col("label").alias("community"))
+    sym.unpersist()
+    nodes.unpersist()
+    return out

@@ -8381,7 +8381,9 @@ def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from breweries_data_pipeline_spark.functions.text import tokens as _toks
 
     docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(_toks("text")).alias("w"))
+    # the token stream feeds BOTH the sketch build and the exact top-20
+    # truth aggregate — persist so the explode runs once
+    toks = docs.select(F.explode(_toks("text")).alias("w")).persist()
     sketch = cms_build(toks, "w")
     top = topk_global(
         toks.groupBy("w").agg(F.count("*").alias("true_cnt")),

@@ -144,6 +144,8 @@ R6B = [
     "q_skew_report",
     "q_corpus_funnel",
     "q_pmi_collocations",
+    "q_simhash_md5",
+    "q_referential_integrity",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

@@ -5298,8 +5298,12 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     span_b = F.when(F.col("hi_b") - F.col("lo_b") > 0, F.col("hi_b") - F.col("lo_b")).otherwise(F.lit(1))
     scaled_a = (F.col("o_custkey") - F.col("lo_a")) * mask
     scaled_b = (F.col("o_orderkey") - F.col("lo_b")) * mask
-    na = ((scaled_a - (scaled_a % span_a)) / span_a).cast("long")
-    nb = ((scaled_b - (scaled_b % span_b)) / span_b).cast("long")
+    # exact decimal floor-division (same fix as zorder.normalize_to_
+    # domain, r5 advice): the double-division spelling silently rounds
+    # once (key - lo) * 65535 passes 2^53 — epoch-microsecond or
+    # surrogate-key domains at 100 TB get there
+    na = _long_div(scaled_a, span_a)
+    nb = _long_div(scaled_b, span_b)
     return src.join(F.broadcast(bounds)).select(
         "o_orderkey",
         "o_custkey",
@@ -6156,10 +6160,10 @@ def q_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("week")
     prev = F.lag("revenue_cents").over(w)
     delta = F.col("revenue_cents") - prev
-    change_bps = F.when(
-        prev > 0,
-        ((delta * 10000) - ((delta * 10000) % prev)) / prev,
-    ).cast("long")
+    # exact decimal floor-division (same class as the zorder fix):
+    # delta * 10000 exceeds 2^53 once weekly revenue passes ~$9e9,
+    # where the double-division spelling silently rounds
+    change_bps = F.when(prev > 0, _long_div(delta * 10000, prev)).cast("long")
     return weekly.select(
         "week",
         "revenue_cents",

@@ -8921,9 +8921,10 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.crossJoin(F.broadcast(stats)).select(
         "key",
         F.col("cnt").cast("long").alias("cnt"),
-        F.expr("(cnt * __n_keys * 1000000L) div __n_rows")
-        .cast("long")
-        .alias("skew_ppm_of_uniform"),
+        F.expr(
+            "cast((cast(cnt as decimal(38,0)) * __n_keys * 1000000)"
+            " div cast(__n_rows as decimal(38,0)) as long)"
+        ).alias("skew_ppm_of_uniform"),
         "rank",
     )
 

@@ -9458,3 +9458,107 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
     )
+
+
+@register(
+    "q_jackknife_ci",
+    """
+    WITH rows_b AS (
+      SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':jk'), 1, 8))
+               ::BIGINT % 20 AS b,
+             CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    per_b AS (
+      SELECT b, sum(cents) AS s, count(*) AS n FROM rows_b GROUP BY b
+    ),
+    tot AS (SELECT sum(s) AS st, sum(n) AS nt, count(*) AS nb FROM per_b),
+    reps AS (
+      SELECT b, ((st - s) * 1000000) // (nt - n) AS rep_micro
+      FROM per_b CROSS JOIN tot
+    ),
+    rep_mean AS (
+      SELECT (sum(rep_micro)
+              - (sum(rep_micro) % CAST(count(*) AS BIGINT)))
+             // CAST(count(*) AS BIGINT) AS rm
+      FROM reps
+    ),
+    var_parts AS (
+      SELECT sum((rep_micro - rm) * (rep_micro - rm)) AS ss,
+             count(*) AS nb
+      FROM reps CROSS JOIN rep_mean
+    )
+    SELECT CAST((SELECT ((st * 1000000) - ((st * 1000000) % nt)) // nt
+                 FROM tot) AS BIGINT)
+             AS mean_micro_cents,
+           CAST(round(1.96 * sqrt((CAST(ss AS DOUBLE) * (nb - 1))
+                                  / (nb * nb))) AS BIGINT)
+             AS ci_halfwidth_micro_cents,
+           CAST(nb AS BIGINT) AS n_replicates
+    FROM var_parts
+    """,
+)
+def q_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-a-group jackknife confidence interval for mean order
+    value — distributed error bars without resampling the data B
+    times: rows hash into 20 deterministic buckets (one scan, one
+    aggregate), each replicate mean is computed from the TOTALS minus
+    its bucket (exact integer micro-cents via decimal floor-division),
+    and the jackknife variance is (B-1)/B * sum of squared deviations
+    (squares in decimal — micro-cent deviations overflow a long when
+    squared). This is the production pattern for CI on any metric at
+    100 TB: per-bucket partials are the only state, and the same 20
+    partials serve every downstream metric. Only the final sqrt/1.96
+    touch doubles — both exactly-rounded IEEE ops, so the oracle
+    hash-matches."""
+    from breweries_data_pipeline_spark.operators.corpus import hash_bucket
+
+    o = read_table(spark, sf_dir, "orders")
+    rows_b = o.select(
+        hash_bucket(F.col("o_orderkey"), "jk", 20).alias("b"),
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+    )
+    per_b = rows_b.groupBy("b").agg(
+        F.sum("cents").alias("s"), F.count("*").alias("n")
+    )
+    tot = per_b.agg(
+        F.sum("s").alias("st"), F.sum("n").alias("nt"), F.count("*").alias("nb")
+    )
+    reps = per_b.crossJoin(F.broadcast(tot)).select(
+        "b",
+        _long_div((F.col("st") - F.col("s")) * 1000000, F.col("nt") - F.col("n"))
+        .alias("rep_micro"),
+        "st",
+        "nt",
+        "nb",
+    )
+    rep_mean = reps.agg(
+        _long_div(F.sum("rep_micro"), F.count("*").cast("long")).alias("rm")
+    )
+    var_parts = (
+        reps.crossJoin(F.broadcast(rep_mean))
+        .select(
+            (
+                (F.col("rep_micro") - F.col("rm")).cast("decimal(38,0)")
+                * (F.col("rep_micro") - F.col("rm")).cast("decimal(38,0)")
+            ).alias("d2"),
+            "st",
+            "nt",
+            "nb",
+        )
+        .groupBy("st", "nt", "nb")
+        .agg(F.sum("d2").alias("ss"), F.count("*").alias("cnt"))
+    )
+    return var_parts.select(
+        _long_div(F.col("st") * 1000000, F.col("nt")).alias("mean_micro_cents"),
+        F.round(
+            1.96
+            * F.sqrt(
+                (F.col("ss").cast("double") * (F.col("cnt") - 1))
+                / (F.col("cnt") * F.col("cnt"))
+            )
+        )
+        .cast("long")
+        .alias("ci_halfwidth_micro_cents"),
+        F.col("cnt").cast("long").alias("n_replicates"),
+    )

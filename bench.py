@@ -146,6 +146,7 @@ R6B = [
     "q_pmi_collocations",
     "q_simhash_md5",
     "q_referential_integrity",
+    "q_jackknife_ci",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

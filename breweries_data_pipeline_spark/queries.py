@@ -9562,3 +9562,62 @@ def q_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ci_halfwidth_micro_cents"),
         F.col("cnt").cast("long").alias("n_replicates"),
     )
+
+
+@register(
+    "q_streaming_ohlc",
+    """
+    WITH ranked AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, value, ts, event_id,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM events
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS bar_start, event_type,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_z = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_ticks
+    FROM ranked GROUP BY h, event_type
+    """,
+)
+def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars: the same hourly bars as q_ohlc_bars built
+    INCREMENTALLY as a streaming windowed aggregate — open/close are
+    min_by/max_by over a (ts, event_id) struct (deterministic
+    tie-break), which maintain O(1) state per bar across micro-batches
+    where the batch form needs a full ranking pass. The availableNow
+    drain finalizes every bar, so the result equals the batch bars and
+    the window-ranked SQL replays it exactly — streaming-vs-batch
+    equivalence is the oracle."""
+    from breweries_data_pipeline_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    sdf = read_events_stream(spark, sf_dir)
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    agg = sdf.groupBy(
+        F.window(F.col("ts"), "1 hour").alias("window"), F.col("event_type")
+    ).agg(
+        F.min_by("value", ordk).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ordk).alias("close"),
+        F.count("*").cast("long").alias("n_ticks"),
+    )
+    shaped = agg.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "bar_start"
+        ),
+        "event_type",
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_ticks",
+    )
+    return run_available_now(shaped, "q_streaming_ohlc")

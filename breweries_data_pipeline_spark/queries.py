@@ -9621,3 +9621,37 @@ def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ticks",
     )
     return run_available_now(shaped, "q_streaming_ohlc")
+
+
+@register(
+    "q_bytes_per_char",
+    """
+    SELECT lang,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(((sum(strlen(text)) * 1000000)
+                 - ((sum(strlen(text)) * 1000000) % sum(length(text))))
+                // sum(length(text)) AS BIGINT) AS bytes_per_char_ppm
+    FROM documents
+    WHERE length(text) > 0
+    GROUP BY lang
+    """,
+)
+def q_bytes_per_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language UTF-8 encoding density (bytes per character, exact
+    ppm) — the storage/tokenizer-budget planning stat for multilingual
+    corpora (CJK ~3x Latin). One partial-aggregated pass; integer
+    floor-division keeps the ratio hash-exact."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    agg = docs.groupBy("lang").agg(
+        F.sum(F.octet_length("text")).alias("total_bytes"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+    return agg.select(
+        "lang",
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        _long_div(F.col("total_bytes") * 1000000, F.col("total_chars")).alias(
+            "bytes_per_char_ppm"
+        ),
+    )

@@ -9526,8 +9526,10 @@ def q_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reps = per_b.crossJoin(F.broadcast(tot)).select(
         "b",
-        _long_div((F.col("st") - F.col("s")) * 1000000, F.col("nt") - F.col("n"))
-        .alias("rep_micro"),
+        _long_div(
+            (F.col("st") - F.col("s")).cast("decimal(38,0)") * 1000000,
+            (F.col("nt") - F.col("n")).cast("decimal(38,0)"),
+        ).alias("rep_micro"),
         "st",
         "nt",
         "nb",
@@ -9550,7 +9552,10 @@ def q_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("d2").alias("ss"), F.count("*").alias("cnt"))
     )
     return var_parts.select(
-        _long_div(F.col("st") * 1000000, F.col("nt")).alias("mean_micro_cents"),
+        _long_div(
+            F.col("st").cast("decimal(38,0)") * 1000000,
+            F.col("nt").cast("decimal(38,0)"),
+        ).alias("mean_micro_cents"),
         F.round(
             1.96
             * F.sqrt(

@@ -182,6 +182,20 @@ def _soak_dir() -> str | None:
     return d
 
 
+def _flush_details(payload: dict) -> None:
+    """Write BENCH_DETAILS.json NOW. Called after every measured query
+    (and at the end with the full payload) so a driver-side timeout
+    truncates the stdout line, not the evidence — r3/r4 lost their
+    whole BENCH file to exactly that."""
+    details_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
+    )
+    tmp = details_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1)
+    os.replace(tmp, details_path)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -222,6 +236,8 @@ def main() -> None:
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
         spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
+        _flush_details({"queries": timings, "spread": spread,
+                        "partial": True})
 
     total = round(sum(timings[q] for q in HEADLINE), 3)
     ext_total = round(sum(timings[q] for q in EXTENDED if q in timings), 3)
@@ -264,6 +280,8 @@ def main() -> None:
             _materialize(fn(spark, sd))
             soak_detail[name] = round(time.perf_counter() - start, 3)
             spark.catalog.clearCache()
+            _flush_details({"queries": timings, "spread": spread,
+                            "soak_queries": soak_detail, "partial": True})
         ratios = {
             q: round(soak_detail[q] / max(timings[q], 1e-9), 1) for q in soak_detail
         }
@@ -282,12 +300,7 @@ def main() -> None:
         payload["soak"] = soak
     # full detail (per-query [min,max] spread) goes to a side file; the
     # stdout line must stay small enough to survive tail-capture intact
-    details_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
-    )
-    with open(details_path, "w") as f:
-        json.dump({**payload, "spread": spread, "soak_queries": soak_detail}, f,
-                  indent=1)
+    _flush_details({**payload, "spread": spread, "soak_queries": soak_detail})
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1800:
         # drop the slowest-changing detail first rather than emit an

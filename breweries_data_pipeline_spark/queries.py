@@ -9660,3 +9660,109 @@ def q_bytes_per_char(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bytes_per_char_ppm"
         ),
     )
+
+
+@register(
+    "q_lsh_recall_audit",
+    f"""
+    WITH shs AS (
+      SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS s FROM documents
+    ),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+            >= 0.5
+    ),
+    sh AS (SELECT doc_id, unnest(s) AS s FROM shs),
+    sig AS (
+      SELECT doc_id,
+             {_sql_minhash_cols(16)}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {_sql_minhash_bands(4, 4)}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
+       AND a.v2 = b.v2 AND a.v3 = b.v3 AND a.doc_id < b.doc_id
+    ),
+    counts AS (
+      SELECT (SELECT count(*) FROM truth) AS n_true,
+             (SELECT count(*) FROM cand) AS n_cand,
+             (SELECT count(*) FROM truth t
+              JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b) AS n_hit
+    )
+    SELECT CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(CASE WHEN n_true > 0 THEN
+                  ((n_hit * 1000000) - ((n_hit * 1000000) % n_true)) // n_true
+                ELSE 1000000 END AS BIGINT) AS recall_ppm
+    FROM counts
+    """,
+)
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-auditing LSH: candidate-level recall of the md5 MinHash
+    banding against EXACT ground truth (all pairs with Jaccard >= 0.5
+    from the zero-recall-loss prefix-filtered similarity join), as a
+    one-row oracled result — the recall measurement itself is
+    hash-checked, not just asserted in a test. The truth side uses
+    AllPairs prefix filtering (never quadratic on the Spark side; the
+    oracle's quadratic join is fine at oracle SF), the LSH side is
+    the q_minhash_lsh candidate pipeline. At production thresholds
+    this is the query you run on a sample after retuning bands."""
+    from breweries_data_pipeline_spark.operators.dedup import (
+        _ensure_parallelism,
+        prefix_filtered_similarity_join,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    truth = prefix_filtered_similarity_join(docs, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+
+    shs = _ensure_parallelism(docs.select("doc_id", "text")).select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("s")
+    )
+    sh = shs.select("doc_id", F.explode("s").alias("s"))
+    sig = _minhash_sig(sh)
+    bands = _minhash_band_rows(sig)
+    cand = (
+        bands.select(F.col("doc_id").alias("id_a"), "band", "v0", "v1", "v2", "v3")
+        .join(
+            bands.select(
+                F.col("doc_id").alias("id_b"), "band", "v0", "v1", "v2", "v3"
+            ),
+            ["band", "v0", "v1", "v2", "v3"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .persist()
+    )
+    t = truth.agg(F.count("*").alias("n_true"))
+    c = cand.agg(F.count("*").alias("n_cand"))
+    h = truth.join(cand, ["id_a", "id_b"]).agg(F.count("*").alias("n_hit"))
+    # three one-row aggregates attach via broadcast crossJoin (the
+    # engine's scalar-attach idiom) — no driver-side collect, so the
+    # audit composes into larger pipelines
+    return (
+        t.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(h))
+        .select(
+            F.col("n_true").cast("long").alias("n_true"),
+            F.col("n_cand").cast("long").alias("n_cand"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.when(
+                F.col("n_true") > 0,
+                _long_div(F.col("n_hit") * 1000000, F.col("n_true")),
+            )
+            .otherwise(F.lit(1000000))
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )

@@ -323,8 +323,12 @@ def node_jaccard(
         F.col(item_col).alias("__item"), F.col(node_col).alias("__node")
     ).distinct()
     deg_item = e.groupBy("__item").agg(F.count("*").alias("__di"))
+    # NOT broadcast: the surviving item set is unbounded (it grows with
+    # the catalog), so the filter joins by shuffle on the item key —
+    # the same key the pairing join shuffles on, so the exchange is
+    # reused; AQE still broadcasts it when it happens to be small
     kept = e.join(
-        F.broadcast(deg_item.filter(F.col("__di") <= hub_cap).select("__item")),
+        deg_item.filter(F.col("__di") <= hub_cap).select("__item"),
         "__item",
     )
     deg_node = kept.groupBy("__node").agg(F.count("*").alias("__dn"))
@@ -428,8 +432,12 @@ def label_propagation(
     (node, label) longs) + one count aggregate + one row_number over
     (node) — two shuffles on node keys, partial-aggregated, skew
     limited by max degree; rounds localCheckpoint to keep lineage
-    flat, exactly like pagerank/connected_components. Isolated nodes
-    keep their own label via the final left join."""
+    flat, exactly like pagerank/connected_components. The node set
+    derives from the symmetrized edge list, so every edge endpoint is
+    labeled (the final left join covers nodes whose neighbors all
+    vanish from a round's votes); entirely edge-LESS nodes are not in
+    scope — union them in as singleton communities downstream, as
+    connected_components does with its explicit node table."""
     e = edges.select(
         F.col(src_col).cast("long").alias("__a"),
         F.col(dst_col).cast("long").alias("__b"),

@@ -835,7 +835,7 @@ def _assign_with_cos_udf(centroids: list[list[float]]) -> Column:
         if len(vs) == 0:
             return pd.DataFrame({"cluster": [], "cos": []})
         C = np.asarray(centroids, dtype=np.float64)
-        C = C / np.linalg.norm(C, axis=1, keepdims=True)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
         V = np.vstack(vs.to_numpy()).astype(np.float64)
         V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
         sims = V @ C.T  # (n, k)

@@ -9766,3 +9766,146 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_ppm"),
         )
     )
+
+
+@register(
+    "q_dedup_ledger",
+    f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+      FROM documents
+    ),
+    exact_surv AS (
+      SELECT doc_id, f, min(doc_id) OVER (PARTITION BY f) AS surv
+      FROM fp
+    ),
+    survivors AS (
+      SELECT e.doc_id, d.text FROM exact_surv e
+      JOIN documents d USING (doc_id)
+      WHERE e.doc_id = e.surv
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES})) AS s
+      FROM survivors
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_sql_minhash_cols(16)}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {_sql_minhash_bands(4, 4)}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
+       AND a.v2 = b.v2 AND a.v3 = b.v3 AND a.doc_id < b.doc_id
+    ),
+    shs AS (
+      SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS s FROM survivors
+    ),
+    near_pairs AS (
+      SELECT c.id_a, c.id_b FROM cand c
+      JOIN shs sa ON sa.doc_id = c.id_a
+      JOIN shs sb ON sb.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)
+            >= 0.5
+    ),
+    near_surv AS (
+      SELECT id_b AS doc_id, min(id_a) AS surv FROM near_pairs GROUP BY id_b
+    )
+    SELECT e.doc_id,
+           CASE WHEN e.doc_id <> e.surv THEN 'dropped_exact'
+                WHEN n.surv IS NOT NULL THEN 'dropped_near'
+                ELSE 'kept' END AS status,
+           CASE WHEN e.doc_id <> e.surv THEN e.surv
+                ELSE n.surv END AS survivor_id
+    FROM exact_surv e
+    LEFT JOIN near_surv n ON n.doc_id = e.doc_id AND e.doc_id = e.surv
+    """,
+)
+def q_dedup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup decision LEDGER — the audit artifact a production corpus
+    build publishes next to the deduped output: every document with
+    its verdict (kept / dropped_exact / dropped_near) and the id of
+    the survivor that displaced it. Exact dedup (md5 fingerprint,
+    min-id survivor) runs first; MinHash-LSH near-dup (md5-lane
+    banding + exact-Jaccard verify at 0.5, lowest-id earlier partner
+    as survivor) runs over exact survivors only. Fully oracled —
+    dedup decisions are replayable, which is what makes a 100 TB
+    dedup pass defensible to auditors. Plan reuses the
+    q_minhash_lsh/q_corpus_funnel persisted-signature shape."""
+    from breweries_data_pipeline_spark.functions.text import normalized_text
+    from breweries_data_pipeline_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wfp = Window.partitionBy(F.md5(normalized_text("text")))
+    exact_surv = docs.select(
+        "doc_id", "text", F.min("doc_id").over(wfp).alias("__surv")
+    ).persist()
+    survivors = exact_surv.filter(F.col("doc_id") == F.col("__surv")).select(
+        "doc_id", "text"
+    )
+
+    shs = _ensure_parallelism(survivors).select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("s")
+    ).persist()
+    sh = shs.select("doc_id", F.explode("s").alias("s"))
+    sig = _minhash_sig(sh).persist()
+    bands = _minhash_band_rows(sig)
+    cand = (
+        bands.select(F.col("doc_id").alias("id_a"), "band", "v0", "v1", "v2", "v3")
+        .join(
+            bands.select(
+                F.col("doc_id").alias("id_b"), "band", "v0", "v1", "v2", "v3"
+            ),
+            ["band", "v0", "v1", "v2", "v3"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    near_pairs = (
+        cand.join(
+            shs.select(F.col("doc_id").alias("id_a"), F.col("s").alias("__sa")),
+            "id_a",
+        )
+        .join(
+            shs.select(F.col("doc_id").alias("id_b"), F.col("s").alias("__sb")),
+            "id_b",
+        )
+        .filter(
+            F.size(F.array_intersect("__sa", "__sb")).cast("double")
+            / F.size(F.array_distinct(F.concat("__sa", "__sb"))).cast("double")
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+    )
+    near_surv = near_pairs.groupBy(F.col("id_b").alias("doc_id")).agg(
+        F.min("id_a").alias("__nsurv")
+    )
+    base = exact_surv.join(
+        near_surv,
+        (exact_surv["doc_id"] == near_surv["doc_id"])
+        & (exact_surv["doc_id"] == exact_surv["__surv"]),
+        "left",
+    ).select(
+        exact_surv["doc_id"],
+        "__surv",
+        "__nsurv",
+    )
+    return base.select(
+        "doc_id",
+        F.when(F.col("doc_id") != F.col("__surv"), F.lit("dropped_exact"))
+        .when(F.col("__nsurv").isNotNull(), F.lit("dropped_near"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+        F.when(F.col("doc_id") != F.col("__surv"), F.col("__surv"))
+        .otherwise(F.col("__nsurv"))
+        .alias("survivor_id"),
+    )

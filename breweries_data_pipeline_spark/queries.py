@@ -9909,3 +9909,136 @@ def q_dedup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("__nsurv"))
         .alias("survivor_id"),
     )
+
+
+_SQL_COS = (
+    "({d} / (sqrt({na}) * sqrt({nb})))"
+)
+
+
+def _sql_mmr() -> str:
+    dot = _SQL_DOT
+    cos_probe = (
+        f"{dot.format(a='e.v', b='p.v')}"
+        f" / (sqrt({dot.format(a='e.v', b='e.v')})"
+        f" * sqrt({dot.format(a='p.v', b='p.v')}))"
+    )
+    cos_sel = (
+        f"{dot.format(a='c.v', b='s.v')}"
+        f" / (sqrt({dot.format(a='c.v', b='c.v')})"
+        f" * sqrt({dot.format(a='s.v', b='s.v')}))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    p AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id = 0
+    ),
+    rel AS (
+      SELECT e.vec_id, e.v, {cos_probe} AS r FROM e CROSS JOIN p
+    ),
+    s1 AS (
+      SELECT vec_id, v, r FROM rel ORDER BY r DESC, vec_id LIMIT 1
+    ),
+    m2 AS (
+      SELECT c.vec_id, c.v, c.r,
+             0.5 * c.r - 0.5 * {cos_sel} AS score
+      FROM rel c JOIN s1 s ON c.vec_id <> s.vec_id
+    ),
+    s2 AS (
+      SELECT vec_id, v, r FROM m2 ORDER BY score DESC, vec_id LIMIT 1
+    ),
+    m3 AS (
+      SELECT c.vec_id, c.r,
+             0.5 * c.r - 0.5 * max({cos_sel}) AS score
+      FROM rel c JOIN (SELECT * FROM s1 UNION ALL SELECT * FROM s2) s
+        ON c.vec_id <> s.vec_id
+      GROUP BY c.vec_id, c.r
+      HAVING count(*) = 2
+    ),
+    s3 AS (
+      SELECT vec_id, r FROM m3 ORDER BY score DESC, vec_id LIMIT 1
+    )
+    SELECT CAST(1 AS INTEGER) AS rank, vec_id, r AS relevance FROM s1
+    UNION ALL
+    SELECT 2, vec_id, r FROM s2
+    UNION ALL
+    SELECT 3, vec_id, r FROM s3
+    """
+
+
+@register("q_mmr_select", None)  # oracle attached below (generated SQL)
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein
+    1998): pick 3 results that are RELEVANT to the probe (vec 0) but
+    mutually DIVERSE — score = 0.5*rel - 0.5*max cos to the already-
+    selected set. Greedy loop with bounded driver state (each step
+    collects exactly ONE argmax row, like kmeans collects its k x d
+    model); per step the corpus is scanned once with the selected
+    vectors as plan literals. Exact-fold cosines keep the unrolled
+    SQL oracle bit-exact — deterministic diversified retrieval, the
+    standard re-rank after an ANN shortlist."""
+    from breweries_data_pipeline_spark.operators.similarity import _exact_dot_udf
+
+    dot = _exact_dot_udf()
+    emb = read_table(spark, sf_dir, "embeddings")
+    probe_vec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    pv = F.array(*[F.lit(x) for x in probe_vec])
+    cand = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        "embedding",
+        (
+            dot(F.col("embedding"), pv)
+            / (
+                F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                * F.sqrt(dot(pv, pv))
+            )
+        ).alias("r"),
+    ).persist()
+
+    selected: list[tuple[int, float, list[float]]] = []
+    for step in range(3):
+        scored = cand
+        if selected:
+            sim_cols = []
+            for _, _, svec in selected:
+                sv = F.array(*[F.lit(float(x)) for x in svec])
+                sim_cols.append(
+                    dot(F.col("embedding"), sv)
+                    / (
+                        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                        * F.sqrt(dot(sv, sv))
+                    )
+                )
+            max_sim = sim_cols[0]
+            for c in sim_cols[1:]:
+                max_sim = F.greatest(max_sim, c)
+            scored = cand.withColumn("score", 0.5 * F.col("r") - 0.5 * max_sim)
+        else:
+            scored = cand.withColumn("score", F.col("r"))
+        scored = scored.filter(
+            ~F.col("vec_id").isin([s[0] for s in selected])
+            if selected
+            else F.lit(True)
+        )
+        top = (
+            scored.orderBy(F.col("score").desc(), F.col("vec_id"))
+            .limit(1)
+            .select("vec_id", "r", "embedding")
+            .collect()[0]
+        )
+        selected.append((top["vec_id"], top["r"], list(top["embedding"])))
+    cand.unpersist()
+    return spark.createDataFrame(
+        [(i + 1, s[0], s[1]) for i, s in enumerate(selected)],
+        "rank int, vec_id long, relevance double",
+    )
+
+
+REGISTRY["q_mmr_select"] = (q_mmr_select, _sql_mmr())

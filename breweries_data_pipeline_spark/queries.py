@@ -10042,3 +10042,151 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["q_mmr_select"] = (q_mmr_select, _sql_mmr())
+
+
+@register(
+    "q_dataset_card",
+    r"""
+    WITH base AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(*) - count(DISTINCT f) AS BIGINT) AS n_exact_dups,
+           CAST(((count(*) - count(DISTINCT f)) * 1000000
+                 - (((count(*) - count(DISTINCT f)) * 1000000) % count(*)))
+                // count(*) AS BIGINT) AS dup_rate_ppm,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM base
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row dataset card ("datasheet") a corpus release ships
+    with: document/token/char volumes, language and source coverage,
+    exact-duplicate count and rate — computed in ONE pass over the
+    corpus (single aggregate; the two distinct-counts ride the same
+    scan via partial aggregation). At 100 TB this is the cheapest
+    query in the release pipeline and the first sanity gate before
+    anything else runs; rate is exact-integer ppm."""
+    docs = read_table(spark, sf_dir, "documents")
+    from breweries_data_pipeline_spark.functions.text import (
+        normalized_text,
+        tokens as _tk,
+    )
+
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(_tk("text")).alias("n_tokens"),
+        F.md5(normalized_text("text")).alias("f"),
+    )
+    agg = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.count("*") - F.countDistinct("f")).alias("n_exact_dups"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+    return agg.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+        F.col("n_exact_dups").cast("long").alias("n_exact_dups"),
+        _long_div(F.col("n_exact_dups") * 1000000, F.col("n_docs")).alias(
+            "dup_rate_ppm"
+        ),
+        F.col("min_tokens").cast("long").alias("min_tokens"),
+        F.col("max_tokens").cast("long").alias("max_tokens"),
+    )
+
+
+@register(
+    "q_ngram_novelty",
+    f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))
+               ::BIGINT % 100 AS b
+      FROM documents
+    ),
+    train_g AS (
+      SELECT DISTINCT unnest(list_distinct({_SQL_SHINGLES})) AS g
+      FROM split WHERE b < 90
+    ),
+    test_g AS (
+      SELECT DISTINCT unnest(list_distinct({_SQL_SHINGLES})) AS g
+      FROM split WHERE b >= 95
+    ),
+    counts AS (
+      SELECT (SELECT count(*) FROM test_g) AS n_test,
+             (SELECT count(*) FROM test_g t
+              WHERE t.g NOT IN (SELECT g FROM train_g)) AS n_novel
+    )
+    SELECT CAST(n_test AS BIGINT) AS n_test_grams,
+           CAST(n_novel AS BIGINT) AS n_novel_grams,
+           CAST(CASE WHEN n_test > 0 THEN
+                  ((n_novel * 1000000) - ((n_novel * 1000000) % n_test))
+                  // n_test
+                ELSE 0 END AS BIGINT) AS novelty_ppm
+    FROM counts
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train->test n-gram novelty: the fraction of the held-out
+    split's distinct 3-grams that never occur in the training split —
+    the generalization-pressure counterpart of decontamination (high
+    novelty = the eval actually tests composition, not recall). Same
+    leakage-safe hash split as q_split_assign; the novel set comes
+    from a left-anti join on the gram key (the correct big-big shape —
+    compose with bloom_prune_join when the train side is huge);
+    scalars attach declaratively."""
+    from breweries_data_pipeline_spark.operators.corpus import hash_bucket
+    from breweries_data_pipeline_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
+
+    docs = _ensure_parallelism(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).withColumn("b", hash_bucket(F.col("doc_id"), "split", 100))
+    train_g = (
+        docs.filter(F.col("b") < 90)
+        .select(F.explode(F.array_distinct(shingles("text", 3))).alias("g"))
+        .distinct()
+    )
+    test_g = (
+        docs.filter(F.col("b") >= 95)
+        .select(F.explode(F.array_distinct(shingles("text", 3))).alias("g"))
+        .distinct()
+        .persist()
+    )
+    novel = test_g.join(train_g, "g", "left_anti")
+    t = test_g.agg(F.count("*").alias("n_test"))
+    n = novel.agg(F.count("*").alias("n_novel"))
+    return (
+        t.crossJoin(F.broadcast(n))
+        .select(
+            F.col("n_test").cast("long").alias("n_test_grams"),
+            F.col("n_novel").cast("long").alias("n_novel_grams"),
+            F.when(
+                F.col("n_test") > 0,
+                _long_div(F.col("n_novel") * 1000000, F.col("n_test")),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+    )

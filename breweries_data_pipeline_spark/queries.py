@@ -10190,3 +10190,151 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty_ppm"),
         )
     )
+
+
+@register(
+    "q_tokenizer_fertility",
+    r"""
+    SELECT lang,
+           CAST(sum(len(regexp_extract_all(text,
+                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+             AS words,
+           CAST(((sum(len(regexp_extract_all(text,
+                  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) * 1000000)
+                 - ((sum(len(regexp_extract_all(text,
+                      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) * 1000000)
+                    % sum(len(regexp_split_to_array(trim(text), '\s+')))))
+                // sum(len(regexp_split_to_array(trim(text), '\s+')))
+                AS BIGINT) AS fertility_ppm
+    FROM documents
+    WHERE length(trim(text)) > 0
+    GROUP BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish pre-tokens per
+    whitespace word (exact ppm) — the compute-budget stat that decides
+    how many training tokens a corpus really yields per language
+    (high-fertility languages cost more context per sentence). One
+    partial-aggregated pass; both tokenizations are the engine's
+    standard regexes, so the oracle reproduces counts exactly."""
+    from breweries_data_pipeline_spark.functions.text import (
+        bpe_ish_tokens,
+        tokens as _tk,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    agg = docs.groupBy("lang").agg(
+        F.sum(F.size(bpe_ish_tokens("text"))).alias("bpe_tokens"),
+        F.sum(F.size(_tk("text"))).alias("words"),
+    )
+    return agg.select(
+        "lang",
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+        F.col("words").cast("long").alias("words"),
+        _long_div(F.col("bpe_tokens") * 1000000, F.col("words")).alias(
+            "fertility_ppm"
+        ),
+    )
+
+
+@register(
+    "q_benford_audit",
+    """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INTEGER) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    tot AS (SELECT count(*) AS n FROM digits)
+    SELECT d, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(((count(*) * 1000000) - ((count(*) * 1000000) % t.n)) // t.n
+                AS BIGINT) AS share_ppm
+    FROM digits CROSS JOIN tot t
+    GROUP BY d, t.n
+    """,
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the classic
+    anomaly/fraud screen for financial columns (organic amounts
+    follow log-uniform leading digits; fabricated ones don't). One
+    hash aggregate over 9 digit groups + a one-row total attach;
+    shares in exact ppm."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    tot = digits.agg(F.count("*").alias("n"))
+    return (
+        digits.groupBy("d")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            F.col("cnt").cast("long").alias("cnt"),
+            _long_div(F.col("cnt") * 1000000, F.col("n")).alias("share_ppm"),
+        )
+    )
+
+
+@register(
+    "q_lsh_cost_model",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES})) AS s
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_sql_minhash_cols(16)}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {_sql_minhash_bands(4, 4)}
+    ),
+    buckets AS (
+      SELECT band, v0, v1, v2, v3, count(*) AS k
+      FROM bands GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(k) AS BIGINT) AS max_bucket,
+           CAST(sum(k * (k - 1) // 2) AS BIGINT) AS predicted_pairs
+    FROM buckets GROUP BY band
+    """,
+)
+def q_lsh_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH tuning diagnostics: per band, the bucket count, the hottest
+    bucket, and the candidate-pair volume the banding WILL generate
+    (sum over buckets of k*(k-1)/2) — computed from bucket sizes
+    alone, BEFORE running the pairing join. This is the cost model
+    that picks bits-per-band at a new corpus scale (SCALE.md's
+    bits ~ log2(N/target) rule, made measurable): if predicted_pairs
+    blows up, re-band before paying for the join. One aggregate over
+    the signature table; no pairs materialize."""
+    from breweries_data_pipeline_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    shs = _ensure_parallelism(docs.select("doc_id", "text")).select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("s")
+    )
+    sh = shs.select("doc_id", F.explode("s").alias("s"))
+    sig = _minhash_sig(sh)
+    bands = _minhash_band_rows(sig)
+    buckets = bands.groupBy("band", "v0", "v1", "v2", "v3").agg(
+        F.count("*").alias("k")
+    )
+    return buckets.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.max("k").cast("long").alias("max_bucket"),
+        F.sum(F.expr("(k * (k - 1)) div 2")).cast("long").alias("predicted_pairs"),
+    )

@@ -10338,3 +10338,286 @@ def q_lsh_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("long").alias("max_bucket"),
         F.sum(F.expr("(k * (k - 1)) div 2")).cast("long").alias("predicted_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6c: time-series statistics (CUSUM, EWMA, KS test, autocorrelation)
+# ---------------------------------------------------------------------------
+
+_SQL_VALUE_MICRO = "CAST(round(value * 1000000) AS BIGINT)"
+
+
+@register(
+    "q_cusum_drift",
+    f"""
+    WITH v AS (
+      SELECT event_id, user_id, ts,
+             {_SQL_VALUE_MICRO} - 120000000 AS dev
+      FROM events
+    ),
+    c AS (
+      SELECT event_id, user_id, ts,
+             sum(dev) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM v
+    ),
+    s AS (
+      SELECT event_id, user_id, ts,
+             cum - least(0, min(cum) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             )) AS cusum_micro
+      FROM c
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           cusum_micro
+    FROM s WHERE cusum_micro > 400000000
+    """,
+)
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM upward-drift detection per user (alarm rows where the
+    one-sided cumulative sum of value deviations exceeds h) — the
+    classic sequential change-point monitor for metric feeds. The
+    textbook recursion s_i = max(0, s_{i-1} + d_i) looks inherently
+    sequential, but the identity s_i = cum_i - min(0, min_{j<=i}
+    cum_j) turns it into TWO stock window passes over the same
+    (user)-partitioned ordering — one shuffle total, no
+    applyInPandas, no recursion, and partial-frame running min/sum
+    are O(1) per row. Deviations are exact integer micro-units, so
+    the alarm cut is bit-identical cross-engine. At 100 TB this is
+    one hash exchange on user_id; per-user state is a single long."""
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us, F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = (F.round(F.col("value") * 1000000).cast("long") - 120000000).alias("dev")
+    cum = F.sum(dev).over(w)
+    cusum = cum - F.least(F.lit(0).cast("long"), F.min(cum).over(w))
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            cusum.alias("cusum_micro"),
+        )
+        .where(F.col("cusum_micro") > 400000000)
+    )
+
+
+def _sql_ewma_lags() -> str:
+    """DuckDB spelling of the 16-lag truncated EWMA numerator/denominator."""
+    num_terms = " + ".join(
+        f"coalesce(lag(v, {k}) OVER w, 0) * {1 << (15 - k)}" for k in range(16)
+    )
+    return f"""
+    WITH v AS (
+      SELECT event_id, user_id, ts, {_SQL_VALUE_MICRO} AS v
+      FROM events
+    ),
+    e AS (
+      SELECT event_id, user_id,
+             {num_terms} AS num,
+             65536 - (65536 >> CAST(least(16, row_number() OVER w) AS INTEGER))
+               AS den
+      FROM v
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT event_id, user_id, num // den AS ewma_micro FROM e
+    """
+
+
+@register("q_ewma_smoothing", _sql_ewma_lags())
+def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 1/2) per user,
+    truncated at 16 lags — metric smoothing with bounded memory. The
+    geometric weights 2^-(k+1) are renormalized over however many
+    lags exist near the partition start (den = 2^16 - 2^(16-m)), so
+    every row has a well-defined exact value. Everything is integer:
+    micro-unit inputs, power-of-two weights (max term 490e6 * 2^15
+    ~ 1.6e13, far inside long), and a decimal floor division at the
+    end — bit-identical cross-engine, no float accumulation order to
+    worry about. Plan: ONE window pass over one shuffle on user_id;
+    the 16 lag() calls share a single WindowExec frame, so per-row
+    cost is 16 adds. The truncation is what makes this scale-honest:
+    a full-history EWMA in exact arithmetic would need unbounded
+    numerators, while 16 binary lags bound the state and the error
+    (2^-17 of the oldest mass) below the micro quantum."""
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    v = F.round(F.col("value") * 1000000).cast("long")
+    num = None
+    for k in range(16):
+        term = F.coalesce(F.lag(v, k).over(w), F.lit(0).cast("long")) * F.lit(
+            1 << (15 - k)
+        ).cast("long")
+        num = term if num is None else num + term
+    m = F.least(F.lit(16), F.row_number().over(w)).cast("int")
+    staged = ev.select(
+        "event_id", "user_id", num.alias("num"), m.alias("m")
+    )
+    # PySpark's shiftright() wrapper only takes a literal shift; the
+    # SQL function accepts a column expression.
+    den = F.expr("CAST(65536 AS BIGINT) - shiftright(CAST(65536 AS BIGINT), m)")
+    return staged.select(
+        "event_id",
+        "user_id",
+        _long_div(F.col("num"), den).alias("ewma_micro"),
+    )
+
+
+@register(
+    "q_ks_test",
+    f"""
+    WITH p AS (
+      SELECT {_SQL_VALUE_MICRO} AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g2
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    d AS (SELECT v, sum(g1) AS c1, sum(g2) AS c2 FROM p GROUP BY v),
+    r AS (
+      SELECT v,
+             sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
+             sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2
+      FROM d
+    ),
+    t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM d),
+    diffs AS (
+      SELECT r.v, t.n1, t.n2,
+             abs(cum1 * t.n2 - cum2 * t.n1) AS diff
+      FROM r, t
+    ),
+    best AS (SELECT max(diff) AS mx FROM diffs)
+    SELECT CAST(d.n1 AS BIGINT) AS n1,
+           CAST(d.n2 AS BIGINT) AS n2,
+           CAST(min(d.v) AS BIGINT) AS at_micro,
+           CAST(d.diff * 1000000 // (d.n1 * d.n2) AS BIGINT) AS ks_ppm
+    FROM diffs d, best b
+    WHERE d.diff = b.mx
+    GROUP BY d.n1, d.n2, d.diff
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (click vs purchase
+    value distributions) — the distribution-level A/B comparison that
+    catches shape changes a mean test misses. D = max_v |F1(v) -
+    F2(v)| evaluated at distinct-value granularity: per-value counts
+    aggregate in one partial+final shuffle FIRST, so the ordered
+    cumulative pass runs over the distinct micro-quantized values
+    (bounded by quantization, not row count — the single-partition
+    window is over the ~thousands-row distinct table, never the raw
+    events). The statistic is an exact integer cross-product
+    (|cum1*n2 - cum2*n1|, max ~2e12 at this SF) reported in ppm with
+    a decimal floor divide; at_micro is the smallest value attaining
+    the max, so the argmax is deterministic under ties."""
+    ev = read_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 1000000).cast("long")
+    p = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        v.alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g2"),
+    )
+    d = p.groupBy("v").agg(F.sum("g1").alias("c1"), F.sum("g2").alias("c2"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = d.select(
+        "v",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    )
+    t = d.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    diffs = r.crossJoin(F.broadcast(t)).select(
+        "v",
+        "n1",
+        "n2",
+        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias(
+            "diff"
+        ),
+    )
+    best = diffs.agg(F.max("diff").alias("mx"))
+    return (
+        diffs.crossJoin(F.broadcast(best))
+        .where(F.col("diff") == F.col("mx"))
+        .groupBy("n1", "n2", "diff")
+        .agg(F.min("v").alias("at_micro"))
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("at_micro").cast("long").alias("at_micro"),
+            _long_div(F.col("diff") * 1000000, F.col("n1") * F.col("n2")).alias(
+                "ks_ppm"
+            ),
+        )
+    )
+
+
+@register(
+    "q_autocorr_daily",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, count(*) AS x
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT x AS y, lag(x) OVER (ORDER BY day) AS x
+      FROM daily
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(CAST(sum(x) AS HUGEINT) AS DOUBLE) AS sx,
+             CAST(CAST(sum(y) AS HUGEINT) AS DOUBLE) AS sy,
+             CAST(CAST(sum(x * x) AS HUGEINT) AS DOUBLE) AS sxx,
+             CAST(CAST(sum(y * y) AS HUGEINT) AS DOUBLE) AS syy,
+             CAST(CAST(sum(x * y) AS HUGEINT) AS DOUBLE) AS sxy
+      FROM pairs WHERE x IS NOT NULL
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS autocorr_lag1
+    FROM sums
+    """,
+)
+def q_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event-count series — the
+    seasonality/momentum screen for feed volumes (near +1 = trending,
+    near 0 = memoryless, negative = alternating). Same deterministic-
+    Pearson discipline as q_corr_stats: the five moment sums
+    accumulate EXACTLY over integer daily counts (decimal
+    accumulators), and the final correlation is one fixed-order IEEE
+    expression — bit-identical across engines. The series itself is
+    tiny (one row per day), so after the one groupBy shuffle the lag
+    window and moment aggregate are effectively free; at 100 TB the
+    cost is the daily count aggregate, which partial-aggregates
+    map-side to one long per (partition, day)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    w = Window.orderBy("day")
+    pairs = daily.select(
+        F.col("x").alias("y"), F.lag("x").over(w).alias("x")
+    ).where(F.col("x").isNotNull())
+    dec = "decimal(38,0)"
+    sums = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return sums.select(
+        n.cast("long").alias("n_pairs"), corr.alias("autocorr_lag1")
+    )

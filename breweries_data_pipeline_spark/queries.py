@@ -10621,3 +10621,210 @@ def q_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         n.cast("long").alias("n_pairs"), corr.alias("autocorr_lag1")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6c: image perceptual-hash dedup, source-overlap matrix,
+# file-compaction planning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_image_ahash",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             (16 + doc_id % 17) * (16 + doc_id % 13) * (1 + doc_id % 3) AS n,
+             (doc_id * 2654435761) % 4294967296 AS seed
+      FROM documents
+    ),
+    s AS (
+      SELECT media_id, CAST(t.i AS BIGINT) AS i,
+             ((seed + ((CAST(t.i AS BIGINT) * n) // 64) * 40503) >> 3) & 255
+               AS v
+      FROM m, unnest(generate_series(0, 63)) AS t(i)
+    ),
+    tot AS (SELECT media_id, sum(v) AS total FROM s GROUP BY media_id),
+    bits AS (
+      SELECT s.media_id, s.i,
+             CASE WHEN s.v * 64 > t.total THEN 1 ELSE 0 END AS b
+      FROM s JOIN tot t USING (media_id)
+    ),
+    h AS (
+      SELECT media_id,
+             sum(CASE WHEN i < 32
+                      THEN CAST(b AS BIGINT) << CAST(31 - i AS INTEGER)
+                      ELSE 0 END) AS ahash_hi,
+             sum(CASE WHEN i >= 32
+                      THEN CAST(b AS BIGINT) << CAST(63 - i AS INTEGER)
+                      ELSE 0 END) AS ahash_lo
+      FROM bits GROUP BY media_id
+    )
+    SELECT media_id,
+           CAST(ahash_hi AS BIGINT) AS ahash_hi,
+           CAST(ahash_lo AS BIGINT) AS ahash_lo,
+           CAST(count(*) OVER (PARTITION BY ahash_hi, ahash_lo) AS BIGINT)
+             AS dup_group_size
+    FROM h
+    """,
+)
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup candidates by perceptual average-hash: every blob
+    hashed (operators/multimodal.py:image_ahash — 64 strided payload
+    samples thresholded on their exact integer mean, packed into two
+    32-bit halves), then grouped so dup_group_size > 1 flags
+    re-encoded/resized copies that byte-level md5 would miss. The
+    hash is a narrow Arrow-batched pass over the blobs (zero
+    shuffle); the grouping shuffles 3 longs per image regardless of
+    blob size — the blob itself never moves. Full oracle: the
+    FAKEIMG1 payload is id-derived arithmetic, so DuckDB regenerates
+    the sampled bytes and replays every bit of the hash."""
+    from breweries_data_pipeline_spark.operators.multimodal import (
+        image_ahash,
+        media_from_ids,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    h = image_ahash(media_from_ids(docs))
+    w = Window.partitionBy("ahash_hi", "ahash_lo")
+    return h.select(
+        "media_id",
+        "ahash_hi",
+        "ahash_lo",
+        F.count("*").over(w).cast("long").alias("dup_group_size"),
+    )
+
+
+@register(
+    "q_source_overlap",
+    f"""
+    WITH g AS (
+      SELECT DISTINCT source, gram
+      FROM (
+        SELECT source, unnest({_sql_shingles(5)}) AS gram
+        FROM documents
+      )
+    ),
+    sz AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b,
+           CAST(i.inter AS BIGINT) AS inter,
+           CAST(sa.n + sb.n - i.inter AS BIGINT) AS uni,
+           CAST(i.inter * 1000000 // (sa.n + sb.n - i.inter) AS BIGINT)
+             AS jaccard_ppm
+    FROM inter i
+    JOIN sz sa ON sa.source = i.src_a
+    JOIN sz sb ON sb.source = i.src_b
+    ORDER BY jaccard_ppm DESC, src_a, src_b LIMIT 20
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level corpus overlap matrix: Jaccard similarity of the
+    distinct token-5-gram sets of every source pair (top 20) — the
+    crawl-dedup planning view that tells a corpus team which feeds
+    mirror each other BEFORE paying for document-level dedup between
+    them. Plan: distinct (source, gram) in one partial-agg shuffle,
+    per-source set sizes broadcast back, and the pair counts come
+    from a self equi-join ON GRAM — per-gram fan-out is bounded by
+    the number of sources carrying that gram (sources are feeds:
+    dozens, not millions), so no quadratic blow-up exists at any
+    corpus size. Zero-intersection pairs carry no signal and are
+    (by construction of the equi-join) absent."""
+    docs = read_table(spark, sf_dir, "documents")
+    g = (
+        docs.select("source", F.explode(shingles("text", 5)).alias("gram"))
+        .distinct()
+    )
+    sz = g.groupBy("source").agg(F.count("*").alias("n"))
+    a = g.alias("a")
+    b = g.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    uni = F.col("na") + F.col("nb") - F.col("inter")
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("inter").cast("long").alias("inter"),
+            uni.cast("long").alias("uni"),
+            _long_div(F.col("inter") * 1000000, uni).alias("jaccard_ppm"),
+        )
+        .orderBy(F.desc("jaccard_ppm"), "src_a", "src_b")
+        .limit(20)
+    )
+
+
+@register(
+    "q_compaction_plan",
+    """
+    WITH f AS (
+      SELECT source, doc_id, n_chars AS bytes,
+             coalesce(sum(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS prior
+      FROM documents
+    )
+    SELECT source,
+           CAST(prior // 4096 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM f GROUP BY source, prior // 4096
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the lakehouse maintenance pass
+    that groups a partition's many small files into ~target-size
+    rewrite bins (documents stand in for the file listing: one file
+    of n_chars bytes each, binned per source toward a 4 KiB target).
+    Bin assignment is the streaming rule floor(exclusive-cumsum /
+    target) over a deterministic file order: consecutive files share
+    a bin until the target fills, every bin is contiguous (so the
+    rewrite preserves sort order and min/max pruning), and the whole
+    plan is ONE window pass + one aggregate — no driver-side loop
+    over the file list, which is what makes it viable for a 100 TB
+    table whose manifest alone has millions of entries."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = docs.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").alias("bytes"),
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0).cast("long")).alias(
+            "prior"
+        ),
+    )
+    return (
+        staged.groupBy(
+            "source", F.expr("prior div 4096").cast("long").alias("bin")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("total_bytes"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+    )

@@ -10828,3 +10828,234 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("long").alias("last_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6c: item-item similarity, retrieval eval (MRR), token-length
+# histogram, l-diversity privacy audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_item_cosine",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    deg AS (SELECT l_partkey, count(*) AS n FROM b GROUP BY 1),
+    co AS (
+      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+             count(*) AS co
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT co.part_a, co.part_b,
+           CAST(co.co AS BIGINT) AS co,
+           CAST(da.n AS BIGINT) AS n_a,
+           CAST(db.n AS BIGINT) AS n_b,
+           CAST(co.co * co.co * 1000000 // (da.n * db.n) AS BIGINT)
+             AS cosine_sq_ppm
+    FROM co
+    JOIN deg da ON da.l_partkey = co.part_a
+    JOIN deg db ON db.l_partkey = co.part_b
+    ORDER BY cosine_sq_ppm DESC, part_a, part_b LIMIT 100
+    """,
+)
+def q_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine similarity from order co-occurrence — the
+    normalized form of q_basket_pairs and the core of a
+    collaborative-filtering recommender: cosine(a,b) = co(a,b) /
+    sqrt(n_a * n_b), reported as the SQUARED cosine in exact integer
+    ppm so no sqrt (and no libm) crosses an engine boundary. The
+    self-join keys on l_orderkey, so fan-out per order is
+    basket-size-squared (baskets are bounded: ~7 lines), never
+    corpus-squared; the min-support HAVING prunes the pair table
+    before the degree joins; degree table is small and hash-joined.
+    One extra broadcast-scale join pair vs basket counting buys the
+    popularity normalization that stops best-sellers dominating."""
+    li = read_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    deg = b.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    a = b.alias("a")
+    c = b.alias("c")
+    co = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("c.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("co"))
+        .where(F.col("co") >= 2)
+    )
+    da = deg.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    db = deg.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    return (
+        co.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("co").cast("long").alias("co"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            _long_div(
+                F.col("co") * F.col("co") * 1000000,
+                F.col("n_a") * F.col("n_b"),
+            ).alias("cosine_sq_ppm"),
+        )
+        .orderBy(F.desc("cosine_sq_ppm"), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+@register(
+    "q_mrr_eval",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+    queries AS (
+      SELECT term FROM (
+        SELECT term, sum(tf) AS total FROM tf GROUP BY term
+        ORDER BY total DESC, term LIMIT 5
+      )
+    ),
+    ranked AS (
+      SELECT tf.term, tf.doc_id, tf.tf,
+             row_number() OVER (
+               PARTITION BY tf.term ORDER BY tf.tf DESC, tf.doc_id
+             ) AS rnk
+      FROM tf JOIN queries q ON q.term = tf.term
+    )
+    SELECT term,
+           CAST(min(rnk) AS BIGINT) AS first_rel_rank,
+           CAST(1000000 // min(rnk) AS BIGINT) AS rr_micro
+    FROM ranked
+    WHERE doc_id % 7 = 0
+    GROUP BY term
+    """,
+)
+def q_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation (reciprocal rank of the first
+    relevant hit, per query) — the eval loop a RAG/curation pipeline
+    runs after every index build. The 5 busiest corpus terms stand in
+    for the query set; ranking is tf-desc with a doc_id tie-break;
+    relevance is the deterministic doc_id % 7 label. RR is exact
+    integer micro-units (1e6 // rank), so MRR aggregation downstream
+    never touches floats. Plan: postings build is one explode +
+    partial-agg shuffle; the 5-term query set prunes the postings via
+    a broadcast semi-join BEFORE the per-term ranking window, so the
+    window sorts only matching postings — the shape that keeps
+    per-query eval cost independent of corpus size."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    qs = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("total"))
+        .orderBy(F.desc("total"), "term")
+        .limit(5)
+        .select("term")
+    )
+    ranked = tf.join(F.broadcast(qs), "term").select(
+        "term",
+        "doc_id",
+        F.row_number()
+        .over(Window.partitionBy("term").orderBy(F.desc("tf"), "doc_id"))
+        .alias("rnk"),
+    )
+    return (
+        ranked.where(F.col("doc_id") % 7 == 0)
+        .groupBy("term")
+        .agg(F.min("rnk").alias("first_rel_rank"))
+        .select(
+            "term",
+            F.col("first_rel_rank").cast("long").alias("first_rel_rank"),
+            _long_div(F.lit(1000000).cast("long"), F.col("first_rel_rank")).alias(
+                "rr_micro"
+            ),
+        )
+    )
+
+
+@register(
+    "q_token_histogram",
+    r"""
+    WITH n AS (
+      SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    )
+    SELECT CAST(1 << CAST(length(bin(n_tokens)) - 1 AS INTEGER) AS BIGINT)
+             AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM n GROUP BY 1
+    """,
+)
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram (docs per [2^k, 2^(k+1))
+    token bucket, plus token mass per bucket) — the first chart in any
+    corpus datasheet and the input to length-filter threshold
+    decisions. The bucket is computed EXACTLY as 2^(bitlength-1) via
+    the binary-string length — never floor(log2(double)), which
+    misrounds at exact powers of two once counts exceed 2^53's
+    precision at real corpus scale. One narrow projection + one tiny
+    aggregate; bucket count is log2(max doc length) ~ 25 rows even
+    for book-length documents."""
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.select(F.size(tokens("text")).cast("long").alias("n_tokens"))
+    bin_lo = F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), "
+        "CAST(length(bin(n_tokens)) - 1 AS INT)) AS BIGINT)"
+    )
+    return n.groupBy(bin_lo.alias("bin_lo")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@register(
+    "q_l_diversity",
+    """
+    WITH classes AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             count(*) AS k,
+             count(DISTINCT c_mktsegment) AS l
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT l,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(k) AS BIGINT) AS n_rows,
+           l < 3 AS at_risk
+    FROM classes GROUP BY l
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's necessary complement: a QI
+    class can be large (k-safe) yet leak the sensitive attribute if
+    every member shares one value. Here QI = (nation, balance band),
+    sensitive = market segment; classes with l < 3 distinct segments
+    are homogeneity-attack risks. One aggregate computes k and l
+    together (count + count-distinct over the same grouping — Spark
+    plans the distinct as an Expand, still a single shuffle family),
+    then a ~tens-of-rows histogram. Same scale posture as
+    q_k_anonymity: cost is one shuffle of |classes| rows."""
+    cust = read_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(
+        F.count("*").alias("k"),
+        F.countDistinct("c_mktsegment").alias("l"),
+    )
+    return classes.groupBy("l").agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("k").cast("long").alias("n_rows"),
+    ).select("l", "n_classes", "n_rows", (F.col("l") < 3).alias("at_risk"))

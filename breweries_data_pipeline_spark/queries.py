@@ -11059,3 +11059,69 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_classes"),
         F.sum("k").cast("long").alias("n_rows"),
     ).select("l", "n_classes", "n_rows", (F.col("l") < 3).alias("at_risk"))
+
+
+@register(
+    "q_streaming_cusum",
+    f"""
+    WITH v AS (
+      SELECT event_id, user_id, ts,
+             {_SQL_VALUE_MICRO} - 120000000 AS dev
+      FROM events
+    ),
+    c AS (
+      SELECT event_id, user_id, ts,
+             sum(dev) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM v
+    ),
+    s AS (
+      SELECT event_id, user_id, ts,
+             cum - least(0, min(cum) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             )) AS cusum_micro
+      FROM c
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           cusum_micro
+    FROM s WHERE cusum_micro > 400000000
+    """,
+)
+def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming form of q_cusum_drift: the CUSUM alarm ledger
+    maintained incrementally by a custom stateful operator
+    (applyInPandasWithState, streaming/stateful.py:streaming_cusum)
+    with 16 bytes of state per user. FULL oracle — integer
+    micro-unit arithmetic makes the streamed alarms bit-identical to
+    the batch window computation, so the SQL twin of the batch query
+    replays the stream's output exactly. This is the monitoring shape
+    that cannot wait for a batch job: the alarm fires in the
+    micro-batch where the drift crosses h."""
+    import tempfile
+
+    from breweries_data_pipeline_spark.streaming import (
+        read_events_stream,
+        streaming_cusum,
+    )
+
+    sdf = read_events_stream(spark, sf_dir)
+    q = (
+        streaming_cusum(sdf)
+        .writeStream.format("memory")
+        .queryName("q_streaming_cusum")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bdp_scusum_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q_streaming_cusum").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "cusum_micro",
+    )

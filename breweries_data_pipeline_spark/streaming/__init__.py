@@ -9,6 +9,7 @@ from breweries_data_pipeline_spark.streaming.upsert import (  # noqa: F401
 )
 from breweries_data_pipeline_spark.streaming.stateful import (  # noqa: F401
     stateful_user_counts,
+    streaming_cusum,
     streaming_dedup,
 )
 from breweries_data_pipeline_spark.streaming.windows import (  # noqa: F401

@@ -94,3 +94,81 @@ def stateful_user_counts(sdf: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CUSUM_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("cusum_micro", T.LongType(), False),
+    ]
+)
+_CUSUM_STATE = T.StructType(
+    [
+        T.StructField("cum", T.LongType(), False),
+        T.StructField("minc", T.LongType(), False),
+    ]
+)
+
+
+def _update_cusum(key, pdfs, state: GroupState, k_micro: int, h_micro: int):
+    import pandas as pd
+
+    cum, minc = state.get if state.exists else (0, 0)
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    # per-key event-time order within the micro-batch; the state keeps
+    # the recursion exact across batch boundaries
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    out = {"user_id": [], "event_id": [], "ts": [], "cusum_micro": []}
+    for ev_id, ts, v_micro in zip(
+        pdf["event_id"], pdf["ts"], pdf["value_micro"]
+    ):
+        cum += int(v_micro) - k_micro
+        if cum < minc:
+            minc = cum
+        s = cum - minc
+        if s > h_micro:
+            out["user_id"].append(key[0])
+            out["event_id"].append(int(ev_id))
+            out["ts"].append(ts)
+            out["cusum_micro"].append(s)
+    state.update((cum, minc))
+    if out["event_id"]:
+        yield pd.DataFrame(out)
+
+
+def streaming_cusum(
+    sdf: DataFrame, k_micro: int = 120000000, h_micro: int = 400000000
+) -> DataFrame:
+    """Streaming CUSUM drift monitor: the one-sided cumulative-sum
+    statistic s_i = max(0, s_{i-1} + (x_i - k)) maintained per user in
+    explicit group state, emitting an alarm row whenever s exceeds h.
+    State is TWO longs per key (running cum and its running min — the
+    same cumsum-minus-running-min identity the batch q_cusum_drift
+    uses), so the state store holds 16 bytes per user regardless of
+    stream length. Rows are processed in (ts, event_id) order within
+    each micro-batch; deviations accumulate in exact integer
+    micro-units, so the streamed alarm ledger is bit-identical to the
+    batch computation (the oracle) under the availableNow drain."""
+    from pyspark.sql import functions as F
+
+    def fn(key, pdfs, state):
+        return _update_cusum(key, pdfs, state, k_micro, h_micro)
+
+    return (
+        sdf.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 1000000.0).cast("long").alias("value_micro"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            CUSUM_OUTPUT,
+            _CUSUM_STATE,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -88,3 +88,36 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
     )
+
+
+def ams_f2_sketch(
+    keys: DataFrame, key_col: str, *, lanes: int = 16, salt: str = "ams"
+) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) F2 sketch: per lane r, the signed
+    occurrence sum Z_r = sum over the key stream of s_r(key) where
+    s_r is a deterministic ±1 hash. E[Z_r^2] = F2 = sum of squared
+    key frequencies — the repeat-rate / self-join-size moment that
+    prices dedup and skew BEFORE running them. Like the CMS, the
+    sketch is ONE narrow explode + hash aggregate with map-side
+    combine (`lanes` rows out, constant size at any cardinality) and
+    merges across partitions/days by lane-wise sum. Signs use the
+    engine's cross-engine md5 idiom, so the sketch is deterministic
+    and DuckDB-replayable. Returns (r, z)."""
+    cells = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            hash_bucket(F.col(key_col), f"{salt}{r}", 2) * 2 - 1
+                        ).alias("sign"),
+                    )
+                    for r in range(lanes)
+                ]
+            )
+        ).alias("cell")
+    )
+    return cells.groupBy(F.col("cell.r").alias("r")).agg(
+        F.sum(F.col("cell.sign")).alias("z")
+    )

@@ -11125,3 +11125,80 @@ def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         "cusum_micro",
     )
+
+
+@register(
+    "q_ams_f2",
+    r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      FROM documents
+    ),
+    rs AS (SELECT unnest(range(0, 16)) AS r),
+    lanes AS (
+      SELECT rs.r,
+             sum((('0x' || substr(md5(w || ':ams' || rs.r), 1, 8))::BIGINT % 2)
+                 * 2 - 1) AS z
+      FROM toks CROSS JOIN rs GROUP BY rs.r
+    ),
+    est AS (
+      SELECT CAST(sum(CAST(z AS HUGEINT) * z) // 16 AS BIGINT) AS f2_est
+      FROM lanes
+    ),
+    exact AS (
+      SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS f2_exact
+      FROM (SELECT w, count(*) AS c FROM toks GROUP BY w)
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM toks)
+    SELECT t.n_tokens, x.f2_exact, e.f2_est,
+           abs(e.f2_est - x.f2_exact) * 1000000 // x.f2_exact AS err_ppm
+    FROM tot t, exact x, est e
+    """,
+)
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment (F2) sketch vs exact — F2 = sum of
+    squared token frequencies is the repeat-rate moment that predicts
+    exact-dedup shrinkage, self-join candidate volume, and shuffle
+    skew, and the sketch prices it in ONE narrow pass with 16 longs
+    of mergeable state (lane-wise ±1 md5 signs, lower-median of
+    squared lane sums) where the exact computation needs a full
+    per-key shuffle. Estimate and exact are computed side by side
+    with the deviation in ppm — the estimate is deterministic (md5
+    lanes), so this is a full-oracle row, not a bounds assertion.
+    Squares accumulate in decimal: Z is bounded by the stream length,
+    so Z^2 overflows a long at ~3e9 tokens — real corpus scale."""
+    from breweries_data_pipeline_spark.operators.sketch import ams_f2_sketch
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("w"))
+    lanes = ams_f2_sketch(toks, "w", lanes=16, salt="ams")
+    dec = "decimal(38,0)"
+    sq_sum = F.sum((F.col("z") * F.col("z")).cast(dec))
+    est = lanes.agg(
+        ((sq_sum - (sq_sum % 16)) / 16).cast("long").alias("f2_est")
+    )
+    exact = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(F.lit(1)).alias("_"),
+            F.sum((F.col("c").cast(dec) * F.col("c"))).cast("long").alias(
+                "f2_exact"
+            ),
+        )
+        .select("f2_exact")
+    )
+    n = toks.agg(F.count("*").cast("long").alias("n_tokens"))
+    return (
+        n.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(est))
+        .select(
+            "n_tokens",
+            "f2_exact",
+            "f2_est",
+            _long_div(
+                F.abs(F.col("f2_est") - F.col("f2_exact")) * 1000000,
+                F.col("f2_exact"),
+            ).alias("err_ppm"),
+        )
+    )

@@ -149,6 +149,24 @@ R6B = [
     "q_jackknife_ci",
 ]
 
+# round-6 third wave (time-series stats, media dedup, retrieval eval)
+# — summed under "r6c_total"
+R6C = [
+    "q_cusum_drift",
+    "q_streaming_cusum",
+    "q_ewma_smoothing",
+    "q_ks_test",
+    "q_autocorr_daily",
+    "q_image_ahash",
+    "q_source_overlap",
+    "q_compaction_plan",
+    "q_item_cosine",
+    "q_mrr_eval",
+    "q_token_histogram",
+    "q_l_diversity",
+    "q_ams_f2",
+]
+
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",
                  "documents", "embeddings")
 
@@ -218,7 +236,7 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name in HEADLINE + [q for q in EXTENDED + CORPUS + R5 + R6 + R6B if q in REGISTRY]:
+    for name in HEADLINE + [q for q in EXTENDED + CORPUS + R5 + R6 + R6B + R6C if q in REGISTRY]:
         fn, _ = REGISTRY[name]
         runs = []
         for _ in range(reps):
@@ -245,6 +263,7 @@ def main() -> None:
     r5_total = round(sum(timings[q] for q in R5 if q in timings), 3)
     r6_total = round(sum(timings[q] for q in R6 if q in timings), 3)
     r6b_total = round(sum(timings[q] for q in R6B if q in timings), 3)
+    r6c_total = round(sum(timings[q] for q in R6C if q in timings), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     payload = {
         "metric": "headline_queries_total_wall",
@@ -257,6 +276,7 @@ def main() -> None:
         "r5_total": r5_total,
         "r6_total": r6_total,
         "r6b_total": r6b_total,
+        "r6c_total": r6c_total,
         "sf": float(sf) if sf else None,
     }
     # 10x soak leg: same suite, one rep, at sf1. Compact evidence on

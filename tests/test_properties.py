@@ -211,3 +211,86 @@ def test_cms_point_estimates_upper_bound_truth(spark, keys):
     est = cms_estimate(sketch, truth.select("w"), "w", depth=3, width=8)
     bad = truth.join(est, "w").filter(F.col("est_cnt") < F.col("t"))
     assert bad.isEmpty()
+
+
+@given(
+    devs=st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9), min_size=0, max_size=60
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_cusum_window_identity_equals_recursion(devs):
+    """The cumsum-minus-running-min rewrite used by q_cusum_drift /
+    streaming_cusum equals the textbook recursion
+    s_i = max(0, s_{i-1} + d_i) for EVERY deviation sequence."""
+    # textbook recursion
+    s, rec = 0, []
+    for d in devs:
+        s = max(0, s + d)
+        rec.append(s)
+    # window identity: s_i = cum_i - min(0, min_{j<=i} cum_j)
+    cum, minc, idm = 0, 0, []
+    for d in devs:
+        cum += d
+        minc = min(minc, cum)
+        idm.append(cum - min(0, minc))
+    assert rec == idm
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_ewma_lag_form_equals_truncated_recursion(vals):
+    """q_ewma_smoothing's 16-lag weighted sum with den = 2^16 - 2^(16-m)
+    is exactly the alpha=1/2 geometric weighting renormalized over the
+    available window, for every position."""
+    for i in range(len(vals)):
+        window = vals[max(0, i - 15): i + 1]  # oldest..newest
+        m = len(window)
+        # direct geometric weights: newest gets 2^(m-1), .., oldest 2^0
+        num_direct = sum(v * (1 << p) for p, v in enumerate(window))
+        den_direct = (1 << m) - 1
+        # engine form: lag k weighted 2^(15-k), den = 2^16 - 2^(16-m)
+        num_engine = sum(
+            vals[i - k] * (1 << (15 - k)) for k in range(min(16, i + 1))
+        )
+        den_engine = 65536 - (65536 >> m)
+        # engine weights are the direct weights scaled by 2^(16-m)
+        assert num_engine * den_direct == num_direct * den_engine
+        assert num_engine // den_engine == (
+            num_direct * (1 << (16 - m))
+        ) // den_engine
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.booleans(), st.integers(min_value=0, max_value=50)),
+        min_size=2,
+        max_size=80,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_ks_distinct_value_grid_is_exact(data):
+    """Evaluating D = max|F1-F2| on the distinct-value grid (what
+    q_ks_test does) loses nothing vs evaluating at every sample,
+    because the ECDF difference only changes at observed values."""
+    a = sorted(v for g, v in data if g)
+    b = sorted(v for g, v in data if not g)
+    if not a or not b:
+        return
+    n1, n2 = len(a), len(b)
+    # per-sample evaluation (naive)
+    naive = max(
+        abs(sum(1 for x in a if x <= v) * n2 - sum(1 for x in b if x <= v) * n1)
+        for v in a + b
+    )
+    # distinct-grid evaluation
+    grid = sorted(set(a + b))
+    gridded = max(
+        abs(sum(1 for x in a if x <= v) * n2 - sum(1 for x in b if x <= v) * n1)
+        for v in grid
+    )
+    assert naive == gridded

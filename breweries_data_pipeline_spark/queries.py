@@ -11202,3 +11202,193 @@ def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6c: sparse-vector cosine join, degree assortativity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sparse_cosine",
+    r"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    kept_terms AS (
+      SELECT term FROM tf GROUP BY term
+      HAVING count(*) BETWEEN 2 AND 50
+    ),
+    p AS (SELECT tf.* FROM tf JOIN kept_terms USING (term)),
+    norms AS (SELECT doc_id, sum(tf * tf) AS n2 FROM p GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             sum(a.tf * b.tf) AS dot
+      FROM p a JOIN p b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d.doc_a, d.doc_b,
+           CAST(d.dot AS BIGINT) AS dot,
+           CAST(d.dot * d.dot * 1000000 // (na.n2 * nb.n2) AS BIGINT)
+             AS cosine_sq_ppm
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+    WHERE d.dot * d.dot * 1000000 // (na.n2 * nb.n2) >= 250000
+    ORDER BY cosine_sq_ppm DESC, doc_a, doc_b LIMIT 50
+    """,
+)
+def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector (tf-weighted) cosine similarity join over an
+    inverted index — the third similarity modality next to set
+    Jaccard (q_similarity_join_exact) and dense embeddings
+    (q_dedup_embedding): document pairs whose term-frequency vectors
+    have cos^2 >= 0.5, computed EXACTLY in integer arithmetic
+    (dot^2 * 1e6 // (|a|^2 |b|^2) — no sqrt, no floats). The index is
+    pruned to mid-frequency terms (2 <= df <= 50) before the
+    posting-list self-join, which (a) removes ubiquitous terms that
+    carry no discriminative signal and would dominate the join
+    fan-out, and (b) caps per-term pair generation at df^2/2 — the
+    same bounded-blocking non-negotiable as the LSH families: at
+    100 TB the join volume is sum over kept terms of df^2, controlled
+    by the df cap, never corpus^2. Norms are computed in the SAME
+    pruned space, so the metric is internally consistent."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    kept = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= 50))
+        .select("term")
+    )
+    p = tf.join(F.broadcast(kept), "term")
+    norms = p.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    a = p.alias("a")
+    b = p.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    cos2 = _long_div(
+        F.col("dot") * F.col("dot") * 1000000, F.col("na2") * F.col("nb2")
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("dot").cast("long").alias("dot"),
+            cos2.alias("cosine_sq_ppm"),
+        )
+        .where(F.col("cosine_sq_ppm") >= 250000)
+        .orderBy(F.desc("cosine_sq_ppm"), "doc_a", "doc_b")
+        .limit(50)
+    )
+
+
+@register(
+    "q_degree_assortativity",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+      ) GROUP BY node
+    ),
+    pairs AS (
+      SELECT da.d AS x, db.d AS y FROM e
+      JOIN deg da ON da.node = e.src
+      JOIN deg db ON db.node = e.dst
+    ),
+    both_dirs AS (
+      SELECT x, y FROM pairs UNION ALL SELECT y AS x, x AS y FROM pairs
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(CAST(sum(x) AS HUGEINT) AS DOUBLE) AS sx,
+             CAST(CAST(sum(y) AS HUGEINT) AS DOUBLE) AS sy,
+             CAST(CAST(sum(x * x) AS HUGEINT) AS DOUBLE) AS sxx,
+             CAST(CAST(sum(y * y) AS HUGEINT) AS DOUBLE) AS syy,
+             CAST(CAST(sum(x * y) AS HUGEINT) AS DOUBLE) AS sxy
+      FROM both_dirs
+    )
+    SELECT CAST(n AS BIGINT) AS n_endpoints,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS assortativity
+    FROM sums
+    """,
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph — Newman's
+    mixing coefficient (Pearson correlation of endpoint degrees over
+    edges, both directions so the statistic is orientation-free):
+    positive = hubs link to hubs (dense-core risk for partition-local
+    graph algorithms), negative = hub-and-spoke. Deterministic-float
+    discipline as q_corr_stats: exact decimal moment sums + one
+    fixed-order IEEE expression. Plan: edges from the bounded
+    basket self-join; degrees one hash aggregate; two broadcast-scale
+    joins pin degrees onto edges; a single six-long partial+final
+    aggregate finishes — no window, no driver loop."""
+    li = read_table(spark, sf_dir, "lineitem")
+    bk = li.select("l_orderkey", "l_partkey").distinct()
+    a = bk.alias("a")
+    b = bk.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("x"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("y"))
+    pairs = e.join(da, "src").join(db, "dst").select("x", "y")
+    both = pairs.unionAll(pairs.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    dec = "decimal(38,0)"
+    sums = both.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return sums.select(
+        n.cast("long").alias("n_endpoints"), corr.alias("assortativity")
+    )

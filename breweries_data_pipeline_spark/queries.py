@@ -11392,3 +11392,102 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         n.cast("long").alias("n_endpoints"), corr.alias("assortativity")
     )
+
+
+@register(
+    "q_quantile_normalize",
+    """
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id
+             ) AS rnk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(n_chars AS BIGINT) AS raw_score,
+           CAST(CASE WHEN n > 1
+                     THEN (rnk - 1) * 1000000 // (n - 1)
+                     ELSE 500000 END AS BIGINT) AS quantile_ppm
+    FROM s
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of a raw quality score
+    (n_chars stands in) — the calibration step that makes one
+    threshold mean the same thing across sources whose raw score
+    distributions differ (a 'keep top 40%' policy needs ranks, not
+    raw values). quantile_ppm = (rank-1)/(n-1) in exact integer ppm
+    with a doc_id tie-break, so the mapping is deterministic and
+    engine-portable; single-member groups pin to the median. ONE
+    window pass partitioned by source — at 100 TB each source's
+    ranking sorts independently (and a skewed mega-source can be
+    range-partitioned by score first, since ranks then offset-add)."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    rnk = F.row_number().over(w)
+    n = F.count("*").over(wn)
+    return docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("raw_score"),
+        F.when(n > 1, _long_div((rnk - 1) * 1000000, n - 1))
+        .otherwise(F.lit(500000).cast("long"))
+        .alias("quantile_ppm"),
+    )
+
+
+@register(
+    "q_burstiness",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    sums AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(x) AS sx,
+             sum(x * x) AS sxx
+      FROM hourly GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_hours,
+           CAST(sx AS BIGINT) AS n_events,
+           CAST((n * sxx - sx * sx) * 1000000 // (n * sx) AS BIGINT)
+             AS fano_ppm
+    FROM sums
+    """,
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burstiness per event type: the Fano factor
+    (variance-to-mean ratio of hourly counts) in exact integer ppm —
+    1e6 = Poisson-like arrivals, far above = bursty (thundering
+    herds, retry storms), far below = rate-limited/metronomic. The
+    variance is the exact integer identity (n*sxx - sx^2)/(n^2) over
+    the hourly count series, folded with the mean sx/n into ONE
+    integer expression (n*sxx - sx^2)*1e6 // (n*sx) so no float or
+    intermediate division appears at all. Two hash aggregates; the
+    first partial-aggregates map-side to one long per (partition,
+    type, hour)."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("x"))
+    sums = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    fano = _long_div(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * 1000000,
+        F.col("n") * F.col("sx"),
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        F.col("sx").cast("long").alias("n_events"),
+        fano.alias("fano_ppm"),
+    )

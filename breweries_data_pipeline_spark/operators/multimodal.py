@@ -269,3 +269,96 @@ def image_ahash(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "blob").mapInPandas(ah, out_schema)
+
+
+FAKE_AUDIO_MAGIC = b"FAKEAUD1"
+_AUDIO_HEADER = struct.Struct(">8sII")  # magic, sample_rate, n_samples
+
+
+def encode_fake_audio(media_id: int, sample_rate: int = 16000) -> bytes:
+    """Deterministic fake mono waveform (8-bit unsigned PCM):
+    header + id-seeded payload, same LCG byte generator as the image
+    codec so oracles replay it with pure integer arithmetic. Length
+    varies with the id (0.25-0.6 s at 16 kHz)."""
+    n = 4000 + (media_id % 37) * 160
+    seed = (media_id * 2654435761) & 0xFFFFFFFF
+    payload = bytes(((seed + i * 40503) >> 3) & 0xFF for i in range(n))
+    return struct.pack(">8sII", FAKE_AUDIO_MAGIC, sample_rate, n) + payload
+
+
+def decode_fake_audio(blob: bytes) -> tuple[int, int, bytes]:
+    """Parse a fake audio blob -> (sample_rate, n_samples, pcm)."""
+    magic, rate, n = _AUDIO_HEADER.unpack_from(blob)
+    if magic != FAKE_AUDIO_MAGIC:
+        raise ValueError("not a FAKEAUD1 blob")
+    return rate, n, blob[_AUDIO_HEADER.size:]
+
+
+def audio_from_ids(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Materialize an audio media table (media_id, kind, blob) from an
+    id column — blobs born executor-side via mapInPandas, as with
+    images."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "audio",
+                    "blob": [encode_fake_audio(int(i)) for i in ids],
+                }
+            )
+
+    return ids_df.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+FRAME_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("energy", T.LongType(), False),
+    ]
+)
+
+
+def frame_energy(media: DataFrame, frame_samples: int = 400) -> DataFrame:
+    """Per-frame signal energy over non-overlapping windows (25 ms at
+    16 kHz with the default) — the VAD / silence-trim primitive of an
+    audio ingest pipeline, and the audio analog of image stripe
+    features: blob in, typed per-window scalars out, one narrow
+    Arrow-batched pass. Energy is the EXACT integer sum of squared
+    zero-centered samples (v - 128)^2 — no float accumulates, so the
+    output is bit-stable and oracle-replayable. The final partial
+    frame is included with its true sample count so downstream
+    normalization (energy / n_samples) stays honest."""
+
+    def fe(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            mids, frames, counts, energies = [], [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                _, n, pcm = decode_fake_audio(bytes(blob))
+                arr = np.frombuffer(pcm, dtype=np.uint8).astype(np.int64) - 128
+                sq = arr * arr
+                for f in range(0, len(arr), frame_samples):
+                    chunk = sq[f : f + frame_samples]
+                    mids.append(int(mid))
+                    frames.append(f // frame_samples)
+                    counts.append(len(chunk))
+                    energies.append(int(chunk.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "frame": frames,
+                    "n_samples": counts,
+                    "energy": energies,
+                }
+            )
+
+    return media.select("media_id", "blob").mapInPandas(fe, FRAME_ENERGY_SCHEMA)

@@ -11491,3 +11491,46 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sx").cast("long").alias("n_events"),
         fano.alias("fano_ppm"),
     )
+
+
+@register(
+    "q_audio_energy",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             4000 + (doc_id % 37) * 160 AS n,
+             (doc_id * 2654435761) % 4294967296 AS seed
+      FROM documents
+    ),
+    s AS (
+      SELECT media_id, CAST(t.i AS BIGINT) // 400 AS frame,
+             (((seed + CAST(t.i AS BIGINT) * 40503) >> 3) & 255) - 128 AS v
+      FROM m, unnest(generate_series(0, n - 1)) AS t(i)
+    )
+    SELECT media_id,
+           frame,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(v * v) AS BIGINT) AS energy
+    FROM s GROUP BY media_id, frame
+    """,
+)
+def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality feature extraction: per-25ms-frame signal energy
+    over fake PCM blobs (operators/multimodal.py:frame_energy) — the
+    voice-activity-detection / silence-trim primitive an audio
+    pipeline runs before transcription, with the same Spark shape as
+    a real one: binary column in, typed (media_id, frame, energy)
+    rows out, one narrow Arrow pass, blobs never leave the
+    executors. Energy is the exact integer sum of squared
+    zero-centered samples, so the DuckDB oracle regenerates the
+    waveform from id arithmetic and replays every frame bit-for-bit
+    (the same FULL-oracle discipline as the image stripe features)."""
+    from breweries_data_pipeline_spark.operators.multimodal import (
+        audio_from_ids,
+        frame_energy,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return frame_energy(audio_from_ids(docs)).select(
+        "media_id", "frame", "n_samples", "energy"
+    )

@@ -165,6 +165,11 @@ R6C = [
     "q_token_histogram",
     "q_l_diversity",
     "q_ams_f2",
+    "q_sparse_cosine",
+    "q_degree_assortativity",
+    "q_quantile_normalize",
+    "q_burstiness",
+    "q_audio_energy",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

@@ -241,12 +241,17 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE + [q for q in EXTENDED + CORPUS + R5 + R6 + R6B + R6C if q in REGISTRY]:
         fn, _ = REGISTRY[name]
         runs = []
         for _ in range(reps):
             start = time.perf_counter()
-            _materialize(fn(spark, sf_dir))
+            try:
+                _materialize(fn(spark, sf_dir))
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                break
             runs.append(time.perf_counter() - start)
             # LSH/signature queries persist() intermediates; without
             # an inter-rep clear those caches accumulate across the
@@ -256,6 +261,8 @@ def main() -> None:
             # measurement independent; the persist still benefits the
             # multi-consumer reuse WITHIN the query it belongs to.
             spark.catalog.clearCache()
+        if not runs:
+            continue
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
         spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
@@ -302,8 +309,12 @@ def main() -> None:
                 continue      # line always survives a driver timeout
             fn, _ = REGISTRY[name]
             start = time.perf_counter()
-            _materialize(fn(spark, sd))
-            soak_detail[name] = round(time.perf_counter() - start, 3)
+            try:
+                _materialize(fn(spark, sd))
+                soak_detail[name] = round(time.perf_counter() - start, 3)
+            except Exception as exc:  # noqa: BLE001 — one bad query must
+                # not cost the whole bench line; the error is the datum
+                errors[f"soak:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
             spark.catalog.clearCache()
             _flush_details({"queries": timings, "spread": spread,
                             "soak_queries": soak_detail, "partial": True})
@@ -325,6 +336,8 @@ def main() -> None:
         payload["soak"] = soak
     # full detail (per-query [min,max] spread) goes to a side file; the
     # stdout line must stay small enough to survive tail-capture intact
+    if errors:
+        payload["errors"] = errors
     _flush_details({**payload, "spread": spread, "soak_queries": soak_detail})
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1800:

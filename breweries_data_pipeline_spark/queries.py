@@ -10550,9 +10550,10 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n1").cast("long").alias("n1"),
             F.col("n2").cast("long").alias("n2"),
             F.col("at_micro").cast("long").alias("at_micro"),
-            _long_div(F.col("diff") * 1000000, F.col("n1") * F.col("n2")).alias(
-                "ks_ppm"
-            ),
+            _long_div(
+                F.col("diff").cast("decimal(38,0)") * 1000000,
+                (F.col("n1") * F.col("n2")).cast("decimal(38,0)"),
+            ).alias("ks_ppm"),
         )
     )
 
@@ -10764,7 +10765,10 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src_b",
             F.col("inter").cast("long").alias("inter"),
             uni.cast("long").alias("uni"),
-            _long_div(F.col("inter") * 1000000, uni).alias("jaccard_ppm"),
+            _long_div(
+                F.col("inter").cast("decimal(38,0)") * 1000000,
+                uni.cast("decimal(38,0)"),
+            ).alias("jaccard_ppm"),
         )
         .orderBy(F.desc("jaccard_ppm"), "src_a", "src_b")
         .limit(20)
@@ -10902,8 +10906,8 @@ def q_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_a").cast("long").alias("n_a"),
             F.col("n_b").cast("long").alias("n_b"),
             _long_div(
-                F.col("co") * F.col("co") * 1000000,
-                F.col("n_a") * F.col("n_b"),
+                F.col("co").cast("decimal(38,0)") * F.col("co") * 1000000,
+                (F.col("n_a") * F.col("n_b")).cast("decimal(38,0)"),
             ).alias("cosine_sq_ppm"),
         )
         .orderBy(F.desc("cosine_sq_ppm"), "part_a", "part_b")
@@ -11284,7 +11288,8 @@ def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
     cos2 = _long_div(
-        F.col("dot") * F.col("dot") * 1000000, F.col("na2") * F.col("nb2")
+        F.col("dot").cast("decimal(38,0)") * F.col("dot") * 1000000,
+        (F.col("na2").cast("decimal(38,0)") * F.col("nb2")),
     )
     return (
         dots.join(na, "doc_a")
@@ -11433,7 +11438,12 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.col("n_chars").cast("long").alias("raw_score"),
-        F.when(n > 1, _long_div((rnk - 1) * 1000000, n - 1))
+        F.when(
+            n > 1,
+            _long_div(
+                (rnk.cast("long") - 1) * 1000000, n.cast("long") - 1
+            ),
+        )
         .otherwise(F.lit(500000).cast("long"))
         .alias("quantile_ppm"),
     )
@@ -11479,11 +11489,16 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = hourly.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
     )
+    dec = "decimal(38,0)"
     fano = _long_div(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * 1000000,
-        F.col("n") * F.col("sx"),
+        (
+            F.col("n").cast(dec) * F.col("sxx")
+            - F.col("sx").cast(dec) * F.col("sx")
+        )
+        * 1000000,
+        F.col("n").cast(dec) * F.col("sx"),
     )
     return sums.select(
         "event_type",
@@ -11533,4 +11548,186 @@ def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return frame_energy(audio_from_ids(docs)).select(
         "media_id", "frame", "n_samples", "energy"
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 6c: attribution, replica checksums, moving median
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_attribution_linear",
+    f"""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+             {_SQL_VALUE_MICRO} AS value_micro
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    touches AS (
+      SELECT p.purchase_id, p.user_id, p.value_micro, c.click_id,
+             row_number() OVER (
+               PARTITION BY p.purchase_id ORDER BY c.c_ts, c.click_id
+             ) AS touch_rank,
+             count(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+      FROM p JOIN c
+        ON c.user_id = p.user_id
+       AND c.c_ts <= p.p_ts
+       AND c.c_ts > p.p_ts - INTERVAL 7 DAY
+    )
+    SELECT purchase_id, click_id, user_id,
+           CAST(touch_rank AS BIGINT) AS touch_rank,
+           CAST(value_micro // n_touches
+                + CASE WHEN touch_rank = 1
+                       THEN value_micro % n_touches ELSE 0 END
+             AS BIGINT) AS credit_micro
+    FROM touches
+    """,
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-credit) marketing attribution: every purchase's
+    value split across the user's clicks in the preceding 7 days,
+    integer-exactly — each touch gets value//n and the FIRST touch
+    absorbs the remainder, so credits sum to the purchase value
+    bit-for-bit (the invariant finance reconciliation checks). The
+    touch join is a per-user interval join (equi on user_id + range
+    on ts), so AQE/range-partitioning handles it like q_range_join —
+    fan-out is clicks-per-user-per-week, never global. One window
+    pass ranks touches inside each purchase's attribution set."""
+    ev = read_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 1000000).cast("long")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        v.alias("value_micro"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    touches = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy("c_ts", "click_id")
+    wn = Window.partitionBy("purchase_id")
+    staged = touches.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        "value_micro",
+        F.row_number().over(w).alias("touch_rank"),
+        F.count("*").over(wn).alias("n_touches"),
+    )
+    base = F.expr("value_micro div n_touches")
+    rem = F.col("value_micro") % F.col("n_touches")
+    return staged.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.col("touch_rank").cast("long").alias("touch_rank"),
+        (base + F.when(F.col("touch_rank") == 1, rem).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("credit_micro"),
+    )
+
+
+@register(
+    "q_table_checksum",
+    """
+    SELECT 'orders' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(('0x' || substr(md5(
+                  o_orderkey || '|' || o_custkey || '|' || o_orderstatus
+                  || '|' || CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                            AS VARCHAR)
+                ), 1, 15))::BIGINT AS HUGEINT))
+                % 2305843009213693951 AS BIGINT)
+             AS checksum
+    FROM orders
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table checksum — the replica/migration
+    integrity audit: canonicalize each row to a string, md5 it, parse
+    60 bits, and SUM modulo a Mersenne prime. Addition commutes, so
+    the checksum is independent of row order, partitioning, and
+    engine — two replicas match iff (modulo 2^-60 collisions
+    per differing row) their contents match, and the check costs ONE
+    narrow scan + map-side-combined aggregate per replica, no
+    row-level comparison join. The money column is canonicalized to
+    integer cents BEFORE hashing (float formatting differs across
+    engines; integers don't). Sum accumulates in decimal: 1e12 rows
+    x 2^60 summands overflow a long immediately."""
+    o = read_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(38,0)")
+    return o.agg(
+        F.lit("orders").alias("table_name"),
+        F.count("*").cast("long").alias("n_rows"),
+        (F.sum(h) % F.lit(2305843009213693951).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("checksum"),
+    )
+
+
+@register(
+    "q_moving_median",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, count(*) AS x
+      FROM events GROUP BY 1
+    ),
+    framed AS (
+      SELECT day, x,
+             list(x) OVER (
+               ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+             ) AS win
+      FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day_s,
+           CAST(x AS BIGINT) AS x,
+           CAST(list_sort(win)[(len(win) + 1) // 2] AS BIGINT)
+             AS median7
+    FROM framed
+    """,
+)
+def q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving MEDIAN of daily event counts — the robust
+    smoother for volume monitoring (a moving mean chases the very
+    spikes you want to flag; the median ignores them). The frame is
+    7 rows, so the exact median is affordable as sort-of-7 per row:
+    collect the ROWS frame, sort, take the lower middle ((m+1)//2,
+    1-based) — deterministic for every frame length including the
+    warm-up rows, no interpolation, no floats. The daily series is
+    one row per day, so the global-ordered window is microscopic
+    next to the count aggregate that feeds it (same argument as
+    q_autocorr_daily)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    win = F.collect_list("x").over(w)
+    med = F.element_at(
+        F.sort_array(win), ((F.size(win) + 1) / 2).cast("int")
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        F.col("x").cast("long").alias("x"),
+        med.cast("long").alias("median7"),
     )

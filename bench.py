@@ -170,6 +170,9 @@ R6C = [
     "q_quantile_normalize",
     "q_burstiness",
     "q_audio_energy",
+    "q_attribution_linear",
+    "q_table_checksum",
+    "q_moving_median",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

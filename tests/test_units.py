@@ -679,3 +679,73 @@ def test_prefix_filtered_similarity_join_complete_on_frequent_overlap(spark):
     want = {(r.id_a, r.id_b): r.jaccard_ppm for r in brute.collect()}
     assert got == want
     assert (1, 2) in got  # the planted frequent-overlap pair survived
+
+
+class TestPagedJsonDataSource:
+    """Spark 4 Python DataSource form of the reference's paginated
+    ingest (S1): one InputPartition per page, task-parallel fetch,
+    PERMISSIVE field projection."""
+
+    def _write_pages(self, tmp_path, n_pages=5, per_page=7):
+        import json as _json
+
+        d = tmp_path / "pages"
+        d.mkdir()
+        rid = 0
+        for p in range(n_pages):
+            lines = []
+            for _ in range(per_page):
+                lines.append(_json.dumps({"id": rid, "name": f"rec{rid}"}))
+                rid += 1
+            (d / f"page-{p}.json").write_text("\n".join(lines) + "\n")
+        return str(d)
+
+    def test_reads_all_pages_in_parallel_partitions(self, spark, tmp_path):
+        from breweries_data_pipeline_spark.sources import PagedJsonDataSource
+
+        spark.dataSource.register(PagedJsonDataSource)
+        path = self._write_pages(tmp_path, n_pages=5, per_page=7)
+        df = (
+            spark.read.format("paged_json")
+            .schema("id long, name string")
+            .option("path", path)
+            .load()
+        )
+        assert df.count() == 35
+        assert df.rdd.getNumPartitions() == 5  # one task per page
+        assert {r.id for r in df.collect()} == set(range(35))
+
+    def test_permissive_missing_fields_are_null(self, spark, tmp_path):
+        import json as _json
+
+        from breweries_data_pipeline_spark.sources import PagedJsonDataSource
+
+        spark.dataSource.register(PagedJsonDataSource)
+        d = tmp_path / "pages2"
+        d.mkdir()
+        (d / "page-0.json").write_text(
+            _json.dumps({"id": 1}) + "\n" + _json.dumps({"name": "x", "junk": 9})
+        )
+        df = (
+            spark.read.format("paged_json")
+            .schema("id long, name string")
+            .option("path", str(d))
+            .load()
+        )
+        rows = sorted(df.collect(), key=lambda r: (r.id is None, r.id))
+        assert rows[0].id == 1 and rows[0].name is None
+        assert rows[1].id is None and rows[1].name == "x"
+
+    def test_empty_directory_yields_empty_frame(self, spark, tmp_path):
+        from breweries_data_pipeline_spark.sources import PagedJsonDataSource
+
+        spark.dataSource.register(PagedJsonDataSource)
+        d = tmp_path / "pages3"
+        d.mkdir()
+        df = (
+            spark.read.format("paged_json")
+            .schema("id long, name string")
+            .option("path", str(d))
+            .load()
+        )
+        assert df.count() == 0

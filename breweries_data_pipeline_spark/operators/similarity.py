@@ -31,6 +31,7 @@ DuckDB's list_sum, so exact queries are hash-checkable.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -53,7 +54,10 @@ from breweries_data_pipeline_spark.operators.windows import topk_per_group
 #   4-bit band gives. At scale, pick bits ~ log2(N / target_bucket).
 _rng = random.Random(42)
 N_PLANES = 32
-MAX_PLANES = 128
+# 16 bits x 64 bands worst case; rows are generated row-major, so the
+# first k rows are identical for any table size (raising the cap never
+# changes existing signatures)
+MAX_PLANES = 1024
 MAX_DIM = 128
 HYPERPLANES: list[list[float]] = [
     [_rng.uniform(-1.0, 1.0) for _ in range(MAX_DIM)] for _ in range(MAX_PLANES)
@@ -195,8 +199,8 @@ def embedding_near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = MAX_PLANES,
-    bands: int = 16,
+    n_planes: int | None = None,
+    bands: int | None = None,
     collapse_exact: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH-banded corpus SELF-join
@@ -232,6 +236,8 @@ def embedding_near_dup_pairs(
     contract (cliques within exact groups)."""
     if collapse_exact:
         rep_map, reps = collapse_exact_vector_duplicates(corpus, id_col, vec_col)
+        if n_planes is None or bands is None:
+            n_planes, bands = _adaptive_banding(reps.count(), threshold)
         rep_pairs = embedding_near_dup_pairs(
             reps, threshold, id_col, vec_col, n_planes, bands,
             collapse_exact=False,
@@ -242,6 +248,8 @@ def embedding_near_dup_pairs(
             F.lit(1.0).alias("cosine"),
         )
         return rep_pairs.unionByName(star)
+    if n_planes is None or bands is None:
+        n_planes, bands = _adaptive_banding(corpus.count(), threshold)
     bands_expr = hyperplane_bands(vec_col, n_planes, bands)
     base = corpus.select(
         F.col(id_col),
@@ -284,6 +292,29 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def _adaptive_banding(n: int, threshold: float) -> tuple[int, int]:
+    """Size the banding by the engine's recorded rule instead of a
+    fixed 8x16: bits-per-band ~ log2(n / target_bucket) so expected
+    bucket occupancy stays ~constant as the corpus grows (candidate
+    volume ~ n, not ~ n^2/2^bits), then ENOUGH bands that recall at
+    the configured cosine threshold stays >= 0.99 on the sign-LSH
+    S-curve (p_band = p^bits shrinks as bits grow; bands =
+    log(0.01)/log(1 - p_band) restores the any-of-k recall). The 10x
+    soak measured why this matters: 16k unique vectors under the old
+    fixed 8-bit bands produced 10.3M candidate pairs (99.5% false,
+    each dragging a 64-dim vector through the verify joins); 12-bit
+    bands cut candidates ~25x while 30 bands hold the recall. Bounded
+    by MAX_PLANES (16 bits x 64 bands)."""
+    bits = min(16, max(8, math.ceil(math.log2(max(n, 2) / 4))))
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    p_band = p**bits
+    if p_band >= 1.0 - 1e-12:
+        bands = 16
+    else:
+        bands = min(64, max(16, math.ceil(math.log(0.01) / math.log(1.0 - p_band))))
+    return bits * bands, bands
 
 
 def dedup_embeddings(

@@ -97,27 +97,32 @@ def ams_f2_sketch(
     occurrence sum Z_r = sum over the key stream of s_r(key) where
     s_r is a deterministic ±1 hash. E[Z_r^2] = F2 = sum of squared
     key frequencies — the repeat-rate / self-join-size moment that
-    prices dedup and skew BEFORE running them. Like the CMS, the
-    sketch is ONE narrow explode + hash aggregate with map-side
-    combine (`lanes` rows out, constant size at any cardinality) and
-    merges across partitions/days by lane-wise sum. Signs use the
-    engine's cross-engine md5 idiom, so the sketch is deterministic
-    and DuckDB-replayable. Returns (r, z)."""
-    cells = keys.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        (
-                            hash_bucket(F.col(key_col), f"{salt}{r}", 2) * 2 - 1
-                        ).alias("sign"),
-                    )
-                    for r in range(lanes)
-                ]
-            )
-        ).alias("cell")
+    prices dedup and skew BEFORE running them.
+
+    All `lanes` signs come from ONE md5 per key — the digest's first
+    four hex chars parse to a 16-bit word and lane r takes bit r (the
+    same digest-splitting idiom as the md5-lane MinHash/SimHash
+    twins). The first cut hashed per-lane (16 md5s per key) and the
+    sketch dominated its own bench family: one digest is 16x less
+    hashing for statistically equivalent lanes. The lane sums are 16
+    conditional SUM columns of a single global aggregate — zero
+    explode, zero shuffle rows beyond the one-row partial-agg merge —
+    then unpivoted to (r, z) so the mergeable-sketch contract
+    (lane-wise sum across partitions/days) is unchanged. DuckDB
+    replays the digest arithmetic bit-for-bit. Returns (r, z)."""
+    word = F.conv(
+        F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    staged = keys.select(word.alias("__w"))
+    sums = staged.agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("__w"), r) % 2) * 2 - 1
+            ).alias(f"z{r}")
+            for r in range(lanes)
+        ]
     )
-    return cells.groupBy(F.col("cell.r").alias("r")).agg(
-        F.sum(F.col("cell.sign")).alias("z")
-    )
+    stack = ", ".join(f"{r}L, z{r}" for r in range(lanes))
+    return sums.selectExpr(f"stack({lanes}, {stack}) AS (r, z)")

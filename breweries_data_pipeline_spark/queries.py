@@ -11138,12 +11138,14 @@ def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
       FROM documents
     ),
+    words AS (
+      SELECT ('0x' || substr(md5(w || ':ams'), 1, 4))::BIGINT AS x
+      FROM toks
+    ),
     rs AS (SELECT unnest(range(0, 16)) AS r),
     lanes AS (
-      SELECT rs.r,
-             sum((('0x' || substr(md5(w || ':ams' || rs.r), 1, 8))::BIGINT % 2)
-                 * 2 - 1) AS z
-      FROM toks CROSS JOIN rs GROUP BY rs.r
+      SELECT rs.r, sum(((x >> CAST(rs.r AS INTEGER)) & 1) * 2 - 1) AS z
+      FROM words CROSS JOIN rs GROUP BY rs.r
     ),
     est AS (
       SELECT CAST(sum(CAST(z AS HUGEINT) * z) // 16 AS BIGINT) AS f2_est

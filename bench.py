@@ -173,6 +173,7 @@ R6C = [
     "q_attribution_linear",
     "q_table_checksum",
     "q_moving_median",
+    "q_neardup_incremental",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

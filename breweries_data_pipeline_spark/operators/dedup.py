@@ -573,3 +573,246 @@ def prefix_filtered_similarity_join(
         )
         .where(F.col("jaccard_ppm") >= int(threshold * 1_000_000))
     )
+
+
+class ShingleIndex:
+    """Persisted artifact for :func:`near_dedup_against_index` — the
+    near-dup analog of the fingerprint column that makes
+    :func:`dedup_incremental` cheap. Three tables:
+
+    - ``prefix``: (shingle, id, size) — one row per PREFIX shingle per
+      indexed doc (the AllPairs candidate join side). Append-only
+      across ingest days; bucket by ``shingle`` on disk and the daily
+      candidate join is exchange-free on the corpus side.
+    - ``sets``: (id, shingles, size) — per-doc distinct shingle arrays
+      for exact verification of candidates.
+    - ``freq``: (shingle, n) — the FROZEN corpus shingle-frequency
+      snapshot that defines the global rarest-first order.
+
+    The prefix-filter lemma needs both docs of a pair ordered by ONE
+    total order; the snapshot is that order. A new batch must compute
+    its prefixes under THIS ``freq`` (unseen shingles rank rarest via
+    ``coalesce(n, 0)``) — then exactness holds no matter how stale
+    the snapshot is, because prefix LENGTHS are per-doc functions of
+    the threshold, not of the frequencies (staleness only rotates
+    which shingles land in a prefix, identically on both sides).
+
+    ``threshold`` and ``shingle_size`` are baked in: prefixes are only
+    valid for thresholds >= the one they were cut at (a longer prefix
+    is a superset, so indexing at the LOWEST threshold you intend to
+    query keeps one index serving several gates).
+    """
+
+    def __init__(self, prefix: DataFrame, sets: DataFrame, freq: DataFrame,
+                 threshold: float, shingle_size: int):
+        self.prefix = prefix
+        self.sets = sets
+        self.freq = freq
+        self.threshold = threshold
+        self.shingle_size = shingle_size
+
+
+def _shingle_sets(df: DataFrame, text_col: str, id_col: str, shingle_size: int) -> DataFrame:
+    from breweries_data_pipeline_spark.functions.text import shingles
+
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingles(text_col, shingle_size)).alias("shingles"),
+        ).withColumn("size", F.size("shingles"))
+    )
+
+
+def _prefix_rows(sets: DataFrame, freq: DataFrame, threshold: float) -> DataFrame:
+    """Cut each doc's rarest-first prefix (length |X| - ceil(t|X|) + 1)
+    under the given frequency snapshot; shingles absent from the
+    snapshot rank rarest (coalesce 0) so indexed corpus and fresh
+    batch share one total order."""
+    from pyspark.sql import Window
+
+    toks = sets.select("id", "size", F.explode("shingles").alias("shingle"))
+    w = Window.partitionBy("id").orderBy("__n", "shingle")
+    plen = F.col("size") - F.ceil(F.lit(threshold) * F.col("size")) + 1
+    return (
+        toks.join(freq.withColumnRenamed("n", "__n"), "shingle", "left")
+        .withColumn("__n", F.coalesce("__n", F.lit(0)))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= plen)
+        .select("shingle", "id", "size")
+    )
+
+
+def build_shingle_index(
+    history: DataFrame,
+    *,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+) -> ShingleIndex:
+    """Build the :class:`ShingleIndex` for a corpus. One shingle
+    explode feeds both the frequency aggregate and the prefix window;
+    the sets table is the explode input persisted. All three outputs
+    are plain DataFrames — write once with
+    :func:`write_shingle_index`, re-read daily, and only the (small)
+    new batch is ever shingled again."""
+    sets = _shingle_sets(history, text_col, id_col, shingle_size).persist()
+    freq = (
+        sets.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    prefix = _prefix_rows(sets, freq, threshold)
+    return ShingleIndex(prefix, sets, freq, threshold, shingle_size)
+
+
+def write_shingle_index(index: ShingleIndex, path: str) -> None:
+    """Persist the index as three parquet dirs + a tiny JSON meta.
+    ``prefix`` is repartitioned by shingle so same-shingle rows
+    co-locate (the layout the daily candidate join wants; on a real
+    deployment make it a bucketed table and the join side is
+    exchange-free)."""
+    import json
+    import os
+
+    index.prefix.repartition("shingle").write.mode("overwrite").parquet(
+        os.path.join(path, "prefix")
+    )
+    index.sets.write.mode("overwrite").parquet(os.path.join(path, "sets"))
+    index.freq.write.mode("overwrite").parquet(os.path.join(path, "freq"))
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"threshold": index.threshold, "shingle_size": index.shingle_size}, f)
+
+
+def read_shingle_index(spark, path: str) -> ShingleIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return ShingleIndex(
+        spark.read.parquet(os.path.join(path, "prefix")),
+        spark.read.parquet(os.path.join(path, "sets")),
+        spark.read.parquet(os.path.join(path, "freq")),
+        meta["threshold"],
+        meta["shingle_size"],
+    )
+
+
+def near_dedup_against_index(
+    new_batch: DataFrame,
+    index: ShingleIndex,
+    *,
+    threshold: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Annotate every new-batch doc with its exact-Jaccard (>= t)
+    near-duplicates in an indexed corpus — the daily-crawl ingest
+    shape for near-dups, complementing :func:`dedup_incremental`
+    (byte-identical only). EXACT threshold semantics (zero LSH recall
+    loss), so the output is oracle-checkable against brute force.
+
+    Candidate generation is the bipartite AllPairs/PPJoin prefix
+    filter (Bayardo et al., WWW'07 — same lemma as
+    :func:`prefix_filtered_similarity_join`): under the index's frozen
+    rarest-first order, any (new, old) pair with J >= t shares a
+    shingle inside both prefixes, so candidates = batch prefix
+    equi-join ``index.prefix`` — no crossJoin, and Zipf-head shingles
+    are never join keys. The AllPairs length filter (min size >=
+    t * max size) runs inside the join; exact verification joins the
+    two shingle-array tables on candidate ids (batch side
+    AQE-broadcastable).
+
+    ``threshold`` defaults to the index's own; a HIGHER one is allowed
+    (the indexed prefixes are supersets of what that gate needs — see
+    :class:`ShingleIndex`), a lower one raises.
+
+    Returns one row per batch doc: ``n_dups`` (corpus matches at
+    J >= t), ``best_match_id`` / ``best_jaccard_ppm`` (highest
+    Jaccard, smallest corpus id on ties; nulls when none). Jaccard is
+    integer fixed-point ppm, bit-exact cross-engine. Compose with
+    :func:`prefix_filtered_similarity_join` on the survivors
+    (``n_dups == 0``) for within-batch collapse.
+    """
+    from pyspark.sql import Window
+
+    t = index.threshold if threshold is None else threshold
+    if t < index.threshold:
+        raise ValueError(
+            f"index was cut at threshold {index.threshold}; querying at {t} < that "
+            "would lose candidates (rebuild the index at the lower threshold)"
+        )
+    sets_b = _shingle_sets(new_batch, text_col, id_col, index.shingle_size).persist()
+    cand = (
+        _prefix_rows(sets_b, index.freq, t)
+        .alias("b")
+        .join(
+            index.prefix.alias("h"),
+            (F.col("b.shingle") == F.col("h.shingle"))
+            & (F.col("b.size") >= t * F.col("h.size"))
+            & (F.col("h.size") >= t * F.col("b.size")),
+        )
+        .select(F.col("b.id").alias("__bid"), F.col("h.id").alias("__hid"))
+        .distinct()
+    )
+    ppm = F.expr(
+        "(cast(size(array_intersect(__s_b, __s_h)) as bigint) * 1000000) div "
+        "(cast(size(__s_b) as bigint) + cast(size(__s_h) as bigint) "
+        " - cast(size(array_intersect(__s_b, __s_h)) as bigint))"
+    )
+    verified = (
+        cand.join(
+            sets_b.select(F.col("id").alias("__bid"), F.col("shingles").alias("__s_b")),
+            "__bid",
+        )
+        .join(
+            index.sets.select(F.col("id").alias("__hid"), F.col("shingles").alias("__s_h")),
+            "__hid",
+        )
+        .select("__bid", "__hid", ppm.alias("__ppm"))
+        .where(F.col("__ppm") >= int(t * 1_000_000))
+    )
+    wb = Window.partitionBy("__bid")
+    best = (
+        verified.withColumn(
+            "__rk", F.row_number().over(wb.orderBy(F.desc("__ppm"), F.asc("__hid")))
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(wb))
+        .where(F.col("__rk") == 1)
+    )
+    return (
+        sets_b.select(F.col("id").alias(id_col))
+        .join(best.withColumnRenamed("__bid", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_dups"),
+            F.col("__hid").cast("long").alias("best_match_id"),
+            F.col("__ppm").cast("long").alias("best_jaccard_ppm"),
+        )
+    )
+
+
+def near_dedup_incremental(
+    new_batch: DataFrame,
+    history: DataFrame,
+    *,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """One-shot convenience: :func:`build_shingle_index` on the
+    history corpus, then :func:`near_dedup_against_index` on the
+    batch. Production ingest keeps the index on disk instead of
+    rebuilding it per day — see :class:`ShingleIndex`."""
+    index = build_shingle_index(
+        history,
+        threshold=threshold,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_size=shingle_size,
+    )
+    return near_dedup_against_index(
+        new_batch, index, threshold=threshold, text_col=text_col, id_col=id_col
+    )

@@ -42,6 +42,7 @@ from breweries_data_pipeline_spark.functions.text import (
 )
 from breweries_data_pipeline_spark.operators.dedup import (
     exact_dedup,
+    near_dedup_incremental,
     near_dedup_minhash,
     simhash_near_dup_pairs,
     verified_near_dup_pairs,
@@ -11733,3 +11734,45 @@ def q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").cast("long").alias("x"),
         med.cast("long").alias("median7"),
     )
+
+
+@register(
+    "q_neardup_incremental",
+    f"""
+    WITH sh AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS s FROM documents),
+    b AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+    h AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+    p AS (
+      SELECT b.doc_id AS bid, h.doc_id AS hid,
+             (CAST(len(list_intersect(b.s, h.s)) AS BIGINT) * 1000000)
+               // (CAST(len(b.s) AS BIGINT) + CAST(len(h.s) AS BIGINT)
+                   - CAST(len(list_intersect(b.s, h.s)) AS BIGINT)) AS ppm
+      FROM b, h
+    ),
+    m AS (
+      SELECT bid, hid, ppm,
+             row_number() OVER (PARTITION BY bid ORDER BY ppm DESC, hid) AS rk,
+             count(*) OVER (PARTITION BY bid) AS n
+      FROM p WHERE ppm >= 500000
+    )
+    SELECT b.doc_id,
+           CAST(coalesce(m.n, 0) AS BIGINT) AS n_dups,
+           CAST(m.hid AS BIGINT) AS best_match_id,
+           CAST(m.ppm AS BIGINT) AS best_jaccard_ppm
+    FROM b LEFT JOIN m ON m.bid = b.doc_id AND m.rk = 1
+    """,
+)
+def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 incremental near-dup: the daily-ingest shape — a new batch
+    (every 5th doc) annotated with its exact-Jaccard (>= 0.5)
+    near-duplicates in the already-ingested corpus, via the bipartite
+    AllPairs/PPJoin prefix filter (operators.dedup.
+    near_dedup_incremental). EXACT threshold semantics — the oracle
+    is brute-force all-pairs — while the Spark plan only ever joins
+    on rarest-first prefix shingles (no crossJoin, no LSH recall
+    loss). The history prefix table is the persistable index at real
+    scale; see the operator docstring for the staleness argument."""
+    docs = read_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    history = docs.where(F.col("doc_id") % 5 != 0)
+    return near_dedup_incremental(batch, history, threshold=0.5)

@@ -176,3 +176,33 @@ def test_exact_collapse_yields_star_not_clique(spark):
     lit_pairs = verified_near_dup_pairs(docs, threshold=0.5, collapse_exact=False)
     lit_dups = {r.id_b for r in lit_pairs.collect()}
     assert {r.doc_id for r in docs.collect()} - lit_dups == fast
+
+
+def test_near_dedup_incremental_flags_history_matches(spark):
+    from breweries_data_pipeline_spark.operators.dedup import near_dedup_incremental
+
+    history = spark.createDataFrame(
+        [(10, BASE), (11, "some unrelated historical document about databases")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, BASE),  # exact copy of history 10 -> J = 1.0
+            (101, BASE.replace("winter", "night")),  # near dup of 10
+            (102, "a fresh never seen before piece of text entirely novel"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = near_dedup_incremental(batch, history, threshold=0.5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {100, 101, 102}  # one row per batch doc, always
+    assert rows[100]["n_dups"] == 1
+    assert rows[100]["best_match_id"] == 10
+    assert rows[100]["best_jaccard_ppm"] == 1_000_000
+    assert rows[101]["n_dups"] == 1 and rows[101]["best_match_id"] == 10
+    assert 500_000 <= rows[101]["best_jaccard_ppm"] < 1_000_000
+    assert rows[102]["n_dups"] == 0
+    assert rows[102]["best_match_id"] is None
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

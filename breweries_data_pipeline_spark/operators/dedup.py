@@ -49,6 +49,24 @@ _MINHASH_A = [(_mh_rng.getrandbits(63) | 1) for _ in range(MAX_MINHASHES)]  # od
 _MINHASH_B = [_mh_rng.getrandbits(63) for _ in range(MAX_MINHASHES)]
 
 
+def _t_ppm(threshold: float) -> int:
+    """Threshold as exact parts-per-million. All prefix-filter math is
+    fixed-point bigint from here on: float ``ceil(t*size)`` rounds UP
+    for thresholds whose double is slightly high (0.1*10 ->
+    1.0000000000000002, ceil=2 vs true 1), cutting the prefix one
+    short and silently dropping true pairs at exactly J=t."""
+    return int(round(threshold * 1_000_000))
+
+
+def _prefix_len_expr(size_col: str, t_ppm: int):
+    """Exact prefix length |X| - ceil(t|X|) + 1 in bigint fixed-point:
+    ceil_div(t_ppm * size, 1e6) via (a + b - 1) div b."""
+    return F.expr(
+        f"cast({size_col} as bigint) - "
+        f"(({t_ppm} * cast({size_col} as bigint) + 999999) div 1000000) + 1"
+    )
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Compute-heavy narrow maps deserve every core: a small parquet
     file scans as one split, serializing the whole kernel onto one
@@ -532,7 +550,8 @@ def prefix_filtered_similarity_join(
     toks = sets.select("__id", "__size", F.explode("__s").alias("__sh"))
     freq = toks.groupBy("__sh").agg(F.count(F.lit(1)).alias("__n_sh"))
     w = Window.partitionBy("__id").orderBy("__n_sh", "__sh")
-    prefix_len = F.col("__size") - F.ceil(F.lit(threshold) * F.col("__size")) + 1
+    t_ppm = _t_ppm(threshold)
+    prefix_len = _prefix_len_expr("__size", t_ppm)
     prefix = (
         toks.join(freq, "__sh")
         .withColumn("__rn", F.row_number().over(w))
@@ -550,8 +569,8 @@ def prefix_filtered_similarity_join(
             prefix.alias("b"),
             (F.col("a.__sh") == F.col("b.__sh"))
             & (F.col("a.__id") < F.col("b.__id"))
-            & (F.col("a.__size") >= threshold * F.col("b.__size"))
-            & (F.col("b.__size") >= threshold * F.col("a.__size")),
+            & (F.col("a.__size").cast("long") * 1_000_000 >= t_ppm * F.col("b.__size").cast("long"))
+            & (F.col("b.__size").cast("long") * 1_000_000 >= t_ppm * F.col("a.__size").cast("long")),
         )
         .select(F.col("a.__id").alias("__id_a"), F.col("b.__id").alias("__id_b"))
         .distinct()
@@ -571,7 +590,7 @@ def prefix_filtered_similarity_join(
             F.col("__id_b").alias("id_b"),
             ppm.alias("jaccard_ppm"),
         )
-        .where(F.col("jaccard_ppm") >= int(threshold * 1_000_000))
+        .where(F.col("jaccard_ppm") >= t_ppm)
     )
 
 
@@ -632,7 +651,7 @@ def _prefix_rows(sets: DataFrame, freq: DataFrame, threshold: float) -> DataFram
 
     toks = sets.select("id", "size", F.explode("shingles").alias("shingle"))
     w = Window.partitionBy("id").orderBy("__n", "shingle")
-    plen = F.col("size") - F.ceil(F.lit(threshold) * F.col("size")) + 1
+    plen = _prefix_len_expr("size", _t_ppm(threshold))
     return (
         toks.join(freq.withColumnRenamed("n", "__n"), "shingle", "left")
         .withColumn("__n", F.coalesce("__n", F.lit(0)))
@@ -672,30 +691,33 @@ def write_shingle_index(index: ShingleIndex, path: str) -> None:
     co-locate (the layout the daily candidate join wants; on a real
     deployment make it a bucketed table and the join side is
     exchange-free)."""
-    import json
-    import os
+    import posixpath
 
+    spark = index.prefix.sparkSession
     index.prefix.repartition("shingle").write.mode("overwrite").parquet(
-        os.path.join(path, "prefix")
+        posixpath.join(path, "prefix")
     )
-    index.sets.write.mode("overwrite").parquet(os.path.join(path, "sets"))
-    index.freq.write.mode("overwrite").parquet(os.path.join(path, "freq"))
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"threshold": index.threshold, "shingle_size": index.shingle_size}, f)
+    index.sets.write.mode("overwrite").parquet(posixpath.join(path, "sets"))
+    index.freq.write.mode("overwrite").parquet(posixpath.join(path, "freq"))
+    # meta travels through the same Hadoop filesystem as the tables —
+    # a local open() would split the index across filesystems on
+    # HDFS/S3 paths (parquet remote, meta local or IOError)
+    spark.createDataFrame(
+        [(int(round(index.threshold * 1_000_000)), index.shingle_size)],
+        "threshold_ppm bigint, shingle_size int",
+    ).coalesce(1).write.mode("overwrite").json(posixpath.join(path, "meta"))
 
 
 def read_shingle_index(spark, path: str) -> ShingleIndex:
-    import json
-    import os
+    import posixpath
 
-    with open(os.path.join(path, "meta.json")) as f:
-        meta = json.load(f)
+    meta = spark.read.json(posixpath.join(path, "meta")).first()
     return ShingleIndex(
-        spark.read.parquet(os.path.join(path, "prefix")),
-        spark.read.parquet(os.path.join(path, "sets")),
-        spark.read.parquet(os.path.join(path, "freq")),
-        meta["threshold"],
-        meta["shingle_size"],
+        spark.read.parquet(posixpath.join(path, "prefix")),
+        spark.read.parquet(posixpath.join(path, "sets")),
+        spark.read.parquet(posixpath.join(path, "freq")),
+        meta["threshold_ppm"] / 1_000_000,
+        int(meta["shingle_size"]),
     )
 
 
@@ -743,6 +765,7 @@ def near_dedup_against_index(
             f"index was cut at threshold {index.threshold}; querying at {t} < that "
             "would lose candidates (rebuild the index at the lower threshold)"
         )
+    t_ppm = _t_ppm(t)
     sets_b = _shingle_sets(new_batch, text_col, id_col, index.shingle_size).persist()
     cand = (
         _prefix_rows(sets_b, index.freq, t)
@@ -750,8 +773,8 @@ def near_dedup_against_index(
         .join(
             index.prefix.alias("h"),
             (F.col("b.shingle") == F.col("h.shingle"))
-            & (F.col("b.size") >= t * F.col("h.size"))
-            & (F.col("h.size") >= t * F.col("b.size")),
+            & (F.col("b.size").cast("long") * 1_000_000 >= t_ppm * F.col("h.size").cast("long"))
+            & (F.col("h.size").cast("long") * 1_000_000 >= t_ppm * F.col("b.size").cast("long")),
         )
         .select(F.col("b.id").alias("__bid"), F.col("h.id").alias("__hid"))
         .distinct()
@@ -771,7 +794,7 @@ def near_dedup_against_index(
             "__hid",
         )
         .select("__bid", "__hid", ppm.alias("__ppm"))
-        .where(F.col("__ppm") >= int(t * 1_000_000))
+        .where(F.col("__ppm") >= t_ppm)
     )
     wb = Window.partitionBy("__bid")
     best = (
@@ -787,7 +810,9 @@ def near_dedup_against_index(
         .select(
             id_col,
             F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_dups"),
-            F.col("__hid").cast("long").alias("best_match_id"),
+            # keep the matched id in the index's own id type: a cast to
+            # long would null out string doc ids, masking real matches
+            F.col("__hid").alias("best_match_id"),
             F.col("__ppm").cast("long").alias("best_jaccard_ppm"),
         )
     )

@@ -206,3 +206,45 @@ def test_near_dedup_incremental_flags_history_matches(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_prefix_len_fixed_point_matches_exact_rational(spark):
+    """The prefix length |X| - ceil(t|X|) + 1 must be computed in exact
+    fixed-point: float ceil(t*size) rounds UP for thresholds whose
+    double is slightly high (0.1*10 -> 1.0000000000000002, ceil=2),
+    cutting the prefix one short and dropping true pairs at J=t."""
+    from fractions import Fraction
+
+    from breweries_data_pipeline_spark.operators.dedup import (
+        _prefix_len_expr,
+        _t_ppm,
+    )
+
+    thresholds = [0.1, 0.2, 0.3, 0.5, 0.7, 0.8, 0.9, 0.95]
+    sizes = list(range(1, 200))
+    df = spark.createDataFrame([(s,) for s in sizes], ["size"])
+    for t in thresholds:
+        got = {
+            r["size"]: r["plen"]
+            for r in df.select(
+                "size", _prefix_len_expr("size", _t_ppm(t)).alias("plen")
+            ).collect()
+        }
+        frac_t = Fraction(_t_ppm(t), 1_000_000)
+        for s in sizes:
+            ceil_ts = -((-frac_t * s) // 1)
+            assert got[s] == s - int(ceil_ts) + 1, (t, s)
+
+
+def test_neardup_string_ids_preserved(spark):
+    """best_match_id keeps the index id's own type: string doc ids
+    must not be nulled by a long cast (ADVICE r6)."""
+    from breweries_data_pipeline_spark.operators.dedup import near_dedup_incremental
+
+    history = spark.createDataFrame([("h-10", BASE)], ["doc_id", "text"])
+    batch = spark.createDataFrame([("b-100", BASE)], ["doc_id", "text"])
+    out = near_dedup_incremental(batch, history, threshold=0.5)
+    row = out.collect()[0]
+    assert row["doc_id"] == "b-100"
+    assert row["n_dups"] == 1
+    assert row["best_match_id"] == "h-10"

@@ -19,7 +19,19 @@ Methodology:
 - "value" sums the SAME 10 queries as round 1 (BASELINE.md
   comparability); newer operator families are timed in "queries" and
   summed separately under "extended_total" (same set and order every
-  round for round-over-round comparability).
+  round for round-over-round comparability);
+- "headline_isolated" (r7) re-runs ONLY the headline family in a
+  fresh subprocess/JVM before anything else — the clean-machine
+  comparable that separates plan regressions from session pressure
+  (r6's +54% headline move had unchanged plans);
+- the in-process session runs with spark.cleaner.periodicGC.interval
+  =45s so shuffle/broadcast state drains during the run instead of
+  accumulating (the default 30 min never fires in a bench session;
+  the accumulation is what produced r6's phantom 33.6x soak ratio —
+  isolated, that query scales 4.6x at 10x data);
+- the sf1 soak leg orders newest-family-first under its budget, so a
+  budget expiry skips the oldest best-proven queries, never the
+  newest (r6 skipped exactly its 10 newest).
 """
 
 from __future__ import annotations
@@ -179,9 +191,30 @@ R6C = [
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",
                  "documents", "embeddings")
 
+# Queries whose first rep pays a one-off Arrow/codec/state-store warmup
+# far above their steady state (r6 spread: q_multimodal_decode
+# 1.0-8.2s, q_image_ahash 1.2-6.3s, q_streaming_cusum 1.9-6.5s). They
+# get ONE untimed warmup rep so the recorded spread measures the
+# query, not first-touch initialization.
+JIT_WARM = {"q_multimodal_decode", "q_image_ahash", "q_streaming_cusum"}
+
 
 def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _jvm_gc(spark) -> None:
+    """Force a JVM GC so the ContextCleaner (weak-ref driven) actually
+    releases shuffle files and broadcast blocks. Without it a long
+    bench session accumulates hundreds of stages' shuffle state —
+    Spark's own periodic GC defaults to every 30 MINUTES, which a
+    bench run never reaches — and the resulting memory/disk pressure
+    inflates late-suite measurements (r6 recorded q_cms_frequencies
+    at 33.6x scaling late in the soak; isolated it is 4.6x)."""
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — GC is best-effort hygiene
+        pass
 
 
 def _soak_dir() -> str | None:
@@ -223,17 +256,12 @@ def _flush_details(payload: dict) -> None:
     os.replace(tmp, details_path)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # warm-up: full scans of every input table (page cache + JIT),
-    # so q1's number is the query, not first-touch I/O
+def _warmup(spark, sf_dir: str) -> None:
+    """Full scans of every input table (page cache + JIT) plus one
+    mapInPandas no-op to spawn the reusable python workers — so q1's
+    number is the query, not first-touch I/O or process startup."""
     for t in WARMUP_TABLES:
         _materialize(read_table(spark, sf_dir, t))
-    # ...and spawn the reusable python workers so pandas-UDF queries
-    # measure the kernel, not process startup
     import pandas as _pd  # noqa: F401
 
     def _noop_batch(it):
@@ -242,21 +270,73 @@ def main() -> None:
 
     _materialize(spark.range(1000).repartition(32).mapInPandas(_noop_batch, "id long"))
 
+
+def _isolated_headline(sf_dir: str) -> dict | None:
+    """Run ONLY the headline family in a fresh subprocess (fresh JVM,
+    fresh page-cache-warm session, nothing else in the heap). The r6
+    headline moved 3.7s -> 5.8s with unchanged plans — this leg
+    separates plan regressions from same-process/session pressure
+    permanently: headline_isolated moves only when the plans (or the
+    machine) do."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_HEADLINE_ONLY"] = "1"
+    env["SPARK_GRAFT_SOAK"] = "0"
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    for ln in reversed(r.stdout.strip().splitlines()):
+        if ln.startswith("{"):
+            try:
+                p = json.loads(ln)
+                return {"value": p["value"], "queries": p["queries"]}
+            except (ValueError, KeyError):
+                return None
+    return None
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    headline_only = os.environ.get("SPARK_GRAFT_HEADLINE_ONLY", "0") == "1"
+
+    # the isolated leg runs FIRST (before this process's JVM exists,
+    # so the machine state it sees is as clean as the driver left it)
+    isolated = None
+    if not headline_only and os.environ.get("SPARK_GRAFT_ISOLATED", "1") == "1":
+        try:
+            isolated = _isolated_headline(sf_dir)
+        except Exception:  # noqa: BLE001 — evidence leg, never fatal
+            isolated = None
+
+    # periodic JVM GC keeps the ContextCleaner draining shuffle files
+    # and broadcast blocks throughout the run (see _jvm_gc)
+    spark = get_spark("bench", extra_conf={"spark.cleaner.periodicGC.interval": "45s"})
+    spark.sparkContext.setLogLevel("ERROR")
+    _warmup(spark, sf_dir)
+
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE + [q for q in EXTENDED + CORPUS + R5 + R6 + R6B + R6C if q in REGISTRY]:
+    suite = HEADLINE if headline_only else (
+        HEADLINE + [q for q in EXTENDED + CORPUS + R5 + R6 + R6B + R6C if q in REGISTRY]
+    )
+    for name in suite:
         fn, _ = REGISTRY[name]
         runs = []
-        for _ in range(reps):
+        warm_reps = (1 if name in JIT_WARM else 0)
+        for rep in range(-warm_reps, reps):
             start = time.perf_counter()
             try:
                 _materialize(fn(spark, sf_dir))
             except Exception as exc:  # noqa: BLE001
                 errors[name] = f"{type(exc).__name__}: {exc}"[:200]
                 break
-            runs.append(time.perf_counter() - start)
+            if rep >= 0:  # rep -1 is the untimed JIT_WARM warmup
+                runs.append(time.perf_counter() - start)
             # LSH/signature queries persist() intermediates; without
             # an inter-rep clear those caches accumulate across the
             # whole suite and the resulting GC pressure inflates
@@ -270,10 +350,11 @@ def main() -> None:
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
         spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
-        _flush_details({"queries": timings, "spread": spread,
-                        "partial": True})
+        if not headline_only:  # the subprocess leg must not clobber
+            _flush_details({"queries": timings, "spread": spread,
+                            "partial": True})
 
-    total = round(sum(timings[q] for q in HEADLINE), 3)
+    total = round(sum(timings.get(q, 0.0) for q in HEADLINE), 3)
     ext_total = round(sum(timings[q] for q in EXTENDED if q in timings), 3)
     corpus_total = round(sum(timings[q] for q in CORPUS if q in timings), 3)
     r5_total = round(sum(timings[q] for q in R5 if q in timings), 3)
@@ -295,19 +376,27 @@ def main() -> None:
         "r6c_total": r6c_total,
         "sf": float(sf) if sf else None,
     }
+    if isolated is not None:
+        payload["headline_isolated"] = isolated["value"]
     # 10x soak leg: same suite, one rep, at sf1. Compact evidence on
     # stdout (totals + worst per-query scaling ratios vs this run's
     # sf0.1 medians); full per-query soak timings go to BENCH_DETAILS.
+    # Ordering: headline first (the round-over-round comparable, ~11s),
+    # then the suite NEWEST-FAMILY-FIRST — if the budget expires, the
+    # queries that lose their sf1 datum are the oldest, best-proven
+    # ones, not the newest (r6 skipped exactly its 10 newest).
     soak = None
     soak_detail: dict[str, float] = {}
     sd = _soak_dir() if abs((float(sf) if sf else 0) - 0.1) < 1e-9 else None
     if sd:
         for t in WARMUP_TABLES:
             _materialize(read_table(spark, sd, t))
-        soak_budget = float(os.environ.get("SPARK_GRAFT_SOAK_BUDGET_S", "420"))
+        soak_budget = float(os.environ.get("SPARK_GRAFT_SOAK_BUDGET_S", "600"))
         soak_t0 = time.perf_counter()
         skipped = 0
-        for name in list(timings):
+        head = [q for q in HEADLINE if q in timings]
+        rest = [q for q in reversed(list(timings)) if q not in HEADLINE]
+        for i, name in enumerate(head + rest):
             if time.perf_counter() - soak_t0 > soak_budget:
                 skipped += 1  # keep the leg bounded so the main JSON
                 continue      # line always survives a driver timeout
@@ -320,6 +409,8 @@ def main() -> None:
                 # not cost the whole bench line; the error is the datum
                 errors[f"soak:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
             spark.catalog.clearCache()
+            if i % 5 == 4:
+                _jvm_gc(spark)  # keep shuffle/broadcast state drained
             _flush_details({"queries": timings, "spread": spread,
                             "soak_queries": soak_detail, "partial": True})
         ratios = {
@@ -333,6 +424,7 @@ def main() -> None:
                 sum(soak_detail[q] for q in HEADLINE if q in soak_detail), 3
             ),
             "suite_total": round(sum(soak_detail.values()), 3),
+            "covered": len(soak_detail),
             "worst_scaling_x": worst,
         }
         if skipped:
@@ -342,7 +434,10 @@ def main() -> None:
     # stdout line must stay small enough to survive tail-capture intact
     if errors:
         payload["errors"] = errors
-    _flush_details({**payload, "spread": spread, "soak_queries": soak_detail})
+    if not headline_only:
+        _flush_details({**payload, "spread": spread, "soak_queries": soak_detail,
+                        "headline_isolated_queries":
+                            (isolated or {}).get("queries", {})})
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1800:
         # drop the slowest-changing detail first rather than emit an

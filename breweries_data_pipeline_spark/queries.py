@@ -80,6 +80,39 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+# Intra-query reuse caches. Several queries persist() an intermediate
+# that feeds multiple branches of the RETURNED (lazy) plan — an
+# in-function unpersist would defeat the cache before the caller ever
+# executes it, so the release has to happen after materialization.
+# Every such persist goes through _persist() so a library user
+# composing query functions in one long session can drop the
+# accumulated caches with one release_caches() call; the bench calls
+# spark.catalog.clearCache() between measurements, which covers the
+# same ground. Tracked per-module, idempotent, safe to call anytime
+# after the consumer has collected/written its result.
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    _TRACKED_CACHES.append(df)
+    return df.persist()
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate cached by query functions so far.
+    Returns the number released. Call after consuming the returned
+    DataFrames (the caches only pay off through materialization)."""
+    n = 0
+    while _TRACKED_CACHES:
+        df = _TRACKED_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+    return n
+
+
 # ---------------------------------------------------------------------------
 # §2.1 scans
 # ---------------------------------------------------------------------------
@@ -8388,7 +8421,7 @@ def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     # the token stream feeds BOTH the sketch build and the exact top-20
     # truth aggregate — persist so the explode runs once
-    toks = docs.select(F.explode(_toks("text")).alias("w")).persist()
+    toks = _persist(docs.select(F.explode(_toks("text")).alias("w")))
     sketch = cms_build(toks, "w")
     top = topk_global(
         toks.groupBy("w").agg(F.count("*").alias("true_cnt")),
@@ -8726,10 +8759,10 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shs = _ensure_parallelism(docs.select("doc_id", "text")).select(
         "doc_id", F.array_distinct(shingles("text", 3)).alias("s")
-    ).persist()
+    ).transform(_persist)
     sh = shs.select("doc_id", F.explode("s").alias("s"))
 
-    sig = _minhash_sig(sh).persist()
+    sig = _persist(_minhash_sig(sh))
     bands = _minhash_band_rows(sig)
     left = bands.select(
         F.col("doc_id").alias("id_a"), "band", "v0", "v1", "v2", "v3"
@@ -9027,7 +9060,7 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.withColumn("__rn", F.row_number().over(wfp))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
-        .persist()
+        .transform(_persist)
     )
 
     from breweries_data_pipeline_spark.operators.dedup import (
@@ -9036,10 +9069,10 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shs = _ensure_parallelism(exact).select(
         "doc_id", F.array_distinct(shingles("text", 3)).alias("s")
-    ).persist()
+    ).transform(_persist)
     sh = shs.select("doc_id", F.explode("s").alias("s"))
 
-    sig = _minhash_sig(sh).persist()
+    sig = _persist(_minhash_sig(sh))
     bands = _minhash_band_rows(sig)
     cand = (
         bands.select(F.col("doc_id").alias("id_a"), "band", "v0", "v1", "v2", "v3")
@@ -9419,7 +9452,7 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs = bitsums.select(
         "doc_id", assemble("lo").alias("lo"), assemble("hi").alias("hi")
-    ).persist()
+    ).transform(_persist)
     mask = F.lit(0xFFFF).cast("long")
     blocks = sigs.select(
         "doc_id",
@@ -9743,7 +9776,7 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
-        .persist()
+        .transform(_persist)
     )
     t = truth.agg(F.count("*").alias("n_true"))
     c = cand.agg(F.count("*").alias("n_cand"))
@@ -9848,16 +9881,16 @@ def q_dedup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     wfp = Window.partitionBy(F.md5(normalized_text("text")))
     exact_surv = docs.select(
         "doc_id", "text", F.min("doc_id").over(wfp).alias("__surv")
-    ).persist()
+    ).transform(_persist)
     survivors = exact_surv.filter(F.col("doc_id") == F.col("__surv")).select(
         "doc_id", "text"
     )
 
     shs = _ensure_parallelism(survivors).select(
         "doc_id", F.array_distinct(shingles("text", 3)).alias("s")
-    ).persist()
+    ).transform(_persist)
     sh = shs.select("doc_id", F.explode("s").alias("s"))
-    sig = _minhash_sig(sh).persist()
+    sig = _persist(_minhash_sig(sh))
     bands = _minhash_band_rows(sig)
     cand = (
         bands.select(F.col("doc_id").alias("id_a"), "band", "v0", "v1", "v2", "v3")
@@ -10001,7 +10034,7 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.sqrt(dot(pv, pv))
             )
         ).alias("r"),
-    ).persist()
+    ).transform(_persist)
 
     selected: list[tuple[int, float, list[float]]] = []
     for step in range(3):
@@ -10172,7 +10205,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("b") >= 95)
         .select(F.explode(F.array_distinct(shingles("text", 3))).alias("g"))
         .distinct()
-        .persist()
+        .transform(_persist)
     )
     novel = test_g.join(train_g, "g", "left_anti")
     t = test_g.agg(F.count("*").alias("n_test"))

@@ -255,3 +255,32 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_persist_goes_through_tracked_helper():
+    """Every intra-query persist in queries.py must route through
+    _persist()/.transform(_persist) so release_caches() can drop the
+    accumulated caches in long library sessions (r6 advice: 13
+    persists, 1 unpersist = leak for any non-bench caller)."""
+    import inspect
+
+    import breweries_data_pipeline_spark.queries as q
+
+    src = inspect.getsource(q)
+    bare = [
+        ln for ln in src.splitlines()
+        if ".persist()" in ln and "def _persist" not in ln and "return df.persist()" not in ln
+    ]
+    assert bare == [], f"untracked .persist() in queries.py: {bare}"
+
+
+def test_release_caches_drops_all_cached_rdds(spark, sf_dir):
+    """Functional check: run a persist-heavy query, materialize it,
+    then release_caches() must leave zero cached RDD blocks behind."""
+    from breweries_data_pipeline_spark.queries import REGISTRY, release_caches
+
+    df = REGISTRY["q_cms_frequencies"][0](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    assert release_caches() >= 1
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(infos) == 0, [str(i) for i in infos]

@@ -188,6 +188,11 @@ R6C = [
     "q_neardup_incremental",
 ]
 
+# round-7 family — summed under "r7_total"
+R7 = [
+    "q_neardup_index",
+]
+
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",
                  "documents", "embeddings")
 
@@ -322,7 +327,7 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     suite = HEADLINE if headline_only else (
-        HEADLINE + [q for q in EXTENDED + CORPUS + R5 + R6 + R6B + R6C if q in REGISTRY]
+        HEADLINE + [q for q in EXTENDED + CORPUS + R5 + R6 + R6B + R6C + R7 if q in REGISTRY]
     )
     for name in suite:
         fn, _ = REGISTRY[name]
@@ -361,6 +366,7 @@ def main() -> None:
     r6_total = round(sum(timings[q] for q in R6 if q in timings), 3)
     r6b_total = round(sum(timings[q] for q in R6B if q in timings), 3)
     r6c_total = round(sum(timings[q] for q in R6C if q in timings), 3)
+    r7_total = round(sum(timings[q] for q in R7 if q in timings), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     payload = {
         "metric": "headline_queries_total_wall",
@@ -374,6 +380,7 @@ def main() -> None:
         "r6_total": r6_total,
         "r6b_total": r6b_total,
         "r6c_total": r6c_total,
+        "r7_total": r7_total,
         "sf": float(sf) if sf else None,
     }
     if isolated is not None:

@@ -721,6 +721,45 @@ def read_shingle_index(spark, path: str) -> ShingleIndex:
     )
 
 
+def write_shingle_index_bucketed(
+    index: ShingleIndex, table_prefix: str, *, n_buckets: int = 32
+) -> None:
+    """Persist the index as CATALOG tables with ``prefix`` bucketed
+    (and sorted) by shingle — the production layout: the daily
+    candidate join reads the corpus prefix with NO exchange and NO
+    sort on its side, so the only shuffle per ingest is the (small)
+    new batch's. The shuffle of the multi-TB corpus side is paid once
+    at index-build time, amortized over every daily run.
+    (tests/test_dedup.py plan-asserts the exchange-free corpus side.)
+
+    ``sets`` and ``freq`` are bucketed by their own join keys too:
+    ``sets`` by id (the verify join), ``freq`` by shingle (the batch
+    prefix-cut join ranks against it)."""
+    p = index.prefix
+    spark = p.sparkSession
+    (p.write.mode("overwrite").bucketBy(n_buckets, "shingle").sortBy("shingle")
+     .format("parquet").saveAsTable(f"{table_prefix}_prefix"))
+    (index.sets.write.mode("overwrite").bucketBy(n_buckets, "id")
+     .format("parquet").saveAsTable(f"{table_prefix}_sets"))
+    (index.freq.write.mode("overwrite").bucketBy(n_buckets, "shingle")
+     .format("parquet").saveAsTable(f"{table_prefix}_freq"))
+    spark.createDataFrame(
+        [(int(round(index.threshold * 1_000_000)), index.shingle_size)],
+        "threshold_ppm bigint, shingle_size int",
+    ).write.mode("overwrite").format("parquet").saveAsTable(f"{table_prefix}_meta")
+
+
+def read_shingle_index_bucketed(spark, table_prefix: str) -> ShingleIndex:
+    meta = spark.table(f"{table_prefix}_meta").first()
+    return ShingleIndex(
+        spark.table(f"{table_prefix}_prefix"),
+        spark.table(f"{table_prefix}_sets"),
+        spark.table(f"{table_prefix}_freq"),
+        meta["threshold_ppm"] / 1_000_000,
+        int(meta["shingle_size"]),
+    )
+
+
 def near_dedup_against_index(
     new_batch: DataFrame,
     index: ShingleIndex,

@@ -11809,3 +11809,59 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.where(F.col("doc_id") % 5 == 0)
     history = docs.where(F.col("doc_id") % 5 != 0)
     return near_dedup_incremental(batch, history, threshold=0.5)
+
+
+@register(
+    "q_neardup_index",
+    f"""
+    WITH sh AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS s FROM documents),
+    b AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+    h AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+    p AS (
+      SELECT b.doc_id AS bid, h.doc_id AS hid,
+             (CAST(len(list_intersect(b.s, h.s)) AS BIGINT) * 1000000)
+               // (CAST(len(b.s) AS BIGINT) + CAST(len(h.s) AS BIGINT)
+                   - CAST(len(list_intersect(b.s, h.s)) AS BIGINT)) AS ppm
+      FROM b, h
+    ),
+    m AS (
+      SELECT bid, hid, ppm,
+             row_number() OVER (PARTITION BY bid ORDER BY ppm DESC, hid) AS rk,
+             count(*) OVER (PARTITION BY bid) AS n
+      FROM p WHERE ppm >= 500000
+    )
+    SELECT b.doc_id,
+           CAST(coalesce(m.n, 0) AS BIGINT) AS n_dups,
+           CAST(m.hid AS BIGINT) AS best_match_id,
+           CAST(m.ppm AS BIGINT) AS best_jaccard_ppm
+    FROM b LEFT JOIN m ON m.bid = b.doc_id AND m.rk = 1
+    """,
+)
+def q_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 persisted-index near-dup: identical semantics (and oracle)
+    to q_neardup_incremental, but the history index round-trips
+    through BUCKETED catalog tables before the daily join — the
+    production layout where the corpus prefix/sets/freq tables scan
+    with no exchange and no sort on their side; the only shuffles per
+    ingest are the (small) new batch's. The corpus-side shuffle is
+    paid once at index-build, amortized over every daily run
+    (tests/test_dedup.py plan-asserts the exchange-free corpus side).
+    Timing this query therefore measures build + bucketed write +
+    read-back + join: the true daily-ingest cost, not just the join."""
+    from breweries_data_pipeline_spark.operators.dedup import (
+        build_shingle_index,
+        near_dedup_against_index,
+        read_shingle_index_bucketed,
+        write_shingle_index_bucketed,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    history = docs.where(F.col("doc_id") % 5 != 0)
+    tbl = "t_q_neardup_index"
+    write_shingle_index_bucketed(
+        build_shingle_index(history, threshold=0.5), tbl
+    )
+    return near_dedup_against_index(
+        batch, read_shingle_index_bucketed(spark, tbl), threshold=0.5
+    )

@@ -248,3 +248,48 @@ def test_neardup_string_ids_preserved(spark):
     assert row["doc_id"] == "b-100"
     assert row["n_dups"] == 1
     assert row["best_match_id"] == "h-10"
+
+
+def test_shingle_index_bucketed_roundtrip_exchange_free_corpus_side(spark, sf_dir):
+    """The persisted-index claim, asserted not argued (r6 verdict #7):
+    write the ShingleIndex as bucketed catalog tables, reload, run the
+    daily candidate join — results identical to the in-memory index,
+    and every CORPUS-side input (prefix, sets, freq) scans bucketed
+    with no Exchange on its side of the joins; the only shingle-keyed
+    exchanges left are the (small) new batch's."""
+    import re
+
+    from breweries_data_pipeline_spark.operators.dedup import (
+        build_shingle_index,
+        near_dedup_against_index,
+        read_shingle_index_bucketed,
+        write_shingle_index_bucketed,
+    )
+    from breweries_data_pipeline_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    history = docs.where(F.col("doc_id") % 5 != 0)
+    idx_mem = build_shingle_index(history, threshold=0.5)
+    try:
+        write_shingle_index_bucketed(idx_mem, "t_shidx_test", n_buckets=8)
+        idx = read_shingle_index_bucketed(spark, "t_shidx_test")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = near_dedup_against_index(batch, idx, threshold=0.5)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            n_shingle_ex = len(re.findall(r"Exchange hashpartitioning\(shingle", plan))
+            assert plan.count("Bucketed: true") >= 3, plan[:2000]
+            assert n_shingle_ex <= 2, f"corpus-side exchange crept back: {n_shingle_ex}"
+
+            mem = near_dedup_against_index(batch, idx_mem, threshold=0.5)
+            mplan = mem._jdf.queryExecution().executedPlan().toString()
+            n_mem_ex = len(re.findall(r"Exchange hashpartitioning\(shingle", mplan))
+            assert n_shingle_ex < n_mem_ex  # bucketing removed corpus exchanges
+
+            assert sorted(map(tuple, out.collect())) == sorted(map(tuple, mem.collect()))
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        for t in ("prefix", "sets", "freq", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS t_shidx_test_{t}")

@@ -191,6 +191,7 @@ R6C = [
 # round-7 family — summed under "r7_total"
 R7 = [
     "q_neardup_index",
+    "q_png_decode",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",
@@ -216,6 +217,9 @@ def _jvm_gc(spark) -> None:
     bench run never reaches — and the resulting memory/disk pressure
     inflates late-suite measurements (r6 recorded q_cms_frequencies
     at 33.6x scaling late in the soak; isolated it is 4.6x)."""
+    import gc
+
+    gc.collect()  # drop py4j proxies first so their JVM refs die too
     try:
         spark.sparkContext._jvm.System.gc()
     except Exception:  # noqa: BLE001 — GC is best-effort hygiene
@@ -316,6 +320,14 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — evidence leg, never fatal
             isolated = None
 
+    # local[32] runs ALL executor threads inside the driver JVM, so the
+    # 8g default heap is 0.25g per core — at sf1 the execution+storage
+    # region (~40% of heap) thrashes once the session has broadcast/
+    # codegen/status-store residue, inflating late-suite measurements
+    # 3-4x (r7 finding: corpus-family queries at soak position ~70 ran
+    # 4x their fresh-session time). Size the heap like a real 32-core
+    # executor instead; SPARK_DRIVER_MEMORY still overrides.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     # periodic JVM GC keeps the ContextCleaner draining shuffle files
     # and broadcast blocks throughout the run (see _jvm_gc)
     spark = get_spark("bench", extra_conf={"spark.cleaner.periodicGC.interval": "45s"})

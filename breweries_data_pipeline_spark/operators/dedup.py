@@ -721,6 +721,26 @@ def read_shingle_index(spark, path: str) -> ShingleIndex:
     )
 
 
+def _drop_table_and_stale_location(spark, name: str) -> None:
+    """DROP TABLE IF EXISTS, then clear any orphaned managed-table
+    directory: a previous session with an in-memory metastore may have
+    left the warehouse location behind, and saveAsTable refuses to
+    reuse a location it has no catalog entry for
+    (LOCATION_ALREADY_EXISTS). Uses the Hadoop FileSystem API so
+    remote warehouses behave the same as local ones."""
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    try:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        path = jvm.org.apache.hadoop.fs.Path(wh.rstrip("/") + "/" + name.lower())
+        fs = path.getFileSystem(conf)
+        if fs.exists(path):
+            fs.delete(path, True)
+    except Exception:  # noqa: BLE001 — best-effort; saveAsTable will
+        pass           # surface a real problem if one remains
+
+
 def write_shingle_index_bucketed(
     index: ShingleIndex, table_prefix: str, *, n_buckets: int = 32
 ) -> None:
@@ -737,6 +757,8 @@ def write_shingle_index_bucketed(
     prefix-cut join ranks against it)."""
     p = index.prefix
     spark = p.sparkSession
+    for t in ("prefix", "sets", "freq", "meta"):
+        _drop_table_and_stale_location(spark, f"{table_prefix}_{t}")
     (p.write.mode("overwrite").bucketBy(n_buckets, "shingle").sortBy("shingle")
      .format("parquet").saveAsTable(f"{table_prefix}_prefix"))
     (index.sets.write.mode("overwrite").bucketBy(n_buckets, "id")

@@ -11865,3 +11865,34 @@ def q_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dedup_against_index(
         batch, read_shingle_index_bucketed(spark, tbl), threshold=0.5
     )
+
+
+@register(
+    "q_png_decode",
+    """
+    SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 9 AS BIGINT) AS width,
+           CAST(8 + doc_id % 7 AS BIGINT) AS height,
+           CAST(1 + doc_id % 3 AS BIGINT) AS channels,
+           CAST((8 + doc_id % 9) * (8 + doc_id % 7) * (1 + doc_id % 3)
+                * (doc_id % 251) AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+)
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal REAL-codec round-trip: genuine zlib-compressed PNG
+    blobs born executor-side (operators.multimodal.png_media_from_ids)
+    and fully decoded back — header, inflate, scanline unfilter, pixel
+    sum — via decode_real_image (PIL when present, the dependency-free
+    stdlib PNG decoder otherwise). Dimensions and pixel bytes derive
+    from the id, so the ENTIRE decode path is value-hash-oracled in
+    closed form; only 5 longs per image ever cross an exchange. The
+    plumbing twin q_multimodal_decode covers the fake codec; this one
+    proves the real-bytes path end-to-end."""
+    from breweries_data_pipeline_spark.operators.multimodal import (
+        decode_png_pixels,
+        png_media_from_ids,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return decode_png_pixels(png_media_from_ids(docs))

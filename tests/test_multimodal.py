@@ -68,25 +68,99 @@ def test_decode_image_dispatches_on_magic():
     assert decode_image(blob) == decode_fake_image(blob)
 
 
-def test_real_decoder_raises_only_without_pil():
+def test_real_decoder_decodes_png():
+    """The real-codec branch executes in every environment: PNG bytes
+    decode via PIL when present, else via the dependency-free stdlib
+    codec — same output either way (round-trip through encode_png,
+    whose filter-0 output any compliant decoder must invert)."""
+    from breweries_data_pipeline_spark.operators.multimodal import encode_png
+
+    pixels = bytes((7 * x + 13) % 256 for x in range(5 * 3 * 3))
+    blob = encode_png(5, 3, 3, pixels)
+    w, h, c, out = decode_real_image(blob)
+    assert (w, h, c) == (5, 3, 3)
+    assert out == pixels
+    # the dispatcher routes non-FAKEIMG1 bytes to the real codec
+    assert decode_image(blob)[:3] == (5, 3, 3)
+
+
+def test_real_decoder_rejects_malformed_non_png_everywhere():
+    """Runs in every environment, no skip: without PIL, non-PNG bytes
+    raise NotImplementedError (the documented gate); with PIL, PIL
+    raises its own unidentified-image error. Either way malformed
+    bytes never decode silently."""
     try:
         import PIL  # noqa: F401
+        expected: type[Exception] = Exception  # PIL.UnidentifiedImageError
     except ImportError:
-        with pytest.raises(NotImplementedError):
-            decode_real_image(b"\x89PNG...")
-    else:
-        pytest.skip("PIL present; covered by test_real_decoder_decodes_png")
+        expected = NotImplementedError
+    with pytest.raises(expected):
+        decode_real_image(b"\xff\xd8\xff\xe0 not actually jpeg")
 
 
-def test_real_decoder_decodes_png():
-    Image = pytest.importorskip("PIL.Image")
-    import io
+def test_png_unfilter_inverts_every_filter_type():
+    """decode_png must invert all five PNG scanline filters. The test
+    FILTERS known pixels with an independent per-spec reference
+    implementation (the forward direction, trivially checkable against
+    the RFC), rebuilds the IDAT, and asserts the decoder recovers the
+    original bytes exactly."""
+    import struct
+    import zlib
 
-    img = Image.new("RGB", (5, 3), (10, 20, 30))
-    buf = io.BytesIO()
-    img.save(buf, format="PNG")
-    w, h, c, pixels = decode_real_image(buf.getvalue())
-    assert (w, h, c) == (5, 3, 3)
-    assert len(pixels) == 5 * 3 * 3
-    # the dispatcher routes non-FAKEIMG1 bytes to the real codec
-    assert decode_image(buf.getvalue())[:3] == (5, 3, 3)
+    from breweries_data_pipeline_spark.operators.multimodal import decode_png
+
+    w, h, c = 4, 5, 3
+    stride, bpp = w * c, c
+    pixels = bytes((31 * i + 7) % 256 for i in range(stride * h))
+
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+
+    raw = bytearray()
+    for y, ft in enumerate([0, 1, 2, 3, 4]):  # one row per filter type
+        row = pixels[y * stride:(y + 1) * stride]
+        prev = pixels[(y - 1) * stride:y * stride] if y else bytes(stride)
+        raw.append(ft)
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            cc = prev[x - bpp] if x >= bpp else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, cc)}[ft]
+            raw.append((row[x] - pred) & 0xFF)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+    assert decode_png(blob) == (w, h, c, pixels)
+
+
+def test_png_roundtrip_gray_and_rgba():
+    from breweries_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    for c in (1, 2, 3, 4):
+        pixels = bytes((11 * i + c) % 256 for i in range(6 * 4 * c))
+        assert decode_png(encode_png(6, 4, c, pixels)) == (6, 4, c, pixels)
+
+
+def test_png_decoders_agree_in_every_environment():
+    """No env skip: decode_png and decode_real_image must agree on the
+    same PNG bytes whether decode_real_image routes through PIL (when
+    present) or through the stdlib fallback (when not) — the
+    codec-agnostic contract the downstream operators rely on."""
+    from breweries_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    pixels = bytes((17 * i + 3) % 256 for i in range(5 * 3 * 3))
+    blob = encode_png(5, 3, 3, pixels)
+    assert decode_png(blob) == decode_real_image(blob) == (5, 3, 3, pixels)

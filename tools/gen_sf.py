@@ -125,9 +125,29 @@ def replicate(src: str, dst: str, copies: int) -> None:
                         pc.cast(pc.utf8_length(text), pa.int64()),
                     )
             parts.append(tbl)
-        merged = pa.concat_tables(parts)
-        pq.write_table(merged, out, row_group_size=1 << 20)
-        print(f"{t}: {base[t].num_rows} -> {merged.num_rows} rows")
+        # one FILE per copy (dir of part files), bounded row groups:
+        # real 100 TB inputs are thousands of files, and Spark's scan
+        # parallelism comes from files x row-group splits. The single
+        # 1M-row-group file this replaces collapsed documents/events
+        # scans to 1-2 tasks at sf1, serializing every narrow-map
+        # kernel onto one core — the bench then reported 7-24x "scaling"
+        # that was really a parallelism-1 layout artifact (r7 finding).
+        if os.path.isdir(out):
+            import shutil
+
+            shutil.rmtree(out)
+        elif os.path.exists(out):
+            os.remove(out)
+        os.makedirs(out, exist_ok=True)
+        n_rows = 0
+        for i, tbl in enumerate(parts):
+            pq.write_table(
+                tbl,
+                os.path.join(out, f"part-{i:03d}.parquet"),
+                row_group_size=1 << 17,
+            )
+            n_rows += tbl.num_rows
+        print(f"{t}: {base[t].num_rows} -> {n_rows} rows in {len(parts)} files")
 
 
 def main() -> None:

@@ -829,7 +829,11 @@ def near_dedup_against_index(
     shingle inside both prefixes, so candidates = batch prefix
     equi-join ``index.prefix`` — no crossJoin, and Zipf-head shingles
     are never join keys. The AllPairs length filter (min size >=
-    t * max size) runs inside the join; exact verification joins the
+    t * max size) AND the PPJoin positional bound
+    (:func:`_ppjoin_position_filter`, exact) run inside the join —
+    on dense-vocabulary corpora the positional bound is what keeps
+    the verify stage proportional to true-match volume (it halved the
+    sf1 wall the moment it landed, r7); exact verification joins the
     two shingle-array tables on candidate ids (batch side
     AQE-broadcastable).
 

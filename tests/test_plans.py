@@ -279,8 +279,13 @@ def test_release_caches_drops_all_cached_rdds(spark, sf_dir):
     then release_caches() must leave zero cached RDD blocks behind."""
     from breweries_data_pipeline_spark.queries import REGISTRY, release_caches
 
+    def rdd_ids():
+        return {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+    release_caches()  # drop anything earlier tests left tracked
+    before = rdd_ids()
     df = REGISTRY["q_cms_frequencies"][0](spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     assert release_caches() >= 1
-    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    assert len(infos) == 0, [str(i) for i in infos]
+    leaked = rdd_ids() - before
+    assert leaked == set(), leaked

@@ -294,3 +294,55 @@ def test_ks_distinct_value_grid_is_exact(data):
         for v in grid
     )
     assert naive == gridded
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=5, max_size=24).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=2,
+        max_size=14,
+    ),
+    t=st.sampled_from([0.1, 0.3, 0.5, 0.7, 0.9]),
+)
+def test_prefix_filtered_join_exact_vs_bruteforce(spark, docs, t):
+    """AllPairs + PPJoin positional filter must be EXACT — all pairs
+    with J >= t, none below — vs a naive Python brute force over a
+    deliberately tiny (8-word) vocabulary: dense shingle collisions
+    maximize prefix-bucket pressure, the regime where a recall bug in
+    the positional bound (r7) or the fixed-point prefix length (r6
+    advice) would surface."""
+    import re
+
+    from breweries_data_pipeline_spark.operators.dedup import (
+        _t_ppm,
+        prefix_filtered_similarity_join,
+    )
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard_ppm
+        for r in prefix_filtered_similarity_join(df, threshold=t).collect()
+    }
+
+    def shingle_set(text):
+        # mirror functions.text.shingles: normalized 3-gram word shingles
+        toks = re.findall(r"\S+", text.lower())
+        return {" ".join(toks[i:i + 3]) for i in range(max(0, len(toks) - 2))}
+
+    sets = [shingle_set(d) for d in docs]
+    t_ppm = _t_ppm(t)
+    expected = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union == 0:
+                continue
+            ppm = inter * 1_000_000 // union
+            if ppm >= t_ppm:
+                expected[(a, b)] = ppm
+    assert got == expected

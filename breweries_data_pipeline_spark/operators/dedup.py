@@ -67,6 +67,43 @@ def _prefix_len_expr(size_col: str, t_ppm: int):
     )
 
 
+def _hash_gate_cols(sets_df: DataFrame, id_alias: str, side: str) -> DataFrame:
+    """Per-doc columns for the exact 64-bit hash pre-gate that runs
+    between candidate generation and string verification: the distinct
+    xxhash64 array (8-byte elements intersect ~an order of magnitude
+    cheaper than ~25-byte shingle strings), the true set size, and an
+    injectivity flag. Exactness argument: a DEFICIT in
+    |h(A) ∩ h(B)| vs |A ∩ B| requires two distinct common shingles
+    with colliding hashes — both live in BOTH docs, so each doc's own
+    hash array shrinks under array_distinct and the flag trips;
+    flagged docs bypass the gate entirely. Collisions between
+    A-only and B-only shingles can only INFLATE the hash overlap, and
+    inflated pairs die in the exact string verify that follows. So
+    gate-pass ⊇ true pairs always, at ~2^-64 per-pair flag odds."""
+    return sets_df.select(
+        F.col("id").alias(id_alias),
+        F.array_distinct(
+            F.expr("transform(shingles, s -> xxhash64(s))")
+        ).alias(f"__h_{side}"),
+        F.col("size").cast("long").alias(f"__sz_{side}"),
+    ).withColumn(
+        f"__flag_{side}", F.size(f"__h_{side}") < F.col(f"__sz_{side}")
+    )
+
+
+def _hash_gate_keep(side_a: str, side_b: str, t_ppm: int):
+    """Gate predicate: hash-overlap Jaccard >= t (in exact ppm using
+    TRUE set sizes, valid because deficit implies a flag), or either
+    side flagged."""
+    inter = F.size(F.array_intersect(f"__h_{side_a}", f"__h_{side_b}")).cast("long")
+    sa, sb = F.col(f"__sz_{side_a}"), F.col(f"__sz_{side_b}")
+    return (
+        (inter * 1_000_000 >= t_ppm * (sa + sb - inter))
+        | F.col(f"__flag_{side_a}")
+        | F.col(f"__flag_{side_b}")
+    )
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Compute-heavy narrow maps deserve every core: a small parquet
     file scans as one split, serializing the whole kernel onto one
@@ -579,6 +616,18 @@ def prefix_filtered_similarity_join(
         .select(F.col("a.__id").alias("__id_a"), F.col("b.__id").alias("__id_b"))
         .distinct()
     )
+    # exact 64-bit hash pre-gate before the string verify (see
+    # _hash_gate_cols for the exactness argument)
+    norm = sets.select(
+        F.col("__id").alias("id"), F.col("__s").alias("shingles"),
+        F.col("__size").alias("size"),
+    )
+    gated = (
+        cand.join(_hash_gate_cols(norm, "__id_a", "a"), "__id_a")
+        .join(_hash_gate_cols(norm, "__id_b", "b"), "__id_b")
+        .where(_hash_gate_keep("a", "b", t_ppm))
+        .select("__id_a", "__id_b")
+    )
     sa = sets.select(F.col("__id").alias("__id_a"), F.col("__s").alias("__s_a"))
     sb = sets.select(F.col("__id").alias("__id_b"), F.col("__s").alias("__s_b"))
     ppm = F.expr(
@@ -587,7 +636,7 @@ def prefix_filtered_similarity_join(
         " - cast(size(array_intersect(__s_a, __s_b)) as bigint))"
     )
     return (
-        cand.join(sa, "__id_a")
+        gated.join(sa, "__id_a")
         .join(sb, "__id_b")
         .select(
             F.col("__id_a").alias("id_a"),
@@ -871,13 +920,25 @@ def near_dedup_against_index(
         .select(F.col("b.id").alias("__bid"), F.col("h.id").alias("__hid"))
         .distinct()
     )
+    # 64-bit hash pre-gate: candidates that survive the prefix filters
+    # are still mostly false on dense-vocabulary corpora; intersecting
+    # 8-byte hash arrays first costs ~an order of magnitude less than
+    # shipping + comparing the shingle strings, and the gate is exact
+    # (see _hash_gate_cols) — true pairs always pass, hash-inflated
+    # ones die in the string verify below.
+    gated = (
+        cand.join(_hash_gate_cols(sets_b, "__bid", "b"), "__bid")
+        .join(_hash_gate_cols(index.sets, "__hid", "h"), "__hid")
+        .where(_hash_gate_keep("b", "h", t_ppm))
+        .select("__bid", "__hid")
+    )
     ppm = F.expr(
         "(cast(size(array_intersect(__s_b, __s_h)) as bigint) * 1000000) div "
         "(cast(size(__s_b) as bigint) + cast(size(__s_h) as bigint) "
         " - cast(size(array_intersect(__s_b, __s_h)) as bigint))"
     )
     verified = (
-        cand.join(
+        gated.join(
             sets_b.select(F.col("id").alias("__bid"), F.col("shingles").alias("__s_b")),
             "__bid",
         )

@@ -307,9 +307,95 @@ def _isolated_headline(sf_dir: str) -> dict | None:
     return None
 
 
+def _soak_order() -> list[str]:
+    """Soak execution order: headline first (the round-over-round
+    comparable, ~10s at sf1), then the suite NEWEST-FAMILY-FIRST — if
+    the budget expires, the queries that lose their sf1 datum are the
+    oldest, best-proven ones, never the newest (r6 skipped exactly its
+    10 newest)."""
+    rest = [q for q in EXTENDED + CORPUS + R5 + R6 + R6B + R6C + R7 if q in REGISTRY]
+    return HEADLINE + list(reversed(rest))
+
+
+def _run_soak(spark, sd: str, budget: float):
+    """Single-rep suite pass at the soak SF. Returns (per-query secs,
+    errors, skipped count). Flushes progress into BENCH_DETAILS.json
+    incrementally (merging with whatever is already there) so a
+    driver-side timeout truncates stdout, not the evidence."""
+    details_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
+    )
+    for t in WARMUP_TABLES:
+        _materialize(read_table(spark, sd, t))
+    soak_detail: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    t0 = time.perf_counter()
+    skipped = 0
+    for i, name in enumerate(_soak_order()):
+        if time.perf_counter() - t0 > budget:
+            skipped += 1
+            continue
+        fn, _ = REGISTRY[name]
+        start = time.perf_counter()
+        try:
+            _materialize(fn(spark, sd))
+            soak_detail[name] = round(time.perf_counter() - start, 3)
+        except Exception as exc:  # noqa: BLE001 — one bad query must
+            # not cost the whole leg; the error is the datum
+            errors[f"soak:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+        spark.catalog.clearCache()
+        if i % 5 == 4:
+            _jvm_gc(spark)  # keep shuffle/broadcast state drained
+        try:
+            with open(details_path) as f:
+                existing = json.load(f)
+        except Exception:  # noqa: BLE001
+            existing = {}
+        existing["soak_queries"] = soak_detail
+        _flush_details(existing)
+    return soak_detail, errors, skipped
+
+
+def _isolated_soak(sf_dir: str, budget: float):
+    """Run the soak leg in a fresh subprocess/JVM: the r7 measurements
+    showed soak entries for string-shuffle-heavy queries running
+    2-3x their fresh-session walls when the soak shared a JVM with the
+    just-finished 3-rep sf0.1 suite (~330 executions of residue).
+    Within-soak accumulation remains, but it is one rep of each query
+    instead of the whole day's session."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SOAK_ONLY"] = "1"
+    env["SPARK_GRAFT_ISOLATED"] = "0"
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        capture_output=True, text=True, env=env, timeout=budget + 420,
+    )
+    for ln in reversed(r.stdout.strip().splitlines()):
+        if ln.startswith("{"):
+            p = json.loads(ln)
+            return p["soak_queries"], p.get("soak_errors", {}), p.get("skipped", 0)
+    raise RuntimeError("soak subprocess produced no JSON line")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     headline_only = os.environ.get("SPARK_GRAFT_HEADLINE_ONLY", "0") == "1"
+
+    if os.environ.get("SPARK_GRAFT_SOAK_ONLY", "0") == "1":
+        os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+        spark = get_spark(
+            "bench-soak", extra_conf={"spark.cleaner.periodicGC.interval": "45s"}
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        sd = _soak_dir()
+        budget = float(os.environ.get("SPARK_GRAFT_SOAK_BUDGET_S", "600"))
+        detail, errs, skipped = _run_soak(spark, sd, budget) if sd else ({}, {}, 0)
+        print(json.dumps({"soak_queries": detail, "soak_errors": errs,
+                          "skipped": skipped}, separators=(",", ":")))
+        return
 
     # the isolated leg runs FIRST (before this process's JVM exists,
     # so the machine state it sees is as clean as the driver left it)
@@ -397,41 +483,26 @@ def main() -> None:
     }
     if isolated is not None:
         payload["headline_isolated"] = isolated["value"]
-    # 10x soak leg: same suite, one rep, at sf1. Compact evidence on
-    # stdout (totals + worst per-query scaling ratios vs this run's
-    # sf0.1 medians); full per-query soak timings go to BENCH_DETAILS.
-    # Ordering: headline first (the round-over-round comparable, ~11s),
-    # then the suite NEWEST-FAMILY-FIRST — if the budget expires, the
-    # queries that lose their sf1 datum are the oldest, best-proven
-    # ones, not the newest (r6 skipped exactly its 10 newest).
+    # 10x soak leg: same suite, one rep, at sf1, in a FRESH
+    # subprocess/JVM (see _isolated_soak — sharing the suite's JVM
+    # inflated string-shuffle-heavy soak entries 2-3x). Compact
+    # evidence on stdout (totals + worst per-query scaling ratios vs
+    # this run's sf0.1 medians); full per-query soak timings go to
+    # BENCH_DETAILS.
     soak = None
     soak_detail: dict[str, float] = {}
     sd = _soak_dir() if abs((float(sf) if sf else 0) - 0.1) < 1e-9 else None
     if sd:
-        for t in WARMUP_TABLES:
-            _materialize(read_table(spark, sd, t))
         soak_budget = float(os.environ.get("SPARK_GRAFT_SOAK_BUDGET_S", "600"))
-        soak_t0 = time.perf_counter()
         skipped = 0
-        head = [q for q in HEADLINE if q in timings]
-        rest = [q for q in reversed(list(timings)) if q not in HEADLINE]
-        for i, name in enumerate(head + rest):
-            if time.perf_counter() - soak_t0 > soak_budget:
-                skipped += 1  # keep the leg bounded so the main JSON
-                continue      # line always survives a driver timeout
-            fn, _ = REGISTRY[name]
-            start = time.perf_counter()
-            try:
-                _materialize(fn(spark, sd))
-                soak_detail[name] = round(time.perf_counter() - start, 3)
-            except Exception as exc:  # noqa: BLE001 — one bad query must
-                # not cost the whole bench line; the error is the datum
-                errors[f"soak:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
-            spark.catalog.clearCache()
-            if i % 5 == 4:
-                _jvm_gc(spark)  # keep shuffle/broadcast state drained
-            _flush_details({"queries": timings, "spread": spread,
-                            "soak_queries": soak_detail, "partial": True})
+        fresh_jvm = True
+        try:
+            soak_detail, soak_errs, skipped = _isolated_soak(sf_dir, soak_budget)
+        except Exception:  # noqa: BLE001 — fall back to the in-process
+            # leg rather than lose the round's scale evidence
+            fresh_jvm = False
+            soak_detail, soak_errs, skipped = _run_soak(spark, sd, soak_budget)
+        errors.update(soak_errs)
         ratios = {
             q: round(soak_detail[q] / max(timings[q], 1e-9), 1) for q in soak_detail
         }
@@ -444,6 +515,7 @@ def main() -> None:
             ),
             "suite_total": round(sum(soak_detail.values()), 3),
             "covered": len(soak_detail),
+            "fresh_jvm": fresh_jvm,
             "worst_scaling_x": worst,
         }
         if skipped:

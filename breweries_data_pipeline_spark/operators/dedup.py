@@ -834,11 +834,20 @@ def write_shingle_index_bucketed(
     spark = p.sparkSession
     for t in ("prefix", "sets", "freq", "meta"):
         _drop_table_and_stale_location(spark, f"{table_prefix}_{t}")
-    (p.write.mode("overwrite").bucketBy(n_buckets, "shingle").sortBy("shingle")
+    # repartition on the bucket key first: a bucketBy write emits one
+    # file per (task, bucket) pair, so writing from arbitrary upstream
+    # partitioning fans out to tasks x buckets small files; hash-
+    # repartitioning to n_buckets on the same key (same Murmur3 family
+    # bucketing uses) gives each task one bucket's rows -> one file
+    # per bucket, and a bounded-file-count scan on every daily read
+    (p.repartition(n_buckets, "shingle").write.mode("overwrite")
+     .bucketBy(n_buckets, "shingle").sortBy("shingle")
      .format("parquet").saveAsTable(f"{table_prefix}_prefix"))
-    (index.sets.write.mode("overwrite").bucketBy(n_buckets, "id")
+    (index.sets.repartition(n_buckets, "id").write.mode("overwrite")
+     .bucketBy(n_buckets, "id")
      .format("parquet").saveAsTable(f"{table_prefix}_sets"))
-    (index.freq.write.mode("overwrite").bucketBy(n_buckets, "shingle")
+    (index.freq.repartition(n_buckets, "shingle").write.mode("overwrite")
+     .bucketBy(n_buckets, "shingle")
      .format("parquet").saveAsTable(f"{table_prefix}_freq"))
     spark.createDataFrame(
         [(int(round(index.threshold * 1_000_000)), index.shingle_size)],

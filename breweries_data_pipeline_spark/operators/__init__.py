@@ -34,8 +34,16 @@ from breweries_data_pipeline_spark.operators.temporal import (  # noqa: F401
     range_join_bucketed,
 )
 from breweries_data_pipeline_spark.operators.dedup import (  # noqa: F401
+    build_shingle_index,
     dedup_incremental,
     exact_dedup,
+    near_dedup_against_index,
+    near_dedup_incremental,
+    prefix_filtered_similarity_join,
+    read_shingle_index,
+    read_shingle_index_bucketed,
+    write_shingle_index,
+    write_shingle_index_bucketed,
 )
 from breweries_data_pipeline_spark.operators.graph import (  # noqa: F401
     connected_components,

@@ -199,10 +199,18 @@ WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",
 
 # Queries whose first rep pays a one-off Arrow/codec/state-store warmup
 # far above their steady state (r6 spread: q_multimodal_decode
-# 1.0-8.2s, q_image_ahash 1.2-6.3s, q_streaming_cusum 1.9-6.5s). They
-# get ONE untimed warmup rep so the recorded spread measures the
-# query, not first-touch initialization.
-JIT_WARM = {"q_multimodal_decode", "q_image_ahash", "q_streaming_cusum"}
+# 1.0-8.2s, q_image_ahash 1.2-6.3s, q_streaming_cusum 1.9-6.5s; r7
+# spread after the first three landed: q_dedup_text 0.3-1.7s,
+# q_audio_energy 0.7-2.7s, q_image_ahash still 0.9-4.0s). They get
+# ONE untimed warmup rep so the recorded spread measures the query,
+# not first-touch initialization.
+JIT_WARM = {
+    "q_multimodal_decode",
+    "q_image_ahash",
+    "q_streaming_cusum",
+    "q_dedup_text",
+    "q_audio_energy",
+}
 
 
 def _materialize(df) -> None:

@@ -116,8 +116,29 @@ def fetch_distributed(
 
 
 def records_to_dataframe(spark: SparkSession, records: list[dict[str, Any]]) -> DataFrame:
-    """Driver records -> DataFrame via a JSON dataset so Spark's JSON
-    schema inference applies (same semantics as reading the JSONL file
-    back, reference breweries_fetch_bronze_notebook.py:96-98)."""
-    ds = spark.createDataFrame([(json.dumps(r, sort_keys=True),) for r in records], ["json"])
-    return spark.read.json(ds.rdd.map(lambda row: row.json))
+    """Driver records -> DataFrame with JSON-datasource schema inference
+    (same semantics as reading the JSONL file back, reference
+    breweries_fetch_bronze_notebook.py:96-98).
+
+    RDD-free (Spark-Connect-compatible): inference runs eagerly over a
+    temp JSONL file — the same code path ``spark.read.json`` uses — and
+    the rows are then parsed in-plan with ``from_json`` under the
+    inferred schema, which shares the datasource's PERMISSIVE parser.
+    The temp file is consumed during inference and deleted before
+    return, so no lazy plan ever depends on it.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    lines = [json.dumps(r, sort_keys=True) for r in records]
+    fd, tmp = tempfile.mkstemp(suffix=".jsonl")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write("\n".join(lines))
+        schema = spark.read.json(tmp).schema  # eager: inference scans now
+    finally:
+        os.unlink(tmp)
+    ds = spark.createDataFrame([(s,) for s in lines], ["json"])
+    return ds.select(F.from_json("json", schema).alias("r")).select("r.*")

@@ -243,7 +243,11 @@ def _soak_dir() -> str | None:
         return None
     here = os.path.dirname(os.path.abspath(__file__))
     d = os.path.join(here, ".localdata", "sf1")
-    if not os.path.exists(os.path.join(d, "lineitem.parquet")):
+    # the valid layout is a DIRECTORY of part files per scaling table
+    # (scan parallelism = files x row groups); a plain lineitem.parquet
+    # FILE is the pre-r7 single-file layout whose parallelism-1 scans
+    # produced phantom 7-24x soak ratios — regenerate it.
+    if not os.path.isdir(os.path.join(d, "lineitem.parquet")):
         src = "/root/testdata/sf0.1"
         if not os.path.isdir(src):
             return None
@@ -504,15 +508,30 @@ def main() -> None:
         soak_budget = float(os.environ.get("SPARK_GRAFT_SOAK_BUDGET_S", "600"))
         skipped = 0
         fresh_jvm = True
+        # the suite is done with its session — stop it BEFORE spawning
+        # the soak JVM so peak memory is ~one 24g heap, not two (a host
+        # sized for one bench JVM would otherwise OOM-kill the soak
+        # subprocess and silently fall back to the contaminated leg)
+        spark.stop()
         try:
             soak_detail, soak_errs, skipped = _isolated_soak(sf_dir, soak_budget)
-        except Exception:  # noqa: BLE001 — fall back to the in-process
-            # leg rather than lose the round's scale evidence
+        except Exception:  # noqa: BLE001 — fall back to an in-process
+            # leg rather than lose the round's scale evidence; the
+            # replacement session is at least fresh (suite session is
+            # stopped), even though the JVM is shared
             fresh_jvm = False
+            spark = get_spark(
+                "bench-soak-fallback",
+                extra_conf={"spark.cleaner.periodicGC.interval": "45s"},
+            )
+            spark.sparkContext.setLogLevel("ERROR")
             soak_detail, soak_errs, skipped = _run_soak(spark, sd, soak_budget)
         errors.update(soak_errs)
         ratios = {
-            q: round(soak_detail[q] / max(timings[q], 1e-9), 1) for q in soak_detail
+            q: round(soak_detail[q] / max(timings.get(q, 0.0), 1e-9), 1)
+            for q in soak_detail
+            if q in timings  # a query that errored all sf0.1 reps has
+            # no denominator; its soak wall still lands in soak_queries
         }
         worst = dict(sorted(ratios.items(), key=lambda kv: -kv[1])[:3])
         soak = {
@@ -541,7 +560,7 @@ def main() -> None:
     if len(line) > 1800:
         # drop the slowest-changing detail first rather than emit an
         # unparseable line: keep only the headline per-query timings
-        payload["queries"] = {q: timings[q] for q in HEADLINE}
+        payload["queries"] = {q: timings[q] for q in HEADLINE if q in timings}
         payload["queries_truncated_see"] = "BENCH_DETAILS.json"
         line = json.dumps(payload, separators=(",", ":"))
     print(line)

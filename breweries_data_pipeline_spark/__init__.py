@@ -29,4 +29,8 @@ Catalyst rules are needed (SURVEY.md §4).
 
 __version__ = "0.1.0"
 
+from breweries_data_pipeline_spark.cache import (  # noqa: F401
+    release_caches,
+    track_persist,
+)
 from breweries_data_pipeline_spark.session import get_spark  # noqa: F401

@@ -27,6 +27,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from breweries_data_pipeline_spark.cache import track_persist
 from breweries_data_pipeline_spark.functions.text import ngram_jaccard
 from breweries_data_pipeline_spark.operators.clean import deduplicate
 from breweries_data_pipeline_spark.operators.text import with_fingerprint
@@ -297,7 +298,7 @@ def verified_near_dup_pairs(
     # persisted: the signature pipeline feeds both self-join sides and
     # two verification joins — without persist it would recompute 4x
     # (at 100 TB: MEMORY_AND_DISK, sized ~ (num_hashes*8 + shingles) B/doc)
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size).persist()
+    sigs = track_persist(minhash_signatures(df, text_col, id_col, num_hashes, shingle_size))
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     sh = sigs.select(F.col(id_col), "shingles")
     return (
@@ -479,7 +480,7 @@ def simhash_near_dup_pairs(
         raise ValueError("4-block pigeonhole blocking is exact only for max_hamming <= 3")
     # persisted: 4 block self-joins would otherwise recompute the
     # explode+64-way aggregate 8x
-    sigs = simhash64(df, text_col, id_col).persist()
+    sigs = track_persist(simhash64(df, text_col, id_col))
     mask = F.lit(0xFFFF).cast("long")
     blocks = sigs.select(
         F.col(id_col),
@@ -582,7 +583,7 @@ def prefix_filtered_similarity_join(
             F.array_distinct(shingles(text_col, shingle_size)).alias("__s"),
         )
         .withColumn("__size", F.size("__s"))
-        .persist()
+        .transform(track_persist)
     )
     toks = sets.select("__id", "__size", F.explode("__s").alias("__sh"))
     freq = toks.groupBy("__sh").agg(F.count(F.lit(1)).alias("__n_sh"))
@@ -594,7 +595,7 @@ def prefix_filtered_similarity_join(
         .withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= prefix_len)
         .select("__sh", "__id", F.col("__size").alias("size"), "pos")
-        .persist()  # both sides of the candidate self-join
+        .transform(track_persist)  # both sides of the candidate self-join
     )
     # AllPairs length filter: J(A,B) >= t forces min(|A|,|B|) >=
     # t*max(|A|,|B|) — a necessary condition evaluated INSIDE the
@@ -750,7 +751,7 @@ def build_shingle_index(
     are plain DataFrames — write once with
     :func:`write_shingle_index`, re-read daily, and only the (small)
     new batch is ever shingled again."""
-    sets = _shingle_sets(history, text_col, id_col, shingle_size).persist()
+    sets = track_persist(_shingle_sets(history, text_col, id_col, shingle_size))
     freq = (
         sets.select(F.explode("shingles").alias("shingle"))
         .groupBy("shingle")
@@ -778,17 +779,34 @@ def write_shingle_index(index: ShingleIndex, path: str) -> None:
     # a local open() would split the index across filesystems on
     # HDFS/S3 paths (parquet remote, meta local or IOError)
     spark.createDataFrame(
-        [(int(round(index.threshold * 1_000_000)), index.shingle_size)],
-        "threshold_ppm bigint, shingle_size int",
+        [(int(round(index.threshold * 1_000_000)), index.shingle_size, 2)],
+        "threshold_ppm bigint, shingle_size int, format_version int",
     ).coalesce(1).write.mode("overwrite").json(posixpath.join(path, "meta"))
 
 
 def read_shingle_index(spark, path: str) -> ShingleIndex:
     import posixpath
 
-    meta = spark.read.json(posixpath.join(path, "meta")).first()
+    try:
+        meta = spark.read.json(posixpath.join(path, "meta")).first()
+        assert meta is not None and meta["threshold_ppm"] is not None
+    except Exception as exc:  # noqa: BLE001 — translate to actionable
+        raise ValueError(
+            f"no readable meta dataset under {path!r}: either this is not "
+            "a shingle index, or it was written by a pre-v2 "
+            "write_shingle_index (meta.json flat file, float threshold, "
+            "no positional prefix column). Rebuild it with "
+            "build_shingle_index + write_shingle_index."
+        ) from exc
+    prefix = spark.read.parquet(posixpath.join(path, "prefix"))
+    if "pos" not in prefix.columns:
+        raise ValueError(
+            f"shingle index at {path!r} has a prefix table without the "
+            "'pos' column (pre-v2 format); the PPJoin positional filter "
+            "requires it. Rebuild the index with write_shingle_index."
+        )
     return ShingleIndex(
-        spark.read.parquet(posixpath.join(path, "prefix")),
+        prefix,
         spark.read.parquet(posixpath.join(path, "sets")),
         spark.read.parquet(posixpath.join(path, "freq")),
         meta["threshold_ppm"] / 1_000_000,
@@ -915,7 +933,7 @@ def near_dedup_against_index(
             "would lose candidates (rebuild the index at the lower threshold)"
         )
     t_ppm = _t_ppm(t)
-    sets_b = _shingle_sets(new_batch, text_col, id_col, index.shingle_size).persist()
+    sets_b = track_persist(_shingle_sets(new_batch, text_col, id_col, index.shingle_size))
     cand = (
         _prefix_rows(sets_b, index.freq, t)
         .alias("b")

@@ -39,6 +39,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from breweries_data_pipeline_spark.cache import track_persist
+
 
 def connected_components(
     edges: DataFrame,
@@ -224,7 +226,7 @@ def triangle_stats(
         )
         .where(u != v)
         .distinct()
-        .persist()
+        .transform(track_persist)
     )
     deg = (
         canon.select(u.alias("__n"))
@@ -245,7 +247,7 @@ def triangle_stats(
         F.when(fwd, u).otherwise(v).alias("__s"),
         F.when(fwd, v).otherwise(u).alias("__t"),
         F.when(fwd, F.col("__dv")).otherwise(F.col("__du")).alias("__td"),
-    ).persist()
+    ).transform(track_persist)
     w1 = oriented.select(
         F.col("__s"), F.col("__t").alias("__x"), F.col("__td").alias("__xd")
     )

@@ -37,6 +37,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from breweries_data_pipeline_spark.cache import track_persist
 from breweries_data_pipeline_spark.functions.vectors import l2_norm
 from breweries_data_pipeline_spark.operators.windows import topk_per_group
 
@@ -256,7 +257,7 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("__vec"),
         l2_norm(F.col(vec_col)).alias("__norm"),
         bands_expr.alias("__bands"),
-    ).persist()
+    ).transform(track_persist)
     buckets = base.select(id_col, F.posexplode("__bands").alias("__pos", "__val"))
     b = buckets.select(
         F.col(id_col).alias("id_b"),

@@ -80,37 +80,16 @@ def register(name: str, oracle: str | None):
     return deco
 
 
-# Intra-query reuse caches. Several queries persist() an intermediate
-# that feeds multiple branches of the RETURNED (lazy) plan — an
-# in-function unpersist would defeat the cache before the caller ever
-# executes it, so the release has to happen after materialization.
-# Every such persist goes through _persist() so a library user
-# composing query functions in one long session can drop the
-# accumulated caches with one release_caches() call; the bench calls
-# spark.catalog.clearCache() between measurements, which covers the
-# same ground. Tracked per-module, idempotent, safe to call anytime
-# after the consumer has collected/written its result.
-_TRACKED_CACHES: list[DataFrame] = []
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    _TRACKED_CACHES.append(df)
-    return df.persist()
-
-
-def release_caches() -> int:
-    """Unpersist every intermediate cached by query functions so far.
-    Returns the number released. Call after consuming the returned
-    DataFrames (the caches only pay off through materialization)."""
-    n = 0
-    while _TRACKED_CACHES:
-        df = _TRACKED_CACHES.pop()
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:  # noqa: BLE001 — session may already be gone
-            pass
-    return n
+# Intra-query reuse caches: every persist() of an intermediate that
+# feeds multiple branches of a RETURNED (lazy) plan goes through the
+# package-wide tracker in breweries_data_pipeline_spark.cache — shared
+# with the operator modules (dedup/similarity/graph), whose signature
+# and shingle tables are the heaviest caches — so one release_caches()
+# call drops everything a long library session accumulated.
+from breweries_data_pipeline_spark.cache import (  # noqa: E402,F401
+    release_caches,
+    track_persist as _persist,
+)
 
 
 # ---------------------------------------------------------------------------

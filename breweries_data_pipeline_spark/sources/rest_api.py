@@ -120,25 +120,59 @@ def records_to_dataframe(spark: SparkSession, records: list[dict[str, Any]]) -> 
     (same semantics as reading the JSONL file back, reference
     breweries_fetch_bronze_notebook.py:96-98).
 
-    RDD-free (Spark-Connect-compatible): inference runs eagerly over a
-    temp JSONL file — the same code path ``spark.read.json`` uses — and
-    the rows are then parsed in-plan with ``from_json`` under the
-    inferred schema, which shares the datasource's PERMISSIVE parser.
-    The temp file is consumed during inference and deleted before
-    return, so no lazy plan ever depends on it.
-    """
-    import os
-    import tempfile
+    RDD-free (Spark-Connect-compatible): inference runs eagerly through
+    the JSON datasource — the same merge/widening/PERMISSIVE semantics
+    as reading the JSONL file back — and the rows are then parsed
+    in-plan with ``from_json`` under the inferred schema. No lazy plan
+    ever depends on a temp file.
 
+    The inference scan prefers a driver-local temp file (one syscall,
+    works wherever driver and cluster share a filesystem — local mode,
+    tests). When they do NOT (remote Connect server, HDFS/S3
+    defaultFS), that read fails with PATH_NOT_FOUND and inference
+    falls back to a cluster-side round-trip: ship the lines via Arrow
+    (``createDataFrame``), ``write.text`` under the session's
+    warehouse dir — resolved on the CLUSTER's filesystem — and
+    ``read.json`` it back eagerly, then best-effort delete.
+    """
     from pyspark.sql import functions as F
 
     lines = [json.dumps(r, sort_keys=True) for r in records]
+    ds = spark.createDataFrame([(s,) for s in lines], ["json"])
+    schema = _infer_json_schema(spark, ds, lines)
+    return ds.select(F.from_json("json", schema).alias("r")).select("r.*")
+
+
+def _infer_json_schema(spark: SparkSession, ds: DataFrame, lines: list[str]):
+    import os
+    import posixpath
+    import tempfile
+    import uuid
+
     fd, tmp = tempfile.mkstemp(suffix=".jsonl")
     try:
         with os.fdopen(fd, "w") as f:
             f.write("\n".join(lines))
-        schema = spark.read.json(tmp).schema  # eager: inference scans now
+        return spark.read.json(tmp).schema  # eager: inference scans now
+    except Exception:  # noqa: BLE001 — driver /tmp invisible to the
+        pass  # cluster (remote Connect / HDFS defaultFS): fall through
     finally:
         os.unlink(tmp)
-    ds = spark.createDataFrame([(s,) for s in lines], ["json"])
-    return ds.select(F.from_json("json", schema).alias("r")).select("r.*")
+    tmpdir = posixpath.join(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        f"_records_schema_tmp_{uuid.uuid4().hex}",
+    )
+    ds.write.mode("overwrite").text(tmpdir)
+    try:
+        return spark.read.json(tmpdir).schema
+    finally:
+        try:  # classic sessions can delete via the JVM Hadoop FS; a
+            # Connect client cannot — the orphaned dir is tiny and
+            # name-spaced, so leaving it beats failing the read
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(tmpdir)
+            jpath.getFileSystem(
+                spark._jsc.hadoopConfiguration()
+            ).delete(jpath, True)
+        except Exception:  # noqa: BLE001
+            pass

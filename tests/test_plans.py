@@ -6,6 +6,8 @@ edit that silently degrades a plan fails here — not at 100 TB.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from breweries_data_pipeline_spark.queries import REGISTRY
@@ -258,20 +260,47 @@ def test_aqe_splits_skewed_join(spark):
 
 
 def test_persist_goes_through_tracked_helper():
-    """Every intra-query persist in queries.py must route through
-    _persist()/.transform(_persist) so release_caches() can drop the
-    accumulated caches in long library sessions (r6 advice: 13
-    persists, 1 unpersist = leak for any non-bench caller)."""
+    """Every persist of an intermediate that OUTLIVES its function (it
+    feeds branches of the returned lazy plan) must route through
+    cache.track_persist so release_caches() can drop the accumulated
+    caches in long library sessions (r6 advice: 13 persists, 1
+    unpersist = leak for any non-bench caller; r7 advice: the heaviest
+    caches are OPERATOR-level — signature/shingle/band tables — so the
+    tracker scans the whole package, not just queries.py). A bare
+    .persist() is allowed only when the same function unpersists it
+    (self-managed frontier loops) — enforced per-function below."""
+    import ast
     import inspect
 
-    import breweries_data_pipeline_spark.queries as q
+    import breweries_data_pipeline_spark as pkg
 
-    src = inspect.getsource(q)
-    bare = [
-        ln for ln in src.splitlines()
-        if ".persist()" in ln and "def _persist" not in ln and "return df.persist()" not in ln
-    ]
-    assert bare == [], f"untracked .persist() in queries.py: {bare}"
+    root = os.path.dirname(inspect.getfile(pkg))
+    offenders = []
+    for dirpath, _, files in os.walk(root):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            with open(path) as f:
+                tree = ast.parse(f.read(), filename=path)
+            for fn in ast.walk(tree):
+                if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    continue
+                calls = [
+                    n for n in ast.walk(fn)
+                    if isinstance(n, ast.Call) and isinstance(n.func, ast.Attribute)
+                ]
+                n_persist = sum(1 for c in calls if c.func.attr == "persist")
+                n_unpersist = sum(1 for c in calls if c.func.attr == "unpersist")
+                if n_persist and fn.name != "track_persist" and n_unpersist < n_persist:
+                    offenders.append(
+                        f"{os.path.relpath(path, root)}:{fn.lineno} {fn.name} "
+                        f"({n_persist} persist, {n_unpersist} unpersist)"
+                    )
+    assert offenders == [], (
+        "bare .persist() without matching in-function unpersist (route "
+        f"through cache.track_persist instead): {offenders}"
+    )
 
 
 def test_release_caches_drops_all_cached_rdds(spark, sf_dir):

@@ -103,6 +103,27 @@ def test_records_to_dataframe_infers_schema(spark):
     assert df.count() == 2
 
 
+def test_records_to_dataframe_cluster_side_fallback(spark, monkeypatch):
+    """When the driver-local temp file is unreadable by the cluster
+    (remote Connect server, HDFS defaultFS), schema inference must
+    fall back to the warehouse-dir round-trip and still return the
+    datasource-inferred schema."""
+    import os as _os
+
+    real_fdopen = _os.fdopen
+
+    def broken_fdopen(*a, **kw):
+        raise OSError("simulated: driver /tmp invisible to cluster")
+
+    monkeypatch.setattr(_os, "fdopen", broken_fdopen)
+    try:
+        df = records_to_dataframe(spark, [{"a": 1, "b": "x"}, {"a": 2}])
+    finally:
+        monkeypatch.setattr(_os, "fdopen", real_fdopen)
+    assert dict(df.dtypes) == {"a": "bigint", "b": "string"}
+    assert df.count() == 2
+
+
 # ---------------------------------------------------------------- schema
 
 

@@ -31,7 +31,15 @@ Methodology:
   isolated, that query scales 4.6x at 10x data);
 - the sf1 soak leg orders newest-family-first under its budget, so a
   budget expiry skips the oldest best-proven queries, never the
-  newest (r6 skipped exactly its 10 newest).
+  newest (r6 skipped exactly its 10 newest);
+- SELF-AUDIT (r7): any soak scaling ratio >10x is automatically
+  re-measured in a fresh subprocess/JVM (the query alone, 2 reps at
+  sf0.1 and sf1, min wall) and the isolated ratio is recorded next to
+  the soak ratio ("recheck_x" on stdout, full pairs in
+  BENCH_DETAILS.json "soak_recheck"). Every >10x entry recorded so far
+  (r6: 33.6x; r7 interim: 12-22x) proved to be within-leg session
+  residue — 1-5x isolated — so the record now carries its own
+  contamination check instead of needing manual reconciliation.
 """
 
 from __future__ import annotations
@@ -392,9 +400,81 @@ def _isolated_soak(sf_dir: str, budget: float):
     raise RuntimeError("soak subprocess produced no JSON line")
 
 
+def _recheck_outliers(sf_dir: str, worst: dict, budget: float = 300.0) -> dict:
+    """Self-audit for the soak's worst scaling ratios: any entry >10x
+    is re-measured in a fresh subprocess/JVM — the query ALONE, 2 reps
+    at sf0.1 and at sf1, min wall — and the isolated ratio is recorded
+    next to the soak ratio. Every round so far that recorded a >10x
+    soak entry (r6: q_cms_frequencies 33.6x; r7 interim: q_doc_lm_score
+    12x) found the isolated ratio to be 1-5x — within-leg session
+    residue, not operator behavior. Automating the re-measure makes the
+    shipped record self-consistent regardless of host pressure during
+    the driver's run: SCALE.md describes the mechanism, the JSON
+    carries the audit pair."""
+    import subprocess
+
+    out: dict[str, dict] = {}
+    t0 = time.perf_counter()
+    for q, x in worst.items():
+        if x <= 10.0:
+            continue
+        remaining = budget - (time.perf_counter() - t0)
+        if remaining < 60:
+            break
+        env = dict(os.environ)
+        env["SPARK_GRAFT_RECHECK_QUERY"] = q
+        env["SPARK_GRAFT_SF_DIR"] = sf_dir
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True, text=True, env=env,
+                timeout=max(remaining, 60),
+            )
+            for ln in reversed(r.stdout.strip().splitlines()):
+                if ln.startswith("{"):
+                    p = json.loads(ln)
+                    if "sf01" in p and "sf1" in p:
+                        out[q] = {
+                            "soak_x": x,
+                            "isolated_x": round(p["sf1"] / max(p["sf01"], 1e-9), 1),
+                            "sf01_s": p["sf01"],
+                            "sf1_s": p["sf1"],
+                        }
+                    break
+        except Exception:  # noqa: BLE001 — audit leg, never fatal
+            continue
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     headline_only = os.environ.get("SPARK_GRAFT_HEADLINE_ONLY", "0") == "1"
+
+    rq = os.environ.get("SPARK_GRAFT_RECHECK_QUERY")
+    if rq:  # subprocess mode for _recheck_outliers: one query, both SFs
+        os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+        spark = get_spark(
+            "bench-recheck",
+            extra_conf={"spark.cleaner.periodicGC.interval": "45s"},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        fn, _ = REGISTRY[rq]
+        out: dict[str, float] = {}
+        sd = _soak_dir()
+        for label, d in (("sf01", sf_dir), ("sf1", sd)):
+            if d is None:
+                continue
+            for t in WARMUP_TABLES:
+                _materialize(read_table(spark, d, t))
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _materialize(fn(spark, d))
+                runs.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            out[label] = round(min(runs), 3)
+        print(json.dumps({"recheck": rq, **out}, separators=(",", ":")))
+        return
 
     if os.environ.get("SPARK_GRAFT_SOAK_ONLY", "0") == "1":
         os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
@@ -503,11 +583,13 @@ def main() -> None:
     # BENCH_DETAILS.
     soak = None
     soak_detail: dict[str, float] = {}
+    soak_recheck: dict[str, dict] = {}
     sd = _soak_dir() if abs((float(sf) if sf else 0) - 0.1) < 1e-9 else None
     if sd:
         soak_budget = float(os.environ.get("SPARK_GRAFT_SOAK_BUDGET_S", "600"))
         skipped = 0
         fresh_jvm = True
+        soak_t0 = time.perf_counter()
         # the suite is done with its session — stop it BEFORE spawning
         # the soak JVM so peak memory is ~one 24g heap, not two (a host
         # sized for one bench JVM would otherwise OOM-kill the soak
@@ -547,6 +629,26 @@ def main() -> None:
         }
         if skipped:
             soak["skipped_over_budget"] = skipped
+        if not fresh_jvm:
+            spark.stop()  # free the fallback heap before recheck JVMs
+        # self-audit: isolate-and-re-measure any >10x soak ratio so the
+        # shipped record carries its own contamination check (full
+        # pairs land in BENCH_DETAILS; the compact line gets the ratio).
+        # The recheck spends only the soak budget's UNUSED remainder so
+        # total bench wall never exceeds the pre-recheck envelope — a
+        # driver-side timeout must not cost the round its stdout line
+        # (the r3/r4 failure mode). Evidence so far is flushed first.
+        _flush_details({**payload, "soak": soak, "spread": spread,
+                        "soak_queries": soak_detail, "partial": True})
+        # at least ~150s so the top 2 outliers always get their audit
+        # pair (one recheck ≈ 60s: JVM + two-table warmup + 2x2 reps);
+        # bounded overrun beyond the soak envelope, never unbounded
+        recheck_budget = max(soak_budget - (time.perf_counter() - soak_t0), 150.0)
+        soak_recheck = _recheck_outliers(sf_dir, worst, budget=recheck_budget)
+        if soak_recheck:
+            soak["recheck_x"] = {
+                q: v["isolated_x"] for q, v in soak_recheck.items()
+            }
         payload["soak"] = soak
     # full detail (per-query [min,max] spread) goes to a side file; the
     # stdout line must stay small enough to survive tail-capture intact
@@ -554,6 +656,7 @@ def main() -> None:
         payload["errors"] = errors
     if not headline_only:
         _flush_details({**payload, "spread": spread, "soak_queries": soak_detail,
+                        "soak_recheck": soak_recheck,
                         "headline_isolated_queries":
                             (isolated or {}).get("queries", {})})
     line = json.dumps(payload, separators=(",", ":"))

@@ -770,3 +770,59 @@ class TestPagedJsonDataSource:
             .load()
         )
         assert df.count() == 0
+
+
+class TestBenchRecheck:
+    """The bench's soak self-audit (_recheck_outliers) — pure harness
+    logic, tested without Spark by stubbing the subprocess."""
+
+    def _bench(self):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_skips_ratios_at_or_below_10x(self, monkeypatch):
+        bench = self._bench()
+        calls = []
+
+        def _no_spawn(*a, **k):  # any spawn would be a budget leak
+            calls.append(a)
+            raise AssertionError("subprocess must not run for <=10x ratios")
+
+        import subprocess
+
+        monkeypatch.setattr(subprocess, "run", _no_spawn)
+        out = bench._recheck_outliers("/tmp", {"q_a": 9.9, "q_b": 10.0})
+        assert out == {} and calls == []
+
+    def test_records_audit_pair_for_outlier(self, monkeypatch):
+        bench = self._bench()
+
+        class _R:
+            returncode = 0
+            stdout = '{"recheck":"q_hot","sf01":1.5,"sf1":6.0}\n'
+            stderr = ""
+
+        import subprocess
+
+        monkeypatch.setattr(subprocess, "run", lambda *a, **k: _R())
+        out = bench._recheck_outliers("/tmp", {"q_hot": 22.6})
+        assert out["q_hot"]["soak_x"] == 22.6
+        assert out["q_hot"]["isolated_x"] == 4.0
+        assert out["q_hot"]["sf01_s"] == 1.5 and out["q_hot"]["sf1_s"] == 6.0
+
+    def test_zero_budget_spawns_nothing(self, monkeypatch):
+        bench = self._bench()
+        import subprocess
+
+        def _boom(*a, **k):
+            raise AssertionError("no budget -> no spawn")
+
+        monkeypatch.setattr(subprocess, "run", _boom)
+        assert bench._recheck_outliers("/tmp", {"q_hot": 50.0}, budget=-1.0) == {}

@@ -415,7 +415,11 @@ def _recheck_outliers(sf_dir: str, worst: dict, budget: float = 300.0) -> dict:
 
     out: dict[str, dict] = {}
     t0 = time.perf_counter()
-    for q, x in worst.items():
+    # worst-first over EVERY >10x entry (not just a top-N display cut:
+    # r7 measured a 13.7x residue artifact crowded out of the top-3 by
+    # three bigger artifacts), capped so the stdout line stays compact
+    suspects = sorted(worst.items(), key=lambda kv: -kv[1])[:5]
+    for q, x in suspects:
         if x <= 10.0:
             continue
         remaining = budget - (time.perf_counter() - t0)
@@ -644,7 +648,7 @@ def main() -> None:
         # pair (one recheck ≈ 60s: JVM + two-table warmup + 2x2 reps);
         # bounded overrun beyond the soak envelope, never unbounded
         recheck_budget = max(soak_budget - (time.perf_counter() - soak_t0), 150.0)
-        soak_recheck = _recheck_outliers(sf_dir, worst, budget=recheck_budget)
+        soak_recheck = _recheck_outliers(sf_dir, ratios, budget=recheck_budget)
         if soak_recheck:
             soak["recheck_x"] = {
                 q: v["isolated_x"] for q, v in soak_recheck.items()

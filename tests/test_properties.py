@@ -346,3 +346,79 @@ def test_prefix_filtered_join_exact_vs_bruteforce(spark, docs, t):
             if ppm >= t_ppm:
                 expected[(a, b)] = ppm
     assert got == expected
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # key
+            st.integers(min_value=0, max_value=50),  # ts
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    rights=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=-9, max_value=9),  # value
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+)
+@settings(**_SETTINGS)
+def test_as_of_join_backward_model(spark, lefts, rights):
+    """as_of_join (union + carry-forward window) vs the obvious Python
+    model: for each left row, the value of the LATEST right row with
+    right.ts <= left.ts on the same key (inclusive), else null. Rights
+    are deduped per (key, ts) in generation, matching the operator's
+    documented uniqueness contract."""
+    from breweries_data_pipeline_spark.operators.temporal import as_of_join
+
+    rmap = {}
+    for k, ts, v in rights:  # last generated wins — ONE row per (k, ts)
+        rmap[(k, ts)] = v
+    rrows = [(k, ts, v) for (k, ts), v in rmap.items()]
+    left = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(lefts)], "k long, ts long, rid long"
+    )
+    right = spark.createDataFrame(rrows or [(99, 0, 0)], "k long, ts long, v long")
+    if not rrows:
+        right = right.filter("k < 0")
+    got = {
+        r.rid: r.v_asof
+        for r in as_of_join(left, right, "k", "ts", "ts", ["v"]).collect()
+    }
+    for i, (k, ts) in enumerate(lefts):
+        prior = [(rts, v) for (rk, rts), v in rmap.items() if rk == k and rts <= ts]
+        want = max(prior)[1] if prior else None
+        assert got[i] == want, (i, k, ts, got[i], want)
+
+
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=9), min_size=0, max_size=20),
+    b=st.lists(st.integers(min_value=0, max_value=9), min_size=0, max_size=20),
+)
+@settings(**_SETTINGS)
+def test_cms_merge_is_cellwise_sum(spark, a, b):
+    """The sketch's 100 TB contract is MERGEABILITY: cms(A ++ B) must
+    equal the cell-wise sum of cms(A) and cms(B) — per-partition /
+    per-day sketches roll up without re-reading history. Exact, not
+    approximate: both sides hash identically."""
+    from breweries_data_pipeline_spark.operators.sketch import cms_build
+
+    def cells(keys):
+        if not keys:
+            return {}
+        df = spark.createDataFrame([(k,) for k in keys], "w long")
+        return {
+            (r.r, r.bucket): r.cnt
+            for r in cms_build(df, "w", depth=3, width=8).collect()
+        }
+
+    ca, cb, cab = cells(a), cells(b), cells(a + b)
+    summed = dict(ca)
+    for cell, cnt in cb.items():
+        summed[cell] = summed.get(cell, 0) + cnt
+    assert cab == summed

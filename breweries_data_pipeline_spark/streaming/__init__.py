@@ -4,6 +4,7 @@ from breweries_data_pipeline_spark.streaming.joins import (  # noqa: F401
 from breweries_data_pipeline_spark.streaming.upsert import (  # noqa: F401
     commit_snapshot_version,
     committed_versions,
+    merge_batch_into_snapshot,
     read_snapshot,
     streaming_upsert,
 )

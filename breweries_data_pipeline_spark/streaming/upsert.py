@@ -93,6 +93,52 @@ def read_snapshot(
     return spark.read.parquet(os.path.join(snapshot_dir, f"v{v}"))
 
 
+def merge_batch_into_snapshot(
+    batch_df: DataFrame,
+    batch_id: int,
+    snapshot_dir: str,
+    keys: list[str],
+    order_by_cols: list[str],
+    delete_predicate: Column | None = None,
+) -> None:
+    """One micro-batch's merge-and-publish (the foreachBatch body of
+    :func:`streaming_upsert`, module-level so redelivery semantics are
+    unit-testable).
+
+    Redelivery of an ALREADY-COMMITTED batch id is a no-op, checked
+    first: foreachBatch redelivers a batch when the commit landed but
+    the stream checkpoint did not, and in that state the latest
+    snapshot IS ``v{batch_id}`` — re-running the merge would read and
+    overwrite the same directory in one lazy job (Spark deletes the
+    target's files before the scan executes: a crash, or with
+    ``spark.sql.files.ignoreMissingFiles`` a silently-empty base that
+    publishes ONLY the batch rows over the full snapshot). The marker
+    check makes redelivery idempotent by skipping, not by re-merging.
+    """
+    from pyspark.sql import functions as F
+
+    if batch_id in committed_versions(snapshot_dir):
+        return
+    spark = batch_df.sparkSession
+    base = read_snapshot(spark, snapshot_dir)
+    if base is None:
+        base = spark.createDataFrame([], batch_df.schema)
+    order = [F.col(c).desc() for c in order_by_cols] + [
+        F.col(k).asc() for k in keys
+    ]
+    merged = merge_upsert(
+        base, batch_df, keys, order, delete_predicate=delete_predicate
+    )
+    # the data directory is INVISIBLE until its manifest marker lands,
+    # so it can be written in place (overwrite also makes a crashed
+    # HALF-written attempt's rewrite safe); the marker is the atomic
+    # commit point
+    merged.write.mode("overwrite").parquet(
+        os.path.join(snapshot_dir, f"v{batch_id}")
+    )
+    commit_snapshot_version(snapshot_dir, batch_id)
+
+
 def streaming_upsert(
     sdf: DataFrame,
     snapshot_dir: str,
@@ -106,27 +152,12 @@ def streaming_upsert(
     the snapshot (latest-record-wins on ``order_by_cols`` DESC, then
     key tie-break so replays are deterministic). Returns after the
     stream drains; read the result with read_snapshot()."""
-    from pyspark.sql import functions as F
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        base = read_snapshot(spark, snapshot_dir)
-        if base is None:
-            base = spark.createDataFrame([], batch_df.schema)
-        order = [F.col(c).desc() for c in order_by_cols] + [
-            F.col(k).asc() for k in keys
-        ]
-        merged = merge_upsert(
-            base, batch_df, keys, order, delete_predicate=delete_predicate
+        merge_batch_into_snapshot(
+            batch_df, batch_id, snapshot_dir, keys, order_by_cols,
+            delete_predicate,
         )
-        # the data directory is INVISIBLE until its manifest marker
-        # lands, so it can be written in place (overwrite also makes a
-        # redelivered batch's rewrite safe); the marker is the atomic
-        # commit point
-        merged.write.mode("overwrite").parquet(
-            os.path.join(snapshot_dir, f"v{batch_id}")
-        )
-        commit_snapshot_version(snapshot_dir, batch_id)
 
     q = (
         sdf.writeStream.foreachBatch(_merge_batch)

@@ -249,3 +249,36 @@ def test_streaming_corpus_ingest_second_wave_drops_known_fingerprints(
         checkpoint_dir=str(tmp_path / "ckpt2"),
     )
     assert read_corpus(spark, store).count() == n1
+
+
+def test_redelivered_committed_batch_is_a_noop(spark, tmp_path):
+    """foreachBatch redelivers a batch when its commit landed but the
+    stream checkpoint didn't. For an already-committed batch id the
+    merge must SKIP (marker check), not re-run: re-merging would read
+    and overwrite the same v{batch_id} directory in one lazy job —
+    Spark deletes the target's files before the scan executes, so the
+    re-run either crashes or silently publishes only the batch rows
+    over the full snapshot."""
+    from breweries_data_pipeline_spark.streaming.upsert import (
+        committed_versions,
+        merge_batch_into_snapshot,
+        read_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    b0 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")], "k long, ver long, payload string"
+    )
+    b1 = spark.createDataFrame([(2, 20, "b2")], "k long, ver long, payload string")
+    merge_batch_into_snapshot(b0, 0, snap, ["k"], ["ver"])
+    merge_batch_into_snapshot(b1, 1, snap, ["k"], ["ver"])
+    before = sorted(tuple(r) for r in read_snapshot(spark, snap).collect())
+    assert before == [(1, 10, "a"), (2, 20, "b2")]
+
+    # redelivery of committed batch 1 — with DIFFERENT (stale) content,
+    # the worst case: a re-merge would publish this instead of skipping
+    stale = spark.createDataFrame([(9, 1, "stale")], "k long, ver long, payload string")
+    merge_batch_into_snapshot(stale, 1, snap, ["k"], ["ver"])
+    after = sorted(tuple(r) for r in read_snapshot(spark, snap).collect())
+    assert after == before
+    assert committed_versions(snap) == [0, 1]

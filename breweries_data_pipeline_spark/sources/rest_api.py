@@ -138,6 +138,13 @@ def records_to_dataframe(spark: SparkSession, records: list[dict[str, Any]]) -> 
     from pyspark.sql import functions as F
 
     lines = [json.dumps(r, sort_keys=True) for r in records]
+    if not lines:
+        # an empty fetch (API returned no rows) must yield the same
+        # thing reading back an empty JSONL would: a 0-row, 0-column
+        # frame — not a createDataFrame inference crash
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame([], T.StructType([]))
     ds = spark.createDataFrame([(s,) for s in lines], ["json"])
     schema = _infer_json_schema(spark, ds, lines)
     return ds.select(F.from_json("json", schema).alias("r")).select("r.*")

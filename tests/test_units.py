@@ -826,3 +826,11 @@ class TestBenchRecheck:
 
         monkeypatch.setattr(subprocess, "run", _boom)
         assert bench._recheck_outliers("/tmp", {"q_hot": 50.0}, budget=-1.0) == {}
+
+
+def test_records_to_dataframe_empty_fetch_yields_empty_frame(spark):
+    """An empty API fetch day must behave like reading back an empty
+    JSONL: 0 rows, 0 columns — not a createDataFrame inference crash."""
+    df = records_to_dataframe(spark, [])
+    assert df.columns == []
+    assert df.count() == 0

@@ -73,7 +73,25 @@ class PagedJsonReader(DataSourceReader):
                 line = line.strip()
                 if not line:
                     continue
-                rec = json.loads(line)
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    # PERMISSIVE: a malformed LINE becomes an all-null
+                    # row (raw text in _corrupt_record if the schema
+                    # declares it) — one bad page line must not kill
+                    # the whole ingest task, matching spark.read.json
+                    yield tuple(
+                        line if name == "_corrupt_record" else None
+                        for name in fields
+                    )
+                    continue
+                if not isinstance(rec, dict):
+                    # a JSON scalar/array line has no fields to project
+                    yield tuple(
+                        line if name == "_corrupt_record" else None
+                        for name in fields
+                    )
+                    continue
                 # PERMISSIVE projection: absent fields -> null
                 yield tuple(rec.get(name) for name in fields)
 

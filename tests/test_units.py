@@ -834,3 +834,32 @@ def test_records_to_dataframe_empty_fetch_yields_empty_frame(spark):
     df = records_to_dataframe(spark, [])
     assert df.columns == []
     assert df.count() == 0
+
+
+class TestPagedDataSourcePermissive:
+    def test_malformed_line_yields_corrupt_record_row(self, spark, tmp_path):
+        """A malformed page line must become an all-null row (raw text
+        in _corrupt_record when declared), not kill the ingest task —
+        the same PERMISSIVE posture as spark.read.json."""
+        import json as _json
+
+        from breweries_data_pipeline_spark.sources import PagedJsonDataSource
+
+        spark.dataSource.register(PagedJsonDataSource)
+        d = tmp_path / "pages_bad"
+        d.mkdir()
+        (d / "page-0.json").write_text(
+            _json.dumps({"id": 1, "name": "ok"}) + "\n"
+            + '{"id": 2, "name": br'  # truncated mid-object
+            + "\n[1, 2, 3]\n"  # valid JSON, but not an object
+        )
+        df = (
+            spark.read.format("paged_json")
+            .schema("id long, name string, _corrupt_record string")
+            .option("path", str(d))
+            .load()
+        )
+        rows = sorted(df.collect(), key=lambda r: (r.id is None, r.id or 0))
+        assert (rows[0].id, rows[0].name, rows[0]._corrupt_record) == (1, "ok", None)
+        assert rows[1].id is None and rows[1]._corrupt_record == '{"id": 2, "name": br'
+        assert rows[2].id is None and rows[2]._corrupt_record == "[1, 2, 3]"

@@ -164,3 +164,86 @@ def test_png_decoders_agree_in_every_environment():
     pixels = bytes((17 * i + 3) % 256 for i in range(5 * 3 * 3))
     blob = encode_png(5, 3, 3, pixels)
     assert decode_png(blob) == decode_real_image(blob) == (5, 3, 3, pixels)
+
+
+from hypothesis import HealthCheck, given, settings as hy_settings
+from hypothesis import strategies as hy_st
+
+
+def _forward_filter(pixels: bytes, w: int, h: int, ch: int, ftypes: list[int]) -> bytes:
+    """Independent forward implementation of PNG spec §6 filters (the
+    test-side inverse of operators.multimodal._png_unfilter)."""
+    stride = w * ch
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = pixels[y * stride:(y + 1) * stride]
+        ft = ftypes[y]
+        out.append(ft)
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ft == 0:
+                v = row[x]
+            elif ft == 1:
+                v = (row[x] - a) & 0xFF
+            elif ft == 2:
+                v = (row[x] - b) & 0xFF
+            elif ft == 3:
+                v = (row[x] - (a + b) // 2) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = (row[x] - pred) & 0xFF
+            out.append(v)
+        prev = row
+    return bytes(out)
+
+
+@given(
+    w=hy_st.integers(min_value=1, max_value=6),
+    h=hy_st.integers(min_value=1, max_value=6),
+    ch=hy_st.sampled_from([1, 2, 3, 4]),
+    data=hy_st.data(),
+)
+@hy_settings(max_examples=40, deadline=None,
+             suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_png_decoder_inverts_every_filter_type(w, h, ch, data):
+    """decode_png must invert ALL five scanline filters (None/Sub/Up/
+    Average/Paeth) for every channel count — encode_png only ever
+    emits filter 0, so the Sub/Up/Average/Paeth branches of
+    _png_unfilter are otherwise untouched by round-trip tests. The
+    test forward-filters random pixels with an independent per-byte
+    implementation of the spec and requires exact inversion."""
+    import struct
+    import zlib
+
+    from breweries_data_pipeline_spark.operators.multimodal import decode_png
+
+    stride = w * ch
+    pixels = bytes(
+        data.draw(hy_st.binary(min_size=stride * h, max_size=stride * h))
+    )
+    ftypes = data.draw(
+        hy_st.lists(hy_st.integers(min_value=0, max_value=4),
+                    min_size=h, max_size=h)
+    )
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(_forward_filter(pixels, w, h, ch, ftypes))
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload))
+        )
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+    got_w, got_h, got_ch, got_pixels = decode_png(blob)
+    assert (got_w, got_h, got_ch) == (w, h, ch)
+    assert got_pixels == pixels, f"filters {ftypes} not inverted"

@@ -422,3 +422,49 @@ def test_cms_merge_is_cellwise_sum(spark, a, b):
     for cell, cnt in cb.items():
         summed[cell] = summed.get(cell, 0) + cnt
     assert cab == summed
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    rights=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=-9, max_value=9),
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+)
+@settings(**_SETTINGS)
+def test_as_of_join_forward_model(spark, lefts, rights):
+    """as_of_join_forward vs the Python model: for each left row, the
+    value (and ts) of the EARLIEST right row with right.ts >= left.ts
+    on the same key (inclusive), else nulls."""
+    from breweries_data_pipeline_spark.operators.temporal import as_of_join_forward
+
+    rmap = {}
+    for k, ts, v in rights:
+        rmap[(k, ts)] = v
+    rrows = [(k, ts, v) for (k, ts), v in rmap.items()]
+    left = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(lefts)], "k long, ts long, rid long"
+    )
+    right = spark.createDataFrame(rrows or [(99, 0, 0)], "k long, ts long, v long")
+    if not rrows:
+        right = right.filter("k < 0")
+    got = {
+        r.rid: (r.ts_next, r.v_next)
+        for r in as_of_join_forward(left, right, "k", "ts", "ts", ["v"]).collect()
+    }
+    for i, (k, ts) in enumerate(lefts):
+        nxt = [(rts, v) for (rk, rts), v in rmap.items() if rk == k and rts >= ts]
+        want = min(nxt) if nxt else (None, None)
+        assert got[i] == want, (i, k, ts, got[i], want)

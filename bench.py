@@ -200,6 +200,7 @@ R6C = [
 R7 = [
     "q_neardup_index",
     "q_png_decode",
+    "q_bpe_learn",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

@@ -82,3 +82,88 @@ def language_profile(df: DataFrame, lang_col: str = "lang", text_col: str = "tex
         (F.sum(n_chars).cast("double") / F.count("*").cast("double")).alias("avg_chars"),
         F.sum(token_count(text_col).cast("long")).alias("sum_tokens"),
     )
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 4,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the corpus — the
+    actual tokenizer-TRAINING loop, extending the single-round pair
+    count (q_bpe_pair_counts) to the full iterative algorithm
+    (Sennrich et al. 2016): each round promotes the most frequent
+    adjacent token pair (count desc, then lexicographic — fully
+    deterministic) and applies it greedily left-to-right to every
+    word. Returns (merge_rank, lhs, rhs, pair_count).
+
+    Cross-engine exactness: a word's token sequence is ONE canonical
+    string (tokens joined by DOUBLE spaces); applying a merge is a
+    literal ``replace(s, ' a  b ', ' ab ')`` — non-overlapping
+    left-to-right replacement IS the BPE greedy application order, and
+    the pattern takes one flanking space from each side and restores
+    it, so the double-space invariant survives every round and
+    adjacent overlapping pairs can never double-merge. DuckDB's
+    ``replace`` has identical semantics, so the oracle unrolls the
+    same rounds bit-for-bit.
+
+    Scale shape at 100 TB: the loop runs on the WORD-FREQUENCY table
+    (vocabulary-sized, orders of magnitude smaller than the corpus —
+    one corpus-wide explode + hash aggregate builds it, exactly
+    q_bpe_pair_counts' shape). Each round is one narrow map (the
+    replace) + one explode-aggregate over the vocab with map-side
+    combine, weighted by word counts; the argmax brings ONE row to the
+    driver (bounded model state, same discipline as the kmeans seeds).
+    Rounds are inherently sequential — that's BPE — but each is
+    vocab-bounded, not corpus-bounded."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            ).alias("__w")
+        )
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "__n",
+            F.concat(
+                F.lit("  "),
+                F.concat_ws("  ", F.split(F.col("__w"), "")),
+                F.lit("  "),
+            ).alias("__s"),
+        )
+        .persist()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    cur = words
+    pair_expr = (
+        "case when size(split(trim(__s), ' +')) >= 2 then "
+        "transform(sequence(1, size(split(trim(__s), ' +')) - 1), "
+        "i -> struct(element_at(split(trim(__s), ' +'), i) as a, "
+        "element_at(split(trim(__s), ' +'), i + 1) as b)) "
+        "else array() end"
+    )
+    for r in range(n_merges):
+        top = (
+            cur.select("__n", F.explode(F.expr(pair_expr)).alias("__p"))
+            .groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+            .agg(F.sum("__n").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((r, a, b, cnt))
+        cur = cur.withColumn(
+            "__s",
+            F.replace(
+                F.col("__s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+            ),
+        )
+    words.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count long"
+    )

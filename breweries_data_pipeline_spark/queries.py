@@ -11875,3 +11875,65 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return decode_png_pixels(png_media_from_ids(docs))
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled DuckDB oracle for :func:`q_bpe_learn` — round r counts
+    adjacent pairs over the round-r word strings, takes the argmax
+    (cnt desc, lhs, rhs), and applies it with the SAME literal
+    double-space replace the Spark operator uses (see
+    operators.text.bpe_learn_merges for why replace() IS greedy BPE
+    application). Generated, not handwritten, so the round count stays
+    in one place."""
+    parts = [
+        """
+    w0 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s
+      FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents
+      ) GROUP BY w
+    )"""
+    ]
+    for r in range(n_merges):
+        parts.append(f"""
+    p{r} AS (
+      SELECT arr[i] AS a, arr[i + 1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+      FROM (SELECT n, regexp_split_to_array(trim(s), ' +') AS arr FROM w{r}),
+           unnest(CASE WHEN len(arr) >= 2
+                       THEN generate_series(1, len(arr) - 1)
+                       ELSE CAST([] AS BIGINT[]) END) AS u(i)
+      GROUP BY 1, 2
+    ),
+    m{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1)""")
+        if r + 1 < n_merges:
+            parts.append(f"""
+    w{r + 1} AS (
+      SELECT n,
+             replace(s, ' ' || m.a || '  ' || m.b || ' ',
+                        ' ' || m.a || m.b || ' ') AS s
+      FROM w{r}, m{r} m
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count FROM m{r}"
+        for r in range(n_merges)
+    )
+    return "WITH " + ",".join(parts) + "\n    " + union
+
+
+@register("q_bpe_learn", _bpe_oracle_sql(4))
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING: learn the first 4 merges over the
+    corpus — the iterative loop q_bpe_pair_counts is one round of
+    (operators.text.bpe_learn_merges). Each round aggregates adjacent
+    pairs over the VOCABULARY (word-frequency table, not the corpus),
+    promotes the argmax deterministically (count desc, then
+    lexicographic), and applies it as a literal double-space
+    replace() — non-overlapping left-to-right replacement is exactly
+    greedy BPE application, identical in Spark and DuckDB, so all
+    four rounds oracle bit-for-bit."""
+    from breweries_data_pipeline_spark.operators.text import bpe_learn_merges
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_learn_merges(docs, "text", n_merges=4)

@@ -863,3 +863,17 @@ class TestPagedDataSourcePermissive:
         assert (rows[0].id, rows[0].name, rows[0]._corrupt_record) == (1, "ok", None)
         assert rows[1].id is None and rows[1]._corrupt_record == '{"id": 2, "name": br'
         assert rows[2].id is None and rows[2]._corrupt_record == "[1, 2, 3]"
+
+
+def test_bpe_learn_merges_closed_form(spark):
+    """Hand-checkable BPE training: corpus 'aa aa ab' has vocab
+    {aa: 2, ab: 1}; round 0 must merge (a,a) with weight 2, round 1
+    (a,b) with weight 1, and the loop must stop early when no pairs
+    remain (2 rows despite n_merges=4)."""
+    from breweries_data_pipeline_spark.operators.text import bpe_learn_merges
+
+    docs = spark.createDataFrame([("aa aa ab",)], ["text"])
+    rows = sorted(
+        tuple(r) for r in bpe_learn_merges(docs, "text", n_merges=4).collect()
+    )
+    assert rows == [(0, "a", "a", 2), (1, "a", "b", 1)]

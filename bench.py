@@ -201,6 +201,7 @@ R7 = [
     "q_neardup_index",
     "q_png_decode",
     "q_bpe_learn",
+    "q_drift_tv",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

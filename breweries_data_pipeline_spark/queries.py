@@ -11937,3 +11937,80 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return bpe_learn_merges(docs, "text", n_merges=4)
+
+
+@register(
+    "q_drift_tv",
+    """
+    WITH bounds AS (
+      SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS t0,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS t1
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN 2 * epoch_us(ts) <= t0 + t1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_first,
+             CAST(sum(CASE WHEN 2 * epoch_us(ts) <= t0 + t1 THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_second
+      FROM events, bounds
+      GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(sum(n_first) AS BIGINT) AS ta,
+             CAST(sum(n_second) AS BIGINT) AS tb
+      FROM cells
+    )
+    SELECT event_type,
+           n_first,
+           n_second,
+           (n_first * 1000000) // ta AS share_first_ppm,
+           (n_second * 1000000) // tb AS share_second_ppm,
+           abs((n_first * 1000000) // ta
+               - (n_second * 1000000) // tb) AS abs_delta_ppm
+    FROM cells, tot
+    ORDER BY event_type
+    """,
+)
+def q_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical distribution drift between the first and second
+    half of the event stream's time range, per event type, in exact
+    integer ppm — the total-variation drift monitor a training
+    pipeline runs over feed composition (TV distance = sum of
+    abs_delta_ppm / 2); the categorical complement of the numeric
+    two-sample KS test (q_ks_test). All arithmetic is integer floor
+    division on counts, so it hash-matches across engines — no libm
+    KL/PSI logs. Plan: one scan, one hash aggregate on event_type,
+    two one-row scalar attaches (time bounds, totals) — map-side
+    combined, no shuffle of raw events beyond the type aggregate."""
+    events = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    bounds = events.agg(
+        F.min(us).alias("t0"), F.max(us).alias("t1")
+    )
+    first = (F.lit(2) * us <= F.col("t0") + F.col("t1")).cast("long")
+    cells = (
+        events.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            F.sum(first).alias("n_first"),
+            F.sum(F.lit(1) - first).alias("n_second"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_first").alias("ta"), F.sum("n_second").alias("tb")
+    )
+    share_a = F.expr("n_first * 1000000 div ta")
+    share_b = F.expr("n_second * 1000000 div tb")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_first",
+            "n_second",
+            share_a.alias("share_first_ppm"),
+            share_b.alias("share_second_ppm"),
+            F.abs(share_a - share_b).alias("abs_delta_ppm"),
+        )
+        .orderBy("event_type")
+    )

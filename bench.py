@@ -202,6 +202,7 @@ R7 = [
     "q_png_decode",
     "q_bpe_learn",
     "q_drift_tv",
+    "q_ngram_novelty",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

@@ -12014,3 +12014,57 @@ def q_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_ngram_novelty",
+    f"""
+    WITH dg AS (
+      SELECT DISTINCT doc_id, unnest({_sql_shingles(5)}) AS g
+      FROM documents WHERE n_chars > 0
+    ),
+    first_seen AS (SELECT g, min(doc_id) AS first_doc FROM dg GROUP BY g)
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel_grams,
+           (CAST(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+                 AS BIGINT) * 1000000) // count(*) AS novelty_ppm
+    FROM dg d JOIN first_seen f USING (g)
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's distinct
+    5-grams whose FIRST occurrence (min doc_id over the corpus) is
+    this doc — the diversity/curriculum signal that separates docs
+    contributing new text from docs rehashing earlier ones (the
+    document-level view of the corpus-level repeated-ngrams stats).
+    Exact integer ppm. Plan: one explode + distinct on (doc, gram),
+    a gram-keyed min aggregate (map-side combined), and a gram-keyed
+    equi-join back — two shuffles on the gram key, raw text never
+    shuffles; the same skew note as the substring-dedup family
+    applies (boilerplate grams are the hot keys, collapsed map-side
+    by the distinct/min aggregates before the join)."""
+    docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    dg = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", 5))).alias("g")
+    )
+    first_seen = dg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        dg.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("novel_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "novel_grams",
+            F.expr("novel_grams * 1000000 div n_grams").alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )

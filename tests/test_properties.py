@@ -468,3 +468,56 @@ def test_as_of_join_forward_model(spark, lefts, rights):
         nxt = [(rts, v) for (rk, rts), v in rmap.items() if rk == k and rts >= ts]
         want = min(nxt) if nxt else (None, None)
         assert got[i] == want, (i, k, ts, got[i], want)
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    ),
+    n_merges=st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_bpe_learn_merges_vs_reference_model(spark, words, n_merges):
+    """bpe_learn_merges vs an independent pure-Python BPE trainer
+    (Sennrich-style): word-frequency table, weighted adjacent-pair
+    counts, argmax by (count desc, lhs, rhs), greedy left-to-right
+    non-overlapping merge application. A 2-letter alphabet maximizes
+    overlapping-pair pressure ('aaaa' + merge (a,a)) — the regime
+    where a replace()-semantics bug would surface."""
+    from collections import Counter
+
+    from breweries_data_pipeline_spark.operators.text import bpe_learn_merges
+
+    docs = spark.createDataFrame([(" ".join(words),)], ["text"])
+    got = sorted(
+        tuple(r) for r in bpe_learn_merges(docs, "text", n_merges=n_merges).collect()
+    )
+
+    vocab = Counter()
+    for w in words:
+        vocab[tuple(w)] += 1
+    expected = []
+    for r in range(n_merges):
+        pairs: Counter = Counter()
+        for toks, n in vocab.items():
+            for i in range(len(toks) - 1):
+                pairs[(toks[i], toks[i + 1])] += n
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((r, a, b, cnt))
+        new_vocab: Counter = Counter()
+        for toks, n in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            new_vocab[tuple(out)] += n
+        vocab = new_vocab
+    assert got == sorted(expected)

@@ -203,6 +203,7 @@ R7 = [
     "q_bpe_learn",
     "q_drift_tv",
     "q_ngram_novelty",
+    "q_table_diff",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

@@ -12068,3 +12068,95 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_table_diff",
+    """
+    WITH va AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|', o_orderstatus, CAST(o_totalprice AS VARCHAR),
+                           o_orderpriority)) AS h
+      FROM orders WHERE o_orderkey % 3 != 0
+    ),
+    vb AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|',
+                           CASE WHEN o_orderkey % 5 = 0 THEN 'P'
+                                ELSE o_orderstatus END,
+                           CAST(o_totalprice AS VARCHAR),
+                           o_orderpriority)) AS h
+      FROM orders WHERE o_orderkey % 4 != 0
+    )
+    SELECT
+      CASE WHEN va.k IS NULL THEN 'added'
+           WHEN vb.k IS NULL THEN 'removed'
+           ELSE 'changed' END AS status,
+      CAST(count(*) AS BIGINT) AS n_keys,
+      CAST(min(coalesce(va.k, vb.k)) AS BIGINT) AS min_key,
+      CAST(max(coalesce(va.k, vb.k)) AS BIGINT) AS max_key
+    FROM va FULL OUTER JOIN vb ON va.k = vb.k
+    WHERE va.k IS NULL OR vb.k IS NULL OR va.h != vb.h
+    GROUP BY 1
+    ORDER BY status
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the table-version comparison a lakehouse runs
+    to validate a CDC merge or audit what a pipeline rewrite changed:
+    per-key status (added / removed / changed) between two versions of
+    a table, summarized. Versions are synthesized deterministically
+    from orders (version A drops keys %3=0; version B drops %4=0 and
+    flips status on %5=0), so the diff exercises all three statuses.
+    Row identity compares via md5 of a canonical column concat — ONE
+    hash per row crosses the join, not the payload. Plan: one full
+    outer join on the key (sort-merge, AQE-skew-safe; both sides are
+    single scans with the hash computed in-scan) + a tiny status
+    aggregate. At 100 TB this is the standard two-snapshot
+    reconciliation: cost is two scans + one key shuffle, independent
+    of column count once hashed."""
+    orders = read_table(spark, sf_dir, "orders")
+    va = orders.where("o_orderkey % 3 != 0").select(
+        F.col("o_orderkey").alias("k_a"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                "o_orderstatus",
+                F.col("o_totalprice").cast("string"),
+                "o_orderpriority",
+            )
+        ).alias("h_a"),
+    )
+    vb = orders.where("o_orderkey % 4 != 0").select(
+        F.col("o_orderkey").alias("k_b"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.when(F.col("o_orderkey") % 5 == 0, F.lit("P")).otherwise(
+                    F.col("o_orderstatus")
+                ),
+                F.col("o_totalprice").cast("string"),
+                "o_orderpriority",
+            )
+        ).alias("h_b"),
+    )
+    joined = va.join(vb, va["k_a"] == vb["k_b"], "full_outer")
+    status = (
+        F.when(F.col("k_a").isNull(), F.lit("added"))
+        .when(F.col("k_b").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        joined.where(
+            F.col("k_a").isNull()
+            | F.col("k_b").isNull()
+            | (F.col("h_a") != F.col("h_b"))
+        )
+        .groupBy(status.alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.min(F.coalesce("k_a", "k_b")).alias("min_key"),
+            F.max(F.coalesce("k_a", "k_b")).alias("max_key"),
+        )
+        .orderBy("status")
+    )

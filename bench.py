@@ -204,6 +204,7 @@ R7 = [
     "q_drift_tv",
     "q_ngram_novelty",
     "q_table_diff",
+    "q_kcore",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

@@ -12160,3 +12160,56 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled DuckDB oracle for :func:`q_kcore`: round r drops nodes
+    with degree < k over the round-(r-1) surviving symmetric edge set.
+    Generated so the round count lives in one place."""
+    parts = [
+        """
+    e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    )"""
+    ]
+    for r in range(rounds):
+        parts.append(f"""
+    k{r} AS (
+      SELECT u FROM e{r} GROUP BY u HAVING count(*) >= {k}
+    ),
+    e{r + 1} AS (
+      SELECT e.u, e.v FROM e{r} e
+      JOIN k{r} a ON e.u = a.u
+      JOIN k{r} b ON e.v = b.u
+    )""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM e{rounds} GROUP BY u ORDER BY node"""
+    )
+
+
+@register("q_kcore", _kcore_oracle_sql(60, 3))
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph cohesion pruning: 3-round k-core peel (k=60) of the part
+    co-occurrence graph (parts sharing an order — the same edge set as
+    q_bfs_hops), returning each surviving node with its in-core
+    degree. Each round is one degree aggregate + two semi-join filters
+    of the shrinking edge list (operators.graph.kcore_peel); the
+    oracle unrolls the same three rounds."""
+    from breweries_data_pipeline_spark.operators.graph import kcore_peel
+
+    li = read_table(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return kcore_peel(edges, 60, rounds=3).orderBy("node")

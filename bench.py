@@ -205,6 +205,7 @@ R7 = [
     "q_ngram_novelty",
     "q_table_diff",
     "q_kcore",
+    "q_stream_static_join",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

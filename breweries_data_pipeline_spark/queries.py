@@ -2327,6 +2327,64 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_static_join",
+    """
+    SELECT e.event_id,
+           e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           e.value AS purchase_value,
+           c.c_mktsegment AS segment,
+           c.c_name AS cust_name
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 stream-static enrichment join: the purchase stream
+    decorated with the static customer dim (broadcast, stateless —
+    no state store, no watermark; see streaming.joins.static_enrich).
+    Drained with availableNow. FULL oracle — the drained row set is
+    exactly the batch join (values pass through unarithmeticked), and
+    arrival order cannot matter because every input row emits exactly
+    one output row."""
+    import tempfile
+
+    from breweries_data_pipeline_spark.streaming import (
+        read_events_stream,
+        static_enrich,
+    )
+
+    buys = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )
+    dim = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_name"
+    )
+    enriched = static_enrich(
+        buys, dim, buys["user_id"] == dim["c_custkey"]
+    ).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_name").alias("cust_name"),
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("q_stream_static_join")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bdp_ssd_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q_stream_static_join")
+
+
+@register(
     "q_streaming_corpus_ingest",
     f"""
     SELECT doc_id, fingerprint FROM (

@@ -1,5 +1,6 @@
 from breweries_data_pipeline_spark.streaming.joins import (  # noqa: F401
     interval_join,
+    static_enrich,
 )
 from breweries_data_pipeline_spark.streaming.upsert import (  # noqa: F401
     commit_snapshot_version,

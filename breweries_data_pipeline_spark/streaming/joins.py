@@ -52,3 +52,25 @@ def interval_join(
         )
     )
     return left.join(r, cond, "inner")
+
+
+def static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static equi-join: enrich a fact stream against a batch
+    dimension table (the standard feed-enrichment shape — click/
+    purchase events decorated with the customer/catalog dim).
+
+    STATELESS by construction: Spark re-plans the join for every
+    micro-batch, so unlike a stream-stream join there is no state
+    store, no watermark requirement, and the dim is re-read at each
+    batch (picks up dim updates between restarts). ``F.broadcast``
+    pins the dim to a map-side hash join, so the 100 TB/day fact
+    stream never shuffles — each micro-batch is one narrow pass.
+    Works identically on a batch ``stream`` input (then it is just a
+    broadcast join), which the oracle-parity check exploits.
+    """
+    return stream.join(F.broadcast(dim), on, how)

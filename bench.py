@@ -206,6 +206,7 @@ R7 = [
     "q_table_diff",
     "q_kcore",
     "q_stream_static_join",
+    "q_bpe_encode",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

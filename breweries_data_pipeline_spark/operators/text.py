@@ -167,3 +167,72 @@ def bpe_learn_merges(
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count long"
     )
+
+
+def bpe_encode_fertility(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_merges: int = 4,
+) -> DataFrame:
+    """Tokenizer INFERENCE: apply the merges :func:`bpe_learn_merges`
+    learns to the corpus and report post-merge fertility (BPE tokens
+    per whitespace word) per language, in exact integer ppm — the
+    metric a tokenizer eval actually reads (q_tokenizer_fertility is
+    the pre-merge regex proxy). Returns
+    (lang, bpe_tokens, words, fertility_ppm).
+
+    The merge table is bounded model state (``n_merges`` rows — the
+    same driver-side discipline as the kmeans seeds), so application
+    is a chain of ``n_merges`` literal double-space replaces — greedy
+    left-to-right BPE, identical in DuckDB (see bpe_learn_merges for
+    the double-space invariant). Scale shape: encoding runs on the
+    per-(lang, word) frequency table, NOT the corpus — one explode +
+    hash aggregate corpus pass, then a vocab-sized equi-join of
+    frequencies against encoded subtoken counts and a per-lang
+    weighted sum. The corpus is scanned twice total (once to learn,
+    once to count words); everything else is vocabulary-sized."""
+    learned = bpe_learn_merges(docs, text_col, n_merges).collect()
+    lang_words = (
+        docs.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            ).alias("__w"),
+        )
+        .groupBy("lang", "__w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    spaced = F.concat(
+        F.lit("  "),
+        F.concat_ws("  ", F.split(F.col("__w"), "")),
+        F.lit("  "),
+    )
+    vocab = lang_words.select("__w").distinct().select("__w", spaced.alias("__s"))
+    for row in learned:
+        a, b = row["lhs"], row["rhs"]
+        vocab = vocab.withColumn(
+            "__s",
+            F.replace(F.col("__s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")),
+        )
+    enc = vocab.select(
+        "__w",
+        F.size(F.split(F.trim(F.col("__s")), " +")).cast("long").alias("__nsub"),
+    )
+    return (
+        lang_words.join(enc, "__w")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.col("__n") * F.col("__nsub")).alias("bpe_tokens"),
+            F.sum("__n").alias("words"),
+        )
+        .select(
+            "lang",
+            "bpe_tokens",
+            "words",
+            F.expr("(bpe_tokens * CAST(1000000 AS BIGINT)) div words").alias(
+                "fertility_ppm"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -11935,14 +11935,15 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_png_pixels(png_media_from_ids(docs))
 
 
-def _bpe_oracle_sql(n_merges: int) -> str:
-    """Unrolled DuckDB oracle for :func:`q_bpe_learn` — round r counts
+def _bpe_learn_parts(n_merges: int) -> list[str]:
+    """Shared CTE parts for the BPE learning rounds — round r counts
     adjacent pairs over the round-r word strings, takes the argmax
     (cnt desc, lhs, rhs), and applies it with the SAME literal
     double-space replace the Spark operator uses (see
     operators.text.bpe_learn_merges for why replace() IS greedy BPE
     application). Generated, not handwritten, so the round count stays
-    in one place."""
+    in one place; used by both the q_bpe_learn and q_bpe_encode
+    oracles."""
     parts = [
         """
     w0 AS (
@@ -11973,11 +11974,67 @@ def _bpe_oracle_sql(n_merges: int) -> str:
                         ' ' || m.a || m.b || ' ') AS s
       FROM w{r}, m{r} m
     )""")
+    return parts
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled DuckDB oracle for :func:`q_bpe_learn` (see
+    :func:`_bpe_learn_parts`)."""
     union = "\n    UNION ALL ".join(
         f"SELECT {r} AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count FROM m{r}"
         for r in range(n_merges)
     )
-    return "WITH " + ",".join(parts) + "\n    " + union
+    return "WITH " + ",".join(_bpe_learn_parts(n_merges)) + "\n    " + union
+
+
+def _bpe_encode_oracle_sql(n_merges: int) -> str:
+    """Unrolled DuckDB oracle for :func:`q_bpe_encode`: learn the
+    merges with the shared CTEs, then apply them to the distinct
+    vocabulary (the same chained double-space replaces) and take the
+    per-language frequency-weighted subtoken sum."""
+    parts = list(_bpe_learn_parts(n_merges))
+    parts.append("""
+    dw AS (
+      SELECT lang,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ),
+    lw AS (
+      SELECT lang, w, CAST(count(*) AS BIGINT) AS n
+      FROM dw GROUP BY lang, w
+    ),
+    v0 AS (
+      SELECT DISTINCT w,
+             '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s
+      FROM dw
+    )""")
+    for r in range(n_merges):
+        parts.append(f"""
+    v{r + 1} AS (
+      SELECT w,
+             replace(s, ' ' || m.a || '  ' || m.b || ' ',
+                        ' ' || m.a || m.b || ' ') AS s
+      FROM v{r}, m{r} m
+    )""")
+    parts.append(f"""
+    enc AS (
+      SELECT w,
+             CAST(len(regexp_split_to_array(trim(s), ' +')) AS BIGINT) AS n_sub
+      FROM v{n_merges}
+    )""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + """
+    SELECT lang,
+           CAST(sum(n * n_sub) AS BIGINT) AS bpe_tokens,
+           CAST(sum(n) AS BIGINT) AS words,
+           (CAST(sum(n * n_sub) AS BIGINT) * 1000000)
+             // CAST(sum(n) AS BIGINT) AS fertility_ppm
+    FROM lw JOIN enc USING (w)
+    GROUP BY lang
+    ORDER BY lang"""
+    )
 
 
 @register("q_bpe_learn", _bpe_oracle_sql(4))
@@ -11995,6 +12052,24 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return bpe_learn_merges(docs, "text", n_merges=4)
+
+
+@register("q_bpe_encode", _bpe_encode_oracle_sql(4))
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer INFERENCE: apply the 4 learned merges
+    (q_bpe_learn's loop) to the corpus and report post-merge fertility
+    (BPE tokens per word) per language in exact integer ppm — the
+    other half of the tokenizer lifecycle, and the metric a tokenizer
+    eval reads (q_tokenizer_fertility is the pre-merge regex proxy).
+    Encoding runs on the per-(lang, word) frequency table, never the
+    raw corpus: one explode + aggregate pass, a vocab-sized join, and
+    a weighted per-lang sum (operators.text.bpe_encode_fertility)."""
+    from breweries_data_pipeline_spark.operators.text import (
+        bpe_encode_fertility,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_encode_fertility(docs, "text", "lang", n_merges=4)
 
 
 @register(

@@ -877,3 +877,74 @@ def test_bpe_learn_merges_closed_form(spark):
         tuple(r) for r in bpe_learn_merges(docs, "text", n_merges=4).collect()
     )
     assert rows == [(0, "a", "a", 2), (1, "a", "b", 1)]
+
+
+def test_bpe_encode_fertility_closed_form(spark):
+    """Hand-checkable BPE encoding: corpus 'aa aa ab' (lang en) +
+    'ba' (lang de), n_merges=1. Round 0 merges (a,a) weight 2, so
+    aa -> 1 token, ab -> 2, ba -> 2. en: tokens 2*1+1*2=4 over 3
+    words -> 1333333 ppm; de: 2 over 1 -> 2000000 ppm."""
+    from breweries_data_pipeline_spark.operators.text import (
+        bpe_encode_fertility,
+    )
+
+    docs = spark.createDataFrame(
+        [("aa aa ab", "en"), ("ba", "de")], ["text", "lang"]
+    )
+    rows = [tuple(r) for r in bpe_encode_fertility(docs, n_merges=1).collect()]
+    assert rows == [("de", 2, 1, 2000000), ("en", 4, 3, 1333333)]
+
+
+def test_static_enrich_batch_plan_broadcasts_dim(spark):
+    """static_enrich pins the dim to a broadcast hash join (the fact
+    side must never shuffle), observable in batch mode where the same
+    plan Spark re-plans per micro-batch is materialized directly."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from breweries_data_pipeline_spark.streaming import static_enrich
+
+    facts = spark.range(1000).select(
+        (F.col("id") % 50).alias("key"), F.col("id").alias("amount")
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("dkey"), (F.col("id") * 10).alias("attr")
+    )
+    out = static_enrich(facts, dim, F.col("key") == F.col("dkey"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert out.count() == 1000
+
+
+def test_static_enrich_stream_is_stateless(spark, sf_dir, tmp_path):
+    """The streaming form must run with ZERO state stores — the whole
+    point of stream-static vs stream-stream. Asserted from the drained
+    query's progress (stateOperators empty in every batch)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from breweries_data_pipeline_spark.sources import read_table
+    from breweries_data_pipeline_spark.streaming import (
+        read_events_stream,
+        static_enrich,
+    )
+
+    sdf = read_events_stream(spark, sf_dir).select("event_id", "user_id")
+    dim = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    out = static_enrich(sdf, dim, F.col("user_id") == F.col("c_custkey"))
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_static_enrich_stateless")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert all(not p["stateOperators"] for p in q.recentProgress)
+    n = spark.table("t_static_enrich_stateless").count()
+    assert n == read_table(spark, sf_dir, "events").join(
+        dim, F.col("user_id") == F.col("c_custkey")
+    ).count()

@@ -8504,7 +8504,14 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses multiple discovery depths to the true distance."""
     from breweries_data_pipeline_spark.operators.graph import bfs_distances
 
-    li = read_table(spark, sf_dir, "lineitem")
+    # distinct (order, part) before the self-join — same rationale as
+    # q_kcore: pair fan-out is quadratic in per-order multiplicity,
+    # and the edge set is distinct afterwards anyway.
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
     edges = (
@@ -12336,7 +12343,18 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls the same three rounds."""
     from breweries_data_pipeline_spark.operators.graph import kcore_peel
 
-    li = read_table(spark, sf_dir, "lineitem")
+    # distinct (order, part) BEFORE the self-join: the pair fan-out is
+    # quadratic in per-order multiplicity, so collapsing duplicate
+    # (order, part) rows first (a part ordered on several lines — or a
+    # replicated soak table) keeps the join linear in basket content.
+    # The r7 sf1 soak measured the undistincted form at 212s (100x
+    # pair blowup on 10-copy data); distinct-first is the general rule
+    # for any self-join whose output is distinct anyway.
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
     edges = (

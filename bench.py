@@ -494,7 +494,7 @@ def main() -> None:
         )
         spark.sparkContext.setLogLevel("ERROR")
         sd = _soak_dir()
-        budget = float(os.environ.get("SPARK_GRAFT_SOAK_BUDGET_S", "600"))
+        budget = float(os.environ.get("SPARK_GRAFT_SOAK_BUDGET_S", "800"))
         detail, errs, skipped = _run_soak(spark, sd, budget) if sd else ({}, {}, 0)
         print(json.dumps({"soak_queries": detail, "soak_errors": errs,
                           "skipped": skipped}, separators=(",", ":")))
@@ -597,7 +597,7 @@ def main() -> None:
     soak_recheck: dict[str, dict] = {}
     sd = _soak_dir() if abs((float(sf) if sf else 0) - 0.1) < 1e-9 else None
     if sd:
-        soak_budget = float(os.environ.get("SPARK_GRAFT_SOAK_BUDGET_S", "600"))
+        soak_budget = float(os.environ.get("SPARK_GRAFT_SOAK_BUDGET_S", "800"))
         skipped = 0
         fresh_jvm = True
         soak_t0 = time.perf_counter()
@@ -651,10 +651,17 @@ def main() -> None:
         # (the r3/r4 failure mode). Evidence so far is flushed first.
         _flush_details({**payload, "soak": soak, "spread": spread,
                         "soak_queries": soak_detail, "partial": True})
-        # at least ~150s so the top 2 outliers always get their audit
-        # pair (one recheck ≈ 60s: JVM + two-table warmup + 2x2 reps);
-        # bounded overrun beyond the soak envelope, never unbounded
-        recheck_budget = max(soak_budget - (time.perf_counter() - soak_t0), 150.0)
+        # at least ~100s per >10x entry so EVERY outlier gets its audit
+        # pair (the r7 run where the soak spent its whole budget left 2
+        # of 3 outliers unadjudicated on the 150s floor; one recheck ≈
+        # 60-100s: JVM + two-dir warmup + 2x2 reps); still bounded —
+        # never more than 5 audits — so overrun beyond the soak
+        # envelope stays capped, never unbounded
+        n_out = sum(1 for x in ratios.values() if x > 10.0)
+        recheck_budget = max(
+            soak_budget - (time.perf_counter() - soak_t0),
+            100.0 * min(n_out, 5),
+        )
         soak_recheck = _recheck_outliers(sf_dir, ratios, budget=recheck_budget)
         if soak_recheck:
             soak["recheck_x"] = {

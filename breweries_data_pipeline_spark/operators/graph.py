@@ -489,6 +489,7 @@ def kcore_peel(
     src: str = "src",
     dst: str = "dst",
     rounds: int = 3,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Bounded-round k-core peeling: each round drops every node whose
     degree in the CURRENT surviving subgraph is below ``k``, plus the
@@ -508,18 +509,25 @@ def kcore_peel(
     combined) and two semi-join-shaped filters of the edge list
     against the surviving node set — all keyed shuffles on node ids;
     the edge list only ever shrinks. Rounds localCheckpoint like the
-    other iterative operators so lineage stays flat."""
+    other iterative operators so lineage stays flat.
+
+    ``symmetric=True`` declares the input already distinct with both
+    directions present (the natural output of a co-occurrence
+    self-join with a ``!=`` filter) and skips the symmetrizing
+    union + distinct — at sf1 that distinct shuffles 2x the edge
+    list (48M rows for the 24M-edge part graph) to rebuild the very
+    set it was given: the single most expensive stage of the peel."""
     u, v = F.col("__u"), F.col("__v")
-    cur = (
-        edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
-        .where(u != v)
-        .unionByName(
-            edges.select(F.col(dst).alias("__u"), F.col(src).alias("__v"))
-            .where(u != v)
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    directed = edges.select(
+        F.col(src).alias("__u"), F.col(dst).alias("__v")
+    ).where(u != v)
+    if not symmetric:
+        directed = directed.unionByName(
+            edges.select(F.col(dst).alias("__u"), F.col(src).alias("__v")).where(
+                u != v
+            )
+        ).distinct()
+    cur = directed.localCheckpoint(eager=True)
     for _ in range(rounds):
         deg = cur.groupBy("__u").agg(F.count(F.lit(1)).alias("__d"))
         keep = deg.filter(F.col("__d") >= k).select("__u")

@@ -12363,4 +12363,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
-    return kcore_peel(edges, 60, rounds=3).orderBy("node")
+    # the != self-join emits both directions and the trailing distinct
+    # makes the set exact — declare it so the peel skips its
+    # symmetrizing 2x-edge-list distinct (the top stage at sf1)
+    return kcore_peel(edges, 60, rounds=3, symmetric=True).orderBy("node")

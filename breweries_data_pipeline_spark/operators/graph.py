@@ -530,7 +530,16 @@ def kcore_peel(
     cur = directed.localCheckpoint(eager=True)
     for _ in range(rounds):
         deg = cur.groupBy("__u").agg(F.count(F.lit(1)).alias("__d"))
-        keep = deg.filter(F.col("__d") >= k).select("__u")
+        # keep is referenced by BOTH semi-joins; without materializing
+        # it the full-edge-list degree aggregate executes twice per
+        # round (Spark plans have no common-subtree reuse). The node
+        # set is small (nodes above the k threshold), so the eager
+        # checkpoint is cheap and both semi-joins broadcast it.
+        keep = (
+            deg.filter(F.col("__d") >= k)
+            .select("__u")
+            .localCheckpoint(eager=True)
+        )
         cur = (
             cur.join(keep, "__u", "left_semi")
             .join(

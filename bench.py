@@ -207,6 +207,10 @@ R7 = [
     "q_kcore",
     "q_stream_static_join",
     "q_bpe_encode",
+    "q_priority_sample",
+    "q_t_closeness",
+    "q_knn_classify",
+    "q_kmeans_assign",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

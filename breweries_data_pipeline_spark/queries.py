@@ -12367,3 +12367,412 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # makes the set exact — declare it so the peel skips its
     # symmetrizing 2x-edge-list distinct (the top stage at sf1)
     return kcore_peel(edges, 60, rounds=3, symmetric=True).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# round-7c: weighted sampling, privacy, eval, clustering
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_priority_sample",
+    """
+    WITH t AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':prio'), 1, 8))::BIGINT
+               % 2147483647 + 1 AS u
+      FROM documents WHERE n_chars > 0
+    ),
+    q AS (
+      SELECT doc_id, weight,
+             CAST(weight * 2147483648 // u AS BIGINT) AS priority_fp
+      FROM t
+    ),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY priority_fp DESC, doc_id) AS rn
+      FROM q
+    )
+    SELECT doc_id, weight, priority_fp,
+           CAST(greatest(weight,
+                COALESCE((SELECT priority_fp FROM r WHERE rn = 65), 0))
+                AS BIGINT) AS est_w
+    FROM r WHERE rn <= 64 ORDER BY doc_id
+    """,
+)
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): a weighted bottom-k
+    sample WITHOUT replacement whose per-item estimator
+    ``max(w_i, tau)`` (tau = the (k+1)-th priority) sums to an
+    unbiased estimate of total weight — the subset-sum sample a
+    pretraining-mix designer takes when one pass must serve any later
+    "how many tokens would slice X contribute" question.
+    q_weighted_sample is Bernoulli (independent coins, variable sample
+    size); this is the fixed-size complement with the optimal-variance
+    estimator.
+
+    Priorities are exact integers: u is a 31-bit md5-derived uniform,
+    priority_fp = w * 2^31 div u (the fixed-point spelling of w/u), so
+    both engines rank the identical total order — no float division in
+    the hashed output.
+
+    Scale: the only ordered operation is top-(k+1), which Spark plans
+    as TakeOrderedAndProject — per-partition heaps of 65 rows, then a
+    65-row merge on the driver; NO global sort, no shuffle of the
+    corpus. The rank/tau window then runs on the 65 surviving rows
+    (single partition by construction, bounded by k+1)."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    digest = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":prio")))
+    u = (
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % 2147483647 + 1
+    ).alias("u")
+    q = docs.select(
+        "doc_id", F.col("n_chars").alias("weight"), u
+    ).withColumn(
+        "priority_fp",
+        F.expr("weight * CAST(2147483648 AS BIGINT) DIV u"),
+    )
+    top = q.orderBy(F.desc("priority_fp"), F.asc("doc_id")).limit(65)
+    w_rank = Window.orderBy(F.desc("priority_fp"), F.asc("doc_id"))
+    w_full = w_rank.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tau = F.when(
+        F.count(F.lit(1)).over(w_full) >= 65,
+        F.min("priority_fp").over(w_full),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        top.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("tau", tau)
+        .filter(F.col("rn") <= 64)
+        .select(
+            "doc_id",
+            "weight",
+            "priority_fp",
+            F.greatest(F.col("weight"), F.col("tau")).alias("est_w"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_t_closeness",
+    """
+    WITH b AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS INTEGER) AS bucket
+      FROM customer
+    ),
+    gb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS gcnt FROM b GROUP BY bucket),
+    g AS (
+      SELECT bucket,
+             CAST(sum(gcnt) OVER (ORDER BY bucket) AS BIGINT) AS gcum,
+             CAST(sum(gcnt) OVER () AS BIGINT) AS gtot,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM gb
+    ),
+    cc AS (
+      SELECT c_nationkey, c_mktsegment, bucket, CAST(count(*) AS BIGINT) AS ccnt
+      FROM b GROUP BY 1, 2, 3
+    ),
+    cls AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS class_n
+      FROM b GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT cls.c_nationkey, cls.c_mktsegment, cls.class_n,
+             g.bucket, g.gcum, g.gtot, g.m, COALESCE(cc.ccnt, 0) AS ccnt
+      FROM cls CROSS JOIN g
+      LEFT JOIN cc ON cc.c_nationkey = cls.c_nationkey
+                  AND cc.c_mktsegment = cls.c_mktsegment
+                  AND cc.bucket = g.bucket
+    ),
+    cum AS (
+      SELECT *, CAST(sum(ccnt) OVER (PARTITION BY c_nationkey, c_mktsegment
+                                     ORDER BY bucket) AS BIGINT) AS ccum
+      FROM grid
+    )
+    SELECT c_nationkey, c_mktsegment, class_n,
+           CAST(sum(abs(CAST(ccum * 1000000 AS BIGINT) // class_n
+                        - CAST(gcum * 1000000 AS BIGINT) // gtot))
+                // greatest(max(m) - 1, 1) AS BIGINT) AS emd_ppm
+    FROM cum
+    GROUP BY c_nationkey, c_mktsegment, class_n
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li-Li-Venkatasubramanian): per QI class
+    (nation, segment), the ordered earth-mover's distance between the
+    class's sensitive-attribute distribution (account-balance bucket)
+    and the global one — EMD = sum_i |P_cum(i) - Q_cum(i)| / (m-1)
+    over the m global buckets. Completes the privacy-audit triple:
+    q_k_anonymity (class size), q_l_diversity (distinct sensitive
+    values), t-closeness (distributional skew — the attack the other
+    two miss: a class whose values are diverse but all extreme).
+
+    Exactness: cumulative shares are integer ppm (cum * 1e6 div
+    total), the EMD numerator is a sum of |integer| and the final
+    div (m-1) is integer too — no float division anywhere.
+
+    Scale: two hash aggregates over customer (class x bucket, global
+    bucket), then a per-class cumsum over an EXPLODED bucket grid.
+    The grid is class_count x m rows where m is bounded by the
+    balance range (<= ~12 buckets) — built by exploding a literal
+    bucket array collected from the m-row global aggregate (bounded
+    driver state, documented), never a cartesian of data-sized
+    inputs. The global-cum window runs on m rows (single partition,
+    bounded)."""
+    cust = read_table(spark, sf_dir, "customer")
+    b = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("int").alias("bucket"),
+    )
+    # bounded collect: distinct balance buckets, <= (max-min)/1000 + 1
+    # values (~12 on TPC-H-shaped balances) — model state, not data
+    buckets = sorted(
+        r["bucket"] for r in b.select("bucket").distinct().collect()
+    )
+    m = len(buckets)
+    gbc = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("gcnt"))
+    w_gcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_gall = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    g = gbc.select(
+        "bucket",
+        F.sum("gcnt").over(w_gcum).alias("gcum"),
+        F.sum("gcnt").over(w_gall).alias("gtot"),
+    )
+    cc = b.groupBy("c_nationkey", "c_mktsegment", "bucket").agg(
+        F.count(F.lit(1)).alias("ccnt")
+    )
+    cls = cc.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("ccnt").alias("class_n")
+    )
+    grid = (
+        cls.withColumn(
+            "bucket", F.explode(F.array(*[F.lit(x) for x in buckets]))
+        )
+        .join(F.broadcast(g), "bucket")
+        .join(cc, ["c_nationkey", "c_mktsegment", "bucket"], "left")
+        .fillna(0, subset=["ccnt"])
+    )
+    w_cls = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.withColumn("ccum", F.sum("ccnt").over(w_cls))
+    absdiff = F.abs(
+        F.expr("ccum * 1000000 DIV class_n - gcum * 1000000 DIV gtot")
+    )
+    return (
+        cum.groupBy("c_nationkey", "c_mktsegment", "class_n")
+        .agg(F.sum(absdiff).alias("__num"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_n",
+            F.expr(f"__num DIV {max(m - 1, 1)}").cast("long").alias("emd_ppm"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+@register(
+    "q_knn_classify",
+    f"""
+    WITH p AS (
+      SELECT vec_id AS probe_id, embedding AS pe, label AS true_label
+      FROM embeddings WHERE vec_id < 16
+    ),
+    s AS (
+      SELECT p.probe_id, p.true_label, c.vec_id, c.label,
+             {_SQL_DOT.format(a="c.embedding", b="pe")}
+             / (sqrt({_SQL_DOT.format(a="c.embedding", b="c.embedding")})
+                * sqrt({_SQL_DOT.format(a="pe", b="pe")})) AS cosine
+      FROM embeddings c CROSS JOIN p
+      WHERE c.vec_id >= 16
+    ),
+    nn AS (
+      SELECT probe_id, true_label, label FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cosine DESC, vec_id) AS rn
+        FROM s) t
+      WHERE rn <= 10
+    ),
+    v AS (
+      SELECT probe_id, true_label, label, CAST(count(*) AS BIGINT) AS n_votes
+      FROM nn GROUP BY 1, 2, 3
+    )
+    SELECT probe_id, true_label, label AS pred_label, n_votes,
+           CAST(CASE WHEN label = true_label THEN 1 ELSE 0 END
+                AS INTEGER) AS correct
+    FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY n_votes DESC, label) AS rn2
+          FROM v) t
+    WHERE rn2 = 1 ORDER BY probe_id
+    """,
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label classification — the standard embedding-quality eval
+    (does the vector space separate classes?): the 16 held-out probes
+    are classified by majority label of their k=10 exact-cosine
+    nearest neighbors among the training split (vec_id >= 16), with a
+    deterministic (votes desc, label asc) tie-break. Output is one row
+    per probe with predicted vs true label — the confusion-matrix
+    input, row-hashable.
+
+    Exactness: cosines are the bit-exact pinned-order doubles of
+    q_similarity_topk (Arrow left-fold kernel == DuckDB list_sum);
+    they feed only a rank with a vec_id tie-break, and votes are
+    integers, so the hashed output carries no float at all.
+
+    Scale: same broadcast-probes x one-corpus-scan plan as
+    q_similarity_topk (never corpus x corpus), one exchange keyed by
+    probe_id for the per-probe top-k, then a 16x10-row vote
+    aggregate. Corpus growth touches only the embarrassingly parallel
+    scan."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") >= 16)
+    probes = emb.filter(F.col("vec_id") < 16)
+    nn = cosine_topk(train, probes, k=10)
+    votes = (
+        nn.join(train.select("vec_id", "label"), "vec_id")
+        .groupBy("probe_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    pred = votes.withColumn("rn2", F.row_number().over(w)).filter(
+        F.col("rn2") == 1
+    )
+    truth = probes.select(
+        F.col("vec_id").alias("probe_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pred.join(truth, "probe_id")
+        .select(
+            "probe_id",
+            "true_label",
+            F.col("label").alias("pred_label"),
+            "n_votes",
+            (F.col("label") == F.col("true_label"))
+            .cast("int")
+            .alias("correct"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+@register(
+    "q_kmeans_assign",
+    """
+    WITH s AS (
+      SELECT vec_id AS cluster, embedding AS c FROM embeddings WHERE vec_id < 8
+    ),
+    d AS (
+      SELECT e.vec_id,
+             CAST(round(CAST(e.embedding[1] AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS x0u,
+             s.cluster,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.c[i] AS DOUBLE))
+                  * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.c[i] AS DOUBLE))))
+               AS dist
+      FROM embeddings e CROSS JOIN s
+    ),
+    a AS (
+      SELECT vec_id, x0u, cluster,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cluster) AS rn
+      FROM d
+    )
+    SELECT cluster AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(x0u) AS BIGINT) AS sum_d0_micro
+    FROM a WHERE rn = 1 GROUP BY cluster ORDER BY cluster_id
+    """,
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd assignment step (the E-step every distributed k-means
+    iteration repeats): every vector is assigned to its nearest of
+    k=8 fixed seed centroids by exact squared-L2, ties broken by
+    cluster id, then reduced to per-cluster membership counts plus the
+    dim-0 centroid-update numerator in integer micro-units — the
+    M-step's partial-aggregate shape, proving the iteration's shuffle
+    reduces exactly.
+
+    Exactness: distances are pinned-order left-fold doubles
+    (F.aggregate over zip_with == DuckDB list_sum over list_transform,
+    the same fold equivalence q_similarity_topk pins); they feed only
+    an argmin with an integer tie-break. The hashed output is all
+    integers (round-to-micro uses the same IEEE away-from-zero round
+    in both engines — q_embedding_dim_stats' discipline).
+
+    Scale: the k centroids are bounded driver state (k x d floats —
+    the same documented bounded-collect class as the k-means seeds
+    inside semantic_dedup); they ship to executors as a broadcast
+    literal, assignment is a zero-shuffle map pass (explode x k, fold,
+    min-struct argmin), and the only exchange is the k-row partial
+    aggregate. At 100 TB this is the canonical one-shuffle-per-
+    iteration Lloyd plan; for large k x d the explode fold swaps for
+    the Arrow matmul kernel similarity.py already ships."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    # bounded collect: k=8 seed vectors (k x 64 floats) — model state
+    seeds = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cands = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["vec_id"])).cast("long").alias("cluster"),
+                F.array(*[F.lit(float(x)) for x in r["embedding"]]).alias("c"),
+            )
+            for r in seeds
+        ]
+    )
+    d = emb.select(
+        "vec_id",
+        F.round(F.col("embedding")[0].cast("double") * 1000000.0)
+        .cast("long")
+        .alias("x0u"),
+        F.explode(cands).alias("s"),
+        "embedding",
+    ).withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("s.c"),
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    assigned = (
+        d.select(
+            "vec_id",
+            "x0u",
+            F.struct(F.col("dist"), F.col("s.cluster").alias("cluster")).alias(
+                "dc"
+            ),
+        )
+        .groupBy("vec_id", "x0u")
+        .agg(F.min("dc").alias("m"))
+    )
+    return (
+        assigned.groupBy(F.col("m.cluster").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("x0u").alias("sum_d0_micro"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -110,6 +110,13 @@ def cosine_topk(
         [F.col("cosine").desc(), F.col(id_col)],
         k,
         rank_name="rank",
+        # probe counts are small (the operator's contract), so a plain
+        # per-probe window caps parallelism at n_probes tasks, each
+        # sorting its probe's whole candidate slice; the salted
+        # two-phase prune keeps n_probes x 64 tasks busy and is
+        # result-identical (same total order in both phases)
+        salt=F.xxhash64(F.col(id_col)),
+        salt_buckets=64,
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -466,6 +473,13 @@ def ivf_topk(
         [F.col("cosine").desc(), F.col(id_col)],
         k,
         rank_name="rank",
+        # probe counts are small (the operator's contract), so a plain
+        # per-probe window caps parallelism at n_probes tasks, each
+        # sorting its probe's whole candidate slice; the salted
+        # two-phase prune keeps n_probes x 64 tasks busy and is
+        # result-identical (same total order in both phases)
+        salt=F.xxhash64(F.col(id_col)),
+        salt_buckets=64,
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -601,6 +615,13 @@ def ann_topk(
         [F.col("cosine").desc(), F.col(id_col)],
         k,
         rank_name="rank",
+        # probe counts are small (the operator's contract), so a plain
+        # per-probe window caps parallelism at n_probes tasks, each
+        # sorting its probe's whole candidate slice; the salted
+        # two-phase prune keeps n_probes x 64 tasks busy and is
+        # result-identical (same total order in both phases)
+        salt=F.xxhash64(F.col(id_col)),
+        salt_buckets=64,
     ).withColumn("rank", F.col("rank").cast("long"))
 
 

@@ -25,7 +25,30 @@ def topk_per_group(
     order_by: list[Column | str],
     k: int,
     rank_name: str = "rn",
+    salt: Column | None = None,
+    salt_buckets: int = 0,
 ) -> DataFrame:
+    """Exact top-k per group; one shuffle keyed by the group columns.
+
+    When the group count is SMALLER than the cluster (e.g. 16 probe
+    ids on 1000 executors), a plain window collapses parallelism to
+    one task per group and each task sorts the group's entire slice.
+    Passing ``salt`` (any deterministic column, e.g.
+    ``F.xxhash64(id_col)``) and ``salt_buckets`` enables the exact
+    two-phase form: phase 1 ranks within (group, salt mod buckets) —
+    groups x buckets parallel tasks — and keeps each bucket's top-k
+    (a superset of the global top-k, since the per-bucket prune uses
+    the SAME total order); phase 2 re-ranks the <= groups x buckets
+    x k survivors. Result-identical to the one-phase form for any
+    deterministic total order."""
+    if salt is not None and salt_buckets > 1:
+        w1 = Window.partitionBy(*group_by, "__tks").orderBy(*order_by)
+        df = (
+            df.withColumn("__tks", F.pmod(salt, F.lit(salt_buckets)))
+            .withColumn("__tkr", F.row_number().over(w1))
+            .filter(F.col("__tkr") <= k)
+            .drop("__tks", "__tkr")
+        )
     w = Window.partitionBy(*group_by).orderBy(*order_by)
     return (
         df.withColumn(rank_name, F.row_number().over(w))

@@ -8900,6 +8900,10 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("cosine").desc(), F.col("vec_id")],
         3,
         rank_name="rank",
+        # 10 probes over a full corpus scan: same few-groups collapse
+        # as cosine_topk — salted two-phase prune, result-identical
+        salt=F.xxhash64(F.col("vec_id")),
+        salt_buckets=64,
     ).withColumn("rank", F.col("rank").cast("long"))
 
 

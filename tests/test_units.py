@@ -948,3 +948,34 @@ def test_static_enrich_stream_is_stateless(spark, sf_dir, tmp_path):
     assert n == read_table(spark, sf_dir, "events").join(
         dim, F.col("user_id") == F.col("c_custkey")
     ).count()
+
+
+# ------------------------------------------------------- two-phase top-k
+def test_salted_topk_identical_to_plain_and_parallel(spark, sf_dir):
+    """The salted two-phase topk_per_group must be row-identical to
+    the one-phase form (same total order in both phases => the
+    per-bucket prune keeps an exact superset of the global top-k),
+    and its phase-1 window must be keyed by (group, salt) so the
+    sort parallelism scales with salt_buckets, not group count."""
+    from pyspark.sql import functions as F
+
+    from breweries_data_pipeline_spark.operators.windows import topk_per_group
+    from breweries_data_pipeline_spark.sources import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 4).alias("g"), "l_orderkey", "l_partkey",
+        "l_quantity",
+    )
+    order = [F.col("l_quantity").desc(), F.col("l_orderkey"),
+             F.col("l_partkey")]
+    plain = topk_per_group(li, ["g"], order, k=7)
+    salted = topk_per_group(
+        li, ["g"], order, k=7,
+        salt=F.xxhash64("l_orderkey", "l_partkey"), salt_buckets=16,
+    )
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    # two ranking windows: the salted prune and the final rank
+    assert plan.count("row_number") >= 2
+    assert "__tks" in plan

@@ -5882,22 +5882,35 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative distribution reaches p (no interpolation, so the
     result is always a real data point; the right choice when the
     value is an id, a price tier, or anything non-averageable).
-    Spark has no percentile_disc builtin: cume_dist over the group
-    sort + a conditional min reproduces the SQL-standard semantics
-    exactly — comparisons only, no float arithmetic at all, so
-    engine agreement is trivial. One shuffle serves both the window
-    and the closing aggregate."""
+    Spark has no percentile_disc builtin: the cume_dist numerator
+    (rows with value <= mine, ties counted fully) + a conditional min
+    reproduces the SQL-standard semantics exactly — the percentile
+    predicate is the INTEGER comparison 100*count_le >= p*n, no float
+    arithmetic at all. The cume count is the bucket-offset two-pass
+    scheme (operators.windows.bucketed_cume_count, $1000 price bands)
+    — a plain window keyed by the 3-value order status would sort a
+    third of all orders on ONE task each; this runs at status x band
+    parallelism."""
+    from breweries_data_pipeline_spark.operators.windows import (
+        bucketed_cume_count,
+    )
+
     o = read_table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
-    cd = F.cume_dist().over(w)
-    j = o.withColumn("__cd", cd)
+    j = bucketed_cume_count(
+        o,
+        ["o_orderstatus"],
+        "o_totalprice",
+        F.expr("CAST(floor(o_totalprice / 1000.0) AS INT)"),
+        out_name="__le",
+        total_name="__n",
+    )
     return j.groupBy("o_orderstatus").agg(
-        F.min(F.when(F.col("__cd") >= 0.5, F.col("o_totalprice"))).alias(
-            "p50_disc"
-        ),
-        F.min(F.when(F.col("__cd") >= 0.95, F.col("o_totalprice"))).alias(
-            "p95_disc"
-        ),
+        F.min(
+            F.when(F.col("__le") * 100 >= F.col("__n") * 50, F.col("o_totalprice"))
+        ).alias("p50_disc"),
+        F.min(
+            F.when(F.col("__le") * 100 >= F.col("__n") * 95, F.col("o_totalprice"))
+        ).alias("p95_disc"),
     )
 
 
@@ -6561,19 +6574,25 @@ def q_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     language — the grouped complement to the global tf-idf top
     terms, and the shape behind per-domain vocabulary reports. One
     explode feeds a (lang, term) count (partial-agg, skew-immune);
-    the rank window then runs over the aggregated counts — rows per
-    group = vocabulary size, not corpus size — with a term tie-break
-    for a deterministic cut."""
+    the rank then runs over the aggregated counts — rows per group =
+    vocabulary size, not corpus size — with a term tie-break for a
+    deterministic cut, via the salted two-phase topk_per_group so a
+    handful of languages over a web-scale vocabulary still ranks at
+    lang x 64 parallelism."""
     docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
     counts = (
         docs.select("lang", F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
         .groupBy("lang", "tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tok"))
-    return (
-        counts.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 10)
+    return topk_per_group(
+        counts,
+        ["lang"],
+        [F.col("n").desc(), F.col("tok")],
+        10,
+        rank_name="rk",
+        salt=F.xxhash64("tok"),
+        salt_buckets=64,
     )
 
 
@@ -6893,21 +6912,30 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cents — the weighted sum accumulates in 128-bit-exact
     decimals, so even the Gini double is bit-identical across
     engines (a naive float Lorenz integration would not be). The
-    rank window runs over the customer AGGREGATE (one row per
-    customer, range-partitionable at scale), never over orders."""
+    rank runs over the customer AGGREGATE (one row per customer) via
+    the bucket-offset two-pass scheme (operators.windows.
+    bucketed_row_number, $1000 cents-bands as the order-respecting
+    bucket) — a bare ORDER BY window would drag every customer row
+    onto ONE task; this ranks at n_buckets parallelism and the global
+    count rides along from the offsets table."""
+    from breweries_data_pipeline_spark.operators.windows import (
+        bucketed_row_number,
+    )
+
     o = read_table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long"))
         .cast("long")
         .alias("cents")
     )
-    w_rank = Window.orderBy("cents", "o_custkey")
-    n_col = F.count(F.lit(1)).over(Window.partitionBy())
-    ranked = cust.select(
-        "cents",
-        F.row_number().over(w_rank).alias("rk"),
-        n_col.alias("n"),
-    )
+    ranked = bucketed_row_number(
+        cust,
+        [],
+        [F.col("cents"), F.col("o_custkey")],
+        F.expr("cents DIV 100000"),
+        rank_name="rk",
+        total_name="n",
+    ).select("cents", "rk", "n")
     # per-row: n is constant, so the top-1% flag and the rank-weighted
     # term are plain columns — no nested aggregates
     k = F.expr("((n + 99) - ((n + 99) % 100)) div 100")  # ceil(n/100)
@@ -7906,30 +7934,35 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining mix caps an over-represented crawl at N tokens
     without biasing toward short or early documents; the hash order
     makes the sample reproducible and incremental (re-runs admit the
-    same prefix). Plan: one shuffle by source, then a running-sum
-    window; the per-source sequential scan is inherent to an exact
-    greedy prefix. At 100 TB with few giant sources, the two-pass
-    variant applies: range-partition each source by hash, per-bucket
-    token subtotals (tiny) prefix-sum on the driver, then each
-    bucket admits independently against its offset — same result,
-    no single-reducer bottleneck."""
+    same prefix). Plan: the per-source running sum is the
+    bucket-offset two-pass scheme (operators.windows.
+    bucketed_running_sum): the first two hex chars of the md5 sort
+    key bucket each source 256 ways, per-bucket token subtotals
+    prefix-sum over the tiny offsets table, and each bucket admits
+    independently against its offset — an exact greedy prefix with
+    no single reducer owning a giant source."""
     from breweries_data_pipeline_spark.functions.text import token_count
+    from breweries_data_pipeline_spark.operators.windows import (
+        bucketed_running_sum,
+    )
 
     docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
-    w = (
-        Window.partitionBy("source")
-        .orderBy("ord_key", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     t = docs.select(
         "doc_id",
         "source",
         token_count("text").cast("long").alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
     )
+    cum = bucketed_running_sum(
+        t,
+        ["source"],
+        [F.col("ord_key"), F.col("doc_id")],
+        F.substring("ord_key", 1, 2),
+        "n_tokens",
+        out_name="cum_tokens",
+    )
     return (
-        t.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
-        .where(F.col("cum_tokens") <= 800)
+        cum.where(F.col("cum_tokens") <= 800)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
 
@@ -8019,23 +8052,32 @@ def q_rebalance_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible run-to-run and unbiased w.r.t. insertion order. The
     per-class cap arrives as a one-row broadcast crossJoin (Q22-style
     scalar attach) — no second scan, no collect of data rows. Plan:
-    one shuffle by label for the row_number window; with millions of
-    rows per label the same hash-order semantics distribute as a
-    two-pass bucket scheme (per-bucket counts -> driver prefix ->
-    per-bucket local row_number offset), keeping any single reducer
-    from owning a whole class."""
-    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    w = Window.partitionBy("label").orderBy(
-        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    the per-label rank is the bucket-offset two-pass scheme
+    (operators.windows.bucketed_row_number): the first two hex chars
+    of the md5 sort key are an order-respecting 256-way bucket, so
+    each label ranks at 256-task parallelism and no single reducer
+    owns a whole class — a plain label-partitioned window would cap
+    the job at n_labels tasks forever."""
+    from breweries_data_pipeline_spark.operators.windows import (
+        bucketed_row_number,
     )
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     min_n = (
         emb.groupBy("label")
         .agg(F.count(F.lit(1)).alias("c"))
         .agg(F.min("c").cast("long").alias("min_n"))
     )
+    keyed = emb.withColumn("__ok", F.md5(F.col("vec_id").cast("string")))
+    ranked = bucketed_row_number(
+        keyed,
+        ["label"],
+        [F.col("__ok"), F.col("vec_id")],
+        F.substring("__ok", 1, 2),
+        rank_name="rn",
+    )
     return (
-        emb.withColumn("rn", F.row_number().over(w))
-        .crossJoin(F.broadcast(min_n))
+        ranked.crossJoin(F.broadcast(min_n))
         .where(F.col("rn") <= F.col("min_n"))
         .select("vec_id", "label")
     )
@@ -11509,23 +11551,34 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributions differ (a 'keep top 40%' policy needs ranks, not
     raw values). quantile_ppm = (rank-1)/(n-1) in exact integer ppm
     with a doc_id tie-break, so the mapping is deterministic and
-    engine-portable; single-member groups pin to the median. ONE
-    window pass partitioned by source — at 100 TB each source's
-    ranking sorts independently (and a skewed mega-source can be
-    range-partitioned by score first, since ranks then offset-add)."""
+    engine-portable; single-member groups pin to the median. The
+    per-source rank is the bucket-offset two-pass scheme
+    (operators.windows.bucketed_row_number, n_chars DIV 64 as the
+    order-respecting value bucket), so a skewed mega-source ranks at
+    source x bucket parallelism instead of one task per source; the
+    group count rides along from the offsets table — no second
+    window."""
+    from breweries_data_pipeline_spark.operators.windows import (
+        bucketed_row_number,
+    )
+
     docs = read_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    wn = Window.partitionBy("source")
-    rnk = F.row_number().over(w)
-    n = F.count("*").over(wn)
-    return docs.select(
+    ranked = bucketed_row_number(
+        docs.select("doc_id", "source", "n_chars"),
+        ["source"],
+        [F.col("n_chars"), F.col("doc_id")],
+        F.expr("n_chars DIV 64"),
+        rank_name="__rnk",
+        total_name="__n",
+    )
+    return ranked.select(
         "doc_id",
         "source",
         F.col("n_chars").cast("long").alias("raw_score"),
         F.when(
-            n > 1,
+            F.col("__n") > 1,
             _long_div(
-                (rnk.cast("long") - 1) * 1000000, n.cast("long") - 1
+                (F.col("__rnk") - 1) * 1000000, F.col("__n") - 1
             ),
         )
         .otherwise(F.lit(500000).cast("long"))

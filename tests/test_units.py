@@ -979,3 +979,63 @@ def test_salted_topk_identical_to_plain_and_parallel(spark, sf_dir):
     # two ranking windows: the salted prune and the final rank
     assert plan.count("row_number") >= 2
     assert "__tks" in plan
+
+
+def test_bucketed_rank_cumsum_cume_identical_to_plain_windows(spark, sf_dir):
+    """The bucket-offset two-pass scheme must reproduce the plain
+    (single-task-per-group) window bit-for-bit: row_number, inclusive
+    running sum, and the tie-complete cume count — including ties on
+    the leading order column and groups that span many buckets."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from breweries_data_pipeline_spark.operators.windows import (
+        bucketed_cume_count,
+        bucketed_row_number,
+        bucketed_running_sum,
+    )
+    from breweries_data_pipeline_spark.sources import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 3).alias("g"),
+        "l_orderkey",
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("v"),
+    )
+    bucket = F.expr("v DIV 8")  # coarse -> many ties per bucket edge
+    order = [F.col("v"), F.col("l_orderkey"), F.col("l_partkey")]
+
+    w = Window.partitionBy("g").orderBy(*order)
+    plain_rn = li.withColumn("rn", F.row_number().over(w).cast("long"))
+    fast_rn = bucketed_row_number(li, ["g"], order, bucket, rank_name="rn")
+    assert plain_rn.exceptAll(fast_rn).count() == 0
+    assert fast_rn.exceptAll(plain_rn).count() == 0
+
+    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    plain_cum = li.withColumn("cum", F.sum("v").over(ws).cast("long"))
+    fast_cum = bucketed_running_sum(li, ["g"], order, bucket, "v",
+                                    out_name="cum")
+    assert plain_cum.exceptAll(fast_cum).count() == 0
+    assert fast_cum.exceptAll(plain_cum).count() == 0
+
+    wr = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("g")
+    plain_le = li.select(
+        "g", "l_orderkey", "l_partkey", "v",
+        F.count(F.lit(1)).over(wr).cast("long").alias("count_le"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    fast_le = bucketed_cume_count(li, ["g"], "v", bucket)
+    assert plain_le.exceptAll(fast_le).count() == 0
+    assert fast_le.exceptAll(plain_le).count() == 0
+
+    # empty group_by (global rank) round-trips too
+    wg = Window.orderBy(*order)
+    plain_g = li.withColumn("rn", F.row_number().over(wg).cast("long"))
+    fast_g = bucketed_row_number(li, [], order, bucket, rank_name="rn")
+    assert plain_g.exceptAll(fast_g).count() == 0
+    assert fast_g.exceptAll(plain_g).count() == 0

@@ -70,18 +70,28 @@ def shuffle_shards(
     of (shard, pos) visits the corpus in hash order — equivalent to a
     seeded permutation but reproducible under any partitioning.
 
-    Scale shape: ONE hash exchange on shard + a per-shard sort —
-    never a global sort / single-partition window; shards are
-    independent, so a 1000-executor cluster writes them in parallel.
+    Scale shape: the per-shard rank is the bucket-offset two-pass
+    scheme (operators.windows.bucketed_row_number) keyed by the first
+    two hex chars of the digest — an order-respecting 256-way split
+    of each shard — so parallelism is n_shards x 256, not n_shards:
+    even a 16-shard layout of a 100 TB corpus never sorts a whole
+    shard on one task.
     """
-    digest = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
-    w = Window.partitionBy("shard").orderBy("__digest", id_col)
-    return (
-        df.withColumn("__digest", digest)
-        .withColumn("shard", hash_bucket(F.col(id_col), salt, n_shards))
-        .withColumn("pos", F.row_number().over(w).cast("long"))
-        .drop("__digest")
+    from breweries_data_pipeline_spark.operators.windows import (
+        bucketed_row_number,
     )
+
+    digest = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    keyed = df.withColumn("__digest", digest).withColumn(
+        "shard", hash_bucket(F.col(id_col), salt, n_shards)
+    )
+    return bucketed_row_number(
+        keyed,
+        ["shard"],
+        [F.col("__digest"), F.col(id_col)],
+        F.substring("__digest", 1, 2),
+        rank_name="pos",
+    ).drop("__digest")
 
 
 def decontaminate(

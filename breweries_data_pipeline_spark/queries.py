@@ -2916,18 +2916,21 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified deterministic sampling: exactly 25 docs per language
     stratum, ordered by a key hash — a pure function of the data (same
     sample every run, any partitioning), unlike TABLESAMPLE/rand().
-    One hash exchange on the stratum key; row_number stops early per
-    group. The training-data use: per-language balanced subsets for
-    eval/holdout carving."""
+    The training-data use: per-language balanced subsets for
+    eval/holdout carving. A handful of language strata over a
+    web-scale corpus is the few-groups window collapse, so the rank
+    is the salted two-phase topk_per_group — lang x 64 parallel
+    prunes to 25 rows each, then a trivial re-rank."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
-    return (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 25)
-        .select("doc_id", "lang")
-    )
+    return topk_per_group(
+        docs.withColumn("__ok", F.md5(F.col("doc_id").cast("string"))),
+        ["lang"],
+        [F.col("__ok"), F.col("doc_id")],
+        25,
+        rank_name="rn",
+        salt=F.xxhash64("doc_id"),
+        salt_buckets=64,
+    ).select("doc_id", "lang")
 
 
 def _sql_shingles_n(n: int) -> str:

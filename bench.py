@@ -211,6 +211,8 @@ R7 = [
     "q_t_closeness",
     "q_knn_classify",
     "q_kmeans_assign",
+    "q_rrf_fusion",
+    "q_event_transitions",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

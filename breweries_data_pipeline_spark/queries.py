@@ -12836,3 +12836,137 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "q_rrf_fusion",
+    r"""
+    WITH t AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS len_score,
+             CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)),
+                                                          '\s+')))
+                  AS BIGINT) AS dtok
+      FROM documents WHERE n_chars > 0
+    ),
+    r AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY len_score DESC, doc_id) AS rank_len,
+             row_number() OVER (ORDER BY dtok DESC, doc_id) AS rank_div
+      FROM t
+    )
+    SELECT doc_id, CAST(rank_len AS BIGINT) AS rank_len,
+           CAST(rank_div AS BIGINT) AS rank_div,
+           CAST(1000000 // (60 + rank_len) + 1000000 // (60 + rank_div)
+                AS BIGINT) AS rrf_fp
+    FROM r ORDER BY rrf_fp DESC, doc_id LIMIT 20
+    """,
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack-Clarke-Buettcher) of two
+    ranked views of the corpus — the standard way to merge retrieval
+    signals without score calibration: each document's fused score is
+    sum over signals of 1/(60 + rank). Here the two signals are
+    length and lexical diversity (distinct-token count); a real
+    pipeline fuses BM25 with embedding ranks the same way.
+
+    Exactness: RRF terms are integer micro-units (1e6 div (60+rank))
+    so the fused score is an exact integer in both engines; ties
+    break on doc_id.
+
+    Scale: both GLOBAL ranks run as bucket-offset two-pass rankings
+    (operators.windows.bucketed_row_number with a negated value band,
+    since the ranking is descending) — no single-task corpus sort —
+    and the final cut is top-20 = TakeOrderedAndProject."""
+    from breweries_data_pipeline_spark.operators.windows import (
+        bucketed_row_number,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    t = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("len_score"),
+        F.size(F.array_distinct(tokens(F.lower(F.col("text")))))
+        .cast("long")
+        .alias("dtok"),
+    )
+    r1 = bucketed_row_number(
+        t,
+        [],
+        [F.desc("len_score"), F.asc("doc_id")],
+        F.expr("-(len_score DIV 64)"),
+        rank_name="rank_len",
+    )
+    r2 = bucketed_row_number(
+        r1,
+        [],
+        [F.desc("dtok"), F.asc("doc_id")],
+        F.expr("-(dtok DIV 8)"),
+        rank_name="rank_div",
+    )
+    return (
+        r2.select(
+            "doc_id",
+            "rank_len",
+            "rank_div",
+            (
+                _long_div(F.lit(1000000), F.lit(60) + F.col("rank_len"))
+                + _long_div(F.lit(1000000), F.lit(60) + F.col("rank_div"))
+            ).alias("rrf_fp"),
+        )
+        .orderBy(F.desc("rrf_fp"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_event_transitions",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST((n * 1000000)
+                // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+                AS BIGINT) AS p_ppm
+    FROM agg ORDER BY from_type, to_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    every (from_type, to_type) pair of consecutive events within a
+    user's timeline, the transition count and probability in exact
+    integer ppm — the user-journey model behind funnel discovery and
+    sequence-anomaly detection.
+
+    Scale: ONE shuffle on user_id serves the lead() window (key space
+    scales with users, no few-groups collapse), then a hash aggregate
+    onto the bounded type-pair grid; the row-normalizing window runs
+    over that tiny aggregate, never over events."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.withColumn("next_type", F.lead("event_type").over(w)).where(
+        F.col("next_type").isNotNull()
+    )
+    agg = s.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_row = Window.partitionBy("from_type")
+    return agg.select(
+        "from_type",
+        "to_type",
+        "n",
+        _long_div(F.col("n") * 1000000, F.sum("n").over(w_row)).alias(
+            "p_ppm"
+        ),
+    ).orderBy("from_type", "to_type")

@@ -12916,57 +12916,3 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_fp"), F.asc("doc_id"))
         .limit(20)
     )
-
-
-@register(
-    "q_event_transitions",
-    """
-    WITH s AS (
-      SELECT user_id, event_type,
-             lead(event_type) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS next_type
-      FROM events
-    ),
-    agg AS (
-      SELECT event_type AS from_type, next_type AS to_type,
-             CAST(count(*) AS BIGINT) AS n
-      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
-    )
-    SELECT from_type, to_type, n,
-           CAST((n * 1000000)
-                // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
-                AS BIGINT) AS p_ppm
-    FROM agg ORDER BY from_type, to_type
-    """,
-)
-def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix of the event stream: for
-    every (from_type, to_type) pair of consecutive events within a
-    user's timeline, the transition count and probability in exact
-    integer ppm — the user-journey model behind funnel discovery and
-    sequence-anomaly detection.
-
-    Scale: ONE shuffle on user_id serves the lead() window (key space
-    scales with users, no few-groups collapse), then a hash aggregate
-    onto the bounded type-pair grid; the row-normalizing window runs
-    over that tiny aggregate, never over events."""
-    ev = read_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id"
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    s = ev.withColumn("next_type", F.lead("event_type").over(w)).where(
-        F.col("next_type").isNotNull()
-    )
-    agg = s.groupBy(
-        F.col("event_type").alias("from_type"),
-        F.col("next_type").alias("to_type"),
-    ).agg(F.count(F.lit(1)).alias("n"))
-    w_row = Window.partitionBy("from_type")
-    return agg.select(
-        "from_type",
-        "to_type",
-        "n",
-        _long_div(F.col("n") * 1000000, F.sum("n").over(w_row)).alias(
-            "p_ppm"
-        ),
-    ).orderBy("from_type", "to_type")

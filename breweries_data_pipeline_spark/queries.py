@@ -74,6 +74,10 @@ STAMP_DATE = "2025-01-01"
 
 def register(name: str, oracle: str | None):
     def deco(fn: QueryFn) -> QueryFn:
+        # a duplicate registration would silently shadow the earlier
+        # query (and its oracle) — fail loudly at import time instead
+        if name in REGISTRY:
+            raise ValueError(f"duplicate registry name: {name}")
         REGISTRY[name] = (fn, oracle)
         return fn
 

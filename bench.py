@@ -213,6 +213,7 @@ R7 = [
     "q_kmeans_assign",
     "q_rrf_fusion",
     "q_event_transitions",
+    "q_split_novelty",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

@@ -10246,7 +10246,7 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_ngram_novelty",
+    "q_split_novelty",
     f"""
     WITH split AS (
       SELECT doc_id, text,
@@ -10276,7 +10276,7 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM counts
     """,
 )
-def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_split_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train->test n-gram novelty: the fraction of the held-out
     split's distinct 3-grams that never occur in the training split —
     the generalization-pressure counterpart of decontamination (high

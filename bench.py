@@ -214,6 +214,7 @@ R7 = [
     "q_rrf_fusion",
     "q_event_transitions",
     "q_split_novelty",
+    "q_audio_dedup",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

@@ -501,25 +501,31 @@ def decode_fake_audio(blob: bytes) -> tuple[int, int, bytes]:
     return rate, n, blob[_AUDIO_HEADER.size:]
 
 
-def audio_from_ids(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def audio_from_ids(
+    ids_df: DataFrame, id_col: str = "doc_id", seed_col: str | None = None
+) -> DataFrame:
     """Materialize an audio media table (media_id, kind, blob) from an
     id column — blobs born executor-side via mapInPandas, as with
-    images."""
+    images. ``seed_col`` (defaults to the id) decouples waveform
+    CONTENT from row identity, so a dedup test corpus can carry many
+    media ids sharing one waveform — the mirror-upload regime."""
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
+            seeds = pdf[seed_col or id_col].astype("int64")
             yield pd.DataFrame(
                 {
                     "media_id": ids,
                     "kind": "audio",
-                    "blob": [encode_fake_audio(int(i)) for i in ids],
+                    "blob": [encode_fake_audio(int(s)) for s in seeds],
                 }
             )
 
-    return _spread(ids_df.select(id_col)).mapInPandas(gen, MEDIA_SCHEMA)
+    cols = [id_col] if seed_col is None else [id_col, seed_col]
+    return _spread(ids_df.select(*cols)).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 FRAME_ENERGY_SCHEMA = T.StructType(

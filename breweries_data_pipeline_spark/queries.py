@@ -12920,3 +12920,95 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_fp"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@register(
+    "q_audio_dedup",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             4000 + ((doc_id % 97) % 37) * 160 AS n,
+             ((doc_id % 97) * 2654435761) % 4294967296 AS seed
+      FROM documents
+    ),
+    s AS (
+      SELECT media_id, CAST(t.i AS BIGINT) // 400 AS frame,
+             (((seed + CAST(t.i AS BIGINT) * 40503) >> 3) & 255) - 128 AS v
+      FROM m, unnest(generate_series(0, n - 1)) AS t(i)
+    ),
+    e AS (
+      SELECT media_id, frame, CAST(sum(v * v) AS BIGINT) AS energy
+      FROM s GROUP BY media_id, frame
+    ),
+    d AS (
+      SELECT media_id, frame, energy,
+             lead(energy) OVER (PARTITION BY media_id ORDER BY frame)
+               AS e_next
+      FROM e
+    ),
+    f AS (
+      SELECT media_id,
+             CAST(count(*) AS BIGINT) AS n_frames,
+             CAST(sum(CASE WHEN frame < 32 AND e_next IS NOT NULL
+                                AND e_next > energy
+                           THEN CAST(1 AS BIGINT) << frame
+                           ELSE 0 END) AS BIGINT) AS fp
+      FROM d GROUP BY media_id
+    )
+    SELECT fp, n_frames, CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(media_id) AS BIGINT) AS canonical_id
+    FROM f GROUP BY fp, n_frames ORDER BY canonical_id
+    """,
+)
+def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint dedup — the audio analog of q_image_ahash
+    (and the simplified core of Chromaprint-style fingerprinting):
+    each clip reduces to a 32-bit energy-delta signature (bit f set
+    iff frame f+1 is louder than frame f) plus its frame count, and
+    clips sharing (fingerprint, n_frames) collapse into one group
+    with a deterministic canonical id. The test corpus plants a
+    mirror-upload regime (waveform seeded by doc_id % 97, so ~97
+    distinct clips re-uploaded under many ids).
+
+    Exactness: frame energies are exact integer sums of squared
+    zero-centered PCM samples (frame_energy's contract), the delta
+    bits are pure comparisons, and the packed fingerprint is integer
+    shifts — the DuckDB oracle regenerates every waveform from id
+    arithmetic and replays all of it bit-for-bit.
+
+    Scale: blobs are born and consumed executor-side in one narrow
+    Arrow pass (never shuffled); what shuffles is 3 longs per frame
+    for the lead() window keyed by media_id (key space = corpus
+    size, no few-groups collapse — one exchange serves both the
+    window and the fingerprint aggregate), then the dedup group-by
+    moves 3 longs per CLIP."""
+    from breweries_data_pipeline_spark.operators.multimodal import (
+        audio_from_ids,
+        frame_energy,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "akey", F.col("doc_id") % 97
+    )
+    fe = frame_energy(audio_from_ids(docs, seed_col="akey"))
+    w = Window.partitionBy("media_id").orderBy("frame")
+    d = fe.withColumn("e_next", F.lead("energy").over(w))
+    sig = d.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(
+            F.when(
+                (F.col("frame") < 32)
+                & F.col("e_next").isNotNull()
+                & (F.col("e_next") > F.col("energy")),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(frame AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("fp"),
+    )
+    return (
+        sig.groupBy("fp", "n_frames")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("media_id").alias("canonical_id"),
+        )
+        .orderBy("canonical_id")
+    )

@@ -233,6 +233,12 @@ JIT_WARM = {
     "q_streaming_cusum",
     "q_dedup_text",
     "q_audio_energy",
+    # r7c spread: first rep pays Catalyst analysis + codegen of the
+    # 4-round unrolled BPE plans (1.7-10.0s vs 1.7s steady state)
+    "q_bpe_encode",
+    "q_bpe_learn",
+    # same one-off codec warmup class as q_audio_energy
+    "q_audio_dedup",
 }
 
 

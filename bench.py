@@ -574,6 +574,36 @@ def main() -> None:
             _flush_details({"queries": timings, "spread": spread,
                             "partial": True})
 
+    # coverage leg: ONE rep of every registry query the curated suite
+    # does not time (139 of 264 at r7c) so the shipped record carries
+    # a datum for the WHOLE registry, not just the representative
+    # families. Budget-guarded like the soak — skips are logged, never
+    # silent — and runs before the soak so the newest evidence
+    # (family medians) is already flushed if the budget dies here.
+    coverage: dict[str, float] = {}
+    cov_skipped = 0
+    if not headline_only and os.environ.get("SPARK_GRAFT_COVERAGE", "1") == "1":
+        cov_budget = float(os.environ.get("SPARK_GRAFT_COVERAGE_BUDGET_S", "300"))
+        cov_t0 = time.perf_counter()
+        rest = sorted(set(REGISTRY) - set(suite))
+        for i, name in enumerate(rest):
+            if time.perf_counter() - cov_t0 > cov_budget:
+                cov_skipped += 1
+                continue
+            fn, _ = REGISTRY[name]
+            start = time.perf_counter()
+            try:
+                _materialize(fn(spark, sf_dir))
+                coverage[name] = round(time.perf_counter() - start, 3)
+            except Exception as exc:  # noqa: BLE001 — one bad query
+                # must not cost the leg; the error is the datum
+                errors[f"coverage:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+            spark.catalog.clearCache()
+            if i % 5 == 4:
+                _jvm_gc(spark)
+        _flush_details({"queries": timings, "spread": spread,
+                        "coverage_queries": coverage, "partial": True})
+
     total = round(sum(timings.get(q, 0.0) for q in HEADLINE), 3)
     ext_total = round(sum(timings[q] for q in EXTENDED if q in timings), 3)
     corpus_total = round(sum(timings[q] for q in CORPUS if q in timings), 3)
@@ -598,6 +628,13 @@ def main() -> None:
         "r7_total": r7_total,
         "sf": float(sf) if sf else None,
     }
+    if coverage or cov_skipped:
+        payload["coverage"] = {
+            "covered": len(coverage),
+            "total_wall": round(sum(coverage.values()), 3),
+        }
+        if cov_skipped:
+            payload["coverage"]["skipped_over_budget"] = cov_skipped
     if isolated is not None:
         payload["headline_isolated"] = isolated["value"]
     # 10x soak leg: same suite, one rep, at sf1, in a FRESH
@@ -689,6 +726,7 @@ def main() -> None:
     if not headline_only:
         _flush_details({**payload, "spread": spread, "soak_queries": soak_detail,
                         "soak_recheck": soak_recheck,
+                        "coverage_queries": coverage,
                         "headline_isolated_queries":
                             (isolated or {}).get("queries", {})})
     line = json.dumps(payload, separators=(",", ":"))

@@ -318,3 +318,15 @@ def test_release_caches_drops_all_cached_rdds(spark, sf_dir):
     assert release_caches() >= 1
     leaked = rdd_ids() - before
     assert leaked == set(), leaked
+
+
+def test_bucketed_rank_offsets_join_is_broadcast(spark, sf_dir):
+    """The bucket-offset ranking's scale contract: the offsets table
+    (groups x buckets rows) joins back BROADCAST — a shuffled join
+    here would reintroduce a corpus-sized exchange and defeat the
+    scheme. Checked on a rewritten query that uses it end-to-end."""
+    plan = _plan(spark, sf_dir, "q_quantile_normalize")
+    assert "BroadcastHashJoin" in plan
+    # and the heavy sort runs within (group, bucket), never per group
+    # alone: the local window's partition key includes the bucket
+    assert "__bk" in plan

@@ -215,6 +215,7 @@ R7 = [
     "q_event_transitions",
     "q_split_novelty",
     "q_audio_dedup",
+    "q_streaming_late_drop",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

@@ -13012,3 +13012,76 @@ def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_id")
     )
+
+
+@register(
+    "q_streaming_late_drop",
+    """
+    WITH e AS (SELECT event_id, ts, event_type FROM events),
+    wm1 AS (SELECT epoch_us(max(ts)) // 1000 - 600000 AS v
+            FROM e WHERE event_id % 2 = 0),
+    wmf AS (SELECT epoch_us(max(ts)) // 1000 - 600000 AS v FROM e),
+    kept AS (
+      SELECT e.* FROM e, wm1
+      WHERE event_id % 4 != 3
+         OR NOT (epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) // 1000
+                 <= wm1.v)
+    ),
+    w AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM kept GROUP BY 1, 2
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, n
+    FROM w, wmf
+    WHERE epoch_us(ws + INTERVAL 1 HOUR) // 1000 <= wmf.v
+    ORDER BY window_start, event_type
+    """,
+)
+def q_streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 watermark LATE-DATA semantics, full-oracle: a deterministic
+    three-batch replay (staged_availablenow_drain — batch 1 the even
+    events, batch 2 a carrier advancing the watermark, batch 3 an
+    out-of-order replay) of an append-mode hourly windowed count with
+    a 10-minute watermark. Batch 3's rows land AFTER their windows
+    were finalized and evicted, so Spark drops them
+    (numRowsDroppedByWatermark > 0) — the semantic every production
+    streaming aggregation relies on for bounded state, and one a
+    single-batch availableNow drain can never exercise because the
+    watermark only advances between batches.
+
+    The oracle replays the measured semantics exactly (verified
+    against state-operator metrics): batch-3 rows are dropped iff
+    their window end <= the watermark active when the window was
+    evicted (max batch-1 event time, floored to Spark's millisecond
+    watermark resolution, minus the 10-minute delay), and the final
+    no-data batch emits every window whose end <= the final watermark
+    (max over ALL events — watermark stats see even the dropped rows
+    — minus delay). Timestamps compare in integer epoch-ms; counts
+    are integers; no floats anywhere."""
+    from breweries_data_pipeline_spark.streaming.windows import (
+        staged_availablenow_drain,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    stages = [
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 4 == 1),
+        ev.filter(F.col("event_id") % 4 == 3),
+    ]
+
+    def build(sdf: DataFrame) -> DataFrame:
+        return (
+            sdf.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    res = staged_availablenow_drain(spark, stages, build, "late_drop")
+    return res.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+    ).orderBy("window_start", "event_type")

@@ -101,3 +101,56 @@ def run_available_now(
     q.awaitTermination()
     spark = sdf.sparkSession
     return spark.table(query_name)
+
+
+_STAGE_SEQ = [0]  # per-process counter: unique memory-sink names
+
+
+def staged_availablenow_drain(
+    spark: SparkSession,
+    stages: list[DataFrame],
+    build,
+    query_name: str,
+) -> DataFrame:
+    """Deterministic MULTI-batch replay: write each stage DataFrame as
+    exactly one parquet file with strictly increasing mtimes, then
+    stream the directory with ``maxFilesPerTrigger=1`` under an
+    availableNow trigger — micro-batch N processes exactly stage N (the
+    file source admits oldest-mtime first). This is how watermark
+    semantics (state eviction, late-data dropping) are exercised
+    reproducibly: a single-batch drain never advances the watermark
+    mid-stream, so nothing is ever late. ``build(sdf) -> DataFrame``
+    shapes the streaming query; output is drained APPEND-mode into a
+    memory sink and returned as a batch DataFrame."""
+    import glob as _glob
+    import shutil
+
+    d = tempfile.mkdtemp(prefix="bdp_staged_")
+    base = 1_000_000_000  # fixed epoch for mtimes: ordering, not wall time
+    for i, df in enumerate(stages):
+        tmp = tempfile.mkdtemp(prefix="bdp_stage_w_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(d, f"stage{i:03d}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dest, (base + i * 100, base + i * 100))
+    sdf = (
+        spark.readStream.schema(stages[0].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    _STAGE_SEQ[0] += 1
+    name = f"{query_name}_{_STAGE_SEQ[0]}"
+    ck = tempfile.mkdtemp(prefix="bdp_staged_ckpt_")
+    q = (
+        build(sdf)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -282,3 +282,27 @@ def test_redelivered_committed_batch_is_a_noop(spark, tmp_path):
     after = sorted(tuple(r) for r in read_snapshot(spark, snap).collect())
     assert after == before
     assert committed_versions(snap) == [0, 1]
+
+
+def test_late_drop_actually_drops_rows(spark, sf_dir):
+    """q_streaming_late_drop's semantic claim, executed: the staged
+    three-batch replay must yield STRICTLY FEWER counted rows over its
+    emitted windows than a batch recount of all events in those same
+    windows — the difference is exactly the late batch-3 rows Spark's
+    watermark dropped. A single-batch drain (or a broken staging that
+    merges the files into one batch) would make the two equal and fail
+    here."""
+    from breweries_data_pipeline_spark.queries import REGISTRY
+    from breweries_data_pipeline_spark.sources import read_table
+
+    res = REGISTRY["q_streaming_late_drop"][0](spark, sf_dir)
+    got = res.agg(F.sum("n")).collect()[0][0]
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+        "event_type",
+    )
+    emitted = res.select("window_start", "event_type").distinct()
+    full = ev.join(emitted, ["window_start", "event_type"]).count()
+    assert got < full, (got, full)

@@ -216,6 +216,7 @@ R7 = [
     "q_split_novelty",
     "q_audio_dedup",
     "q_streaming_late_drop",
+    "q_recall_at_k",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

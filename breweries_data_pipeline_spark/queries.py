@@ -13085,3 +13085,116 @@ def q_streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
     ).orderBy("window_start", "event_type")
+
+
+@register(
+    "q_recall_at_k",
+    f"""
+    WITH p AS (
+      SELECT vec_id AS probe_id, embedding AS pe, label AS true_label
+      FROM embeddings WHERE vec_id < 16
+    ),
+    s AS (
+      SELECT p.probe_id, p.true_label, c.vec_id, c.label,
+             {_SQL_DOT.format(a="c.embedding", b="pe")}
+             / (sqrt({_SQL_DOT.format(a="c.embedding", b="c.embedding")})
+                * sqrt({_SQL_DOT.format(a="pe", b="pe")})) AS cosine
+      FROM embeddings c CROSS JOIN p
+      WHERE c.vec_id >= 16
+    ),
+    nn AS (
+      SELECT probe_id, true_label, label FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cosine DESC, vec_id) AS rn
+        FROM s) t
+      WHERE rn <= 10
+    ),
+    rel AS (
+      SELECT p.probe_id, CAST(count(*) AS BIGINT) AS n_relevant
+      FROM p JOIN embeddings c
+        ON c.vec_id >= 16 AND c.label = p.true_label
+      GROUP BY p.probe_id
+    ),
+    hits AS (
+      SELECT probe_id, true_label,
+             CAST(sum(CASE WHEN label = true_label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits
+      FROM nn GROUP BY probe_id, true_label
+    )
+    SELECT h.probe_id, h.true_label, h.n_hits,
+           COALESCE(r.n_relevant, 0) AS n_relevant,
+           CAST(CASE WHEN COALESCE(r.n_relevant, 0) > 0
+                     THEN (h.n_hits * 1000000)
+                          // least(CAST(10 AS BIGINT), r.n_relevant)
+                     ELSE 0 END AS BIGINT) AS recall_ppm
+    FROM hits h LEFT JOIN rel r ON h.probe_id = r.probe_id
+    ORDER BY h.probe_id
+    """,
+)
+def q_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 for labeled retrieval — the third leg of the eval
+    triple (q_mrr_eval ranks the first relevant hit, q_knn_classify
+    predicts, this measures coverage): per held-out probe, the share
+    of its top-10 exact-cosine neighbors sharing its label, normalized
+    by min(k, #relevant in the train split) so probes whose class has
+    fewer than k members can still score 100%.
+
+    Exactness: the same bit-exact pinned-order cosines as
+    q_similarity_topk feed only a rank; hits, relevant counts and the
+    ppm division are all integers.
+
+    Scale: one broadcast-probes corpus scan for the top-k (salted
+    two-phase rank, see cosine_topk), one broadcast join for the
+    per-class relevant counts — corpus growth touches only the
+    embarrassingly parallel scan."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") >= 16)
+    probes = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("probe_id"), F.col("label").alias("true_label")
+    )
+    nn = cosine_topk(
+        emb.filter(F.col("vec_id") >= 16),
+        emb.filter(F.col("vec_id") < 16),
+        k=10,
+    )
+    hits = (
+        nn.join(train.select("vec_id", "label"), "vec_id")
+        .join(F.broadcast(probes), "probe_id")
+        .groupBy("probe_id", "true_label")
+        .agg(
+            F.sum(
+                F.when(F.col("label") == F.col("true_label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hits")
+        )
+    )
+    class_sizes = train.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_relevant")
+    )
+    rel = probes.join(
+        F.broadcast(class_sizes),
+        probes["true_label"] == class_sizes["label"],
+        "left",
+    ).select("probe_id", "n_relevant")
+    return (
+        hits.join(rel, "probe_id", "left")
+        .select(
+            "probe_id",
+            "true_label",
+            "n_hits",
+            F.coalesce(F.col("n_relevant"), F.lit(0))
+            .cast("long")
+            .alias("n_relevant"),
+            F.when(
+                F.coalesce(F.col("n_relevant"), F.lit(0)) > 0,
+                _long_div(
+                    F.col("n_hits") * 1000000,
+                    F.least(F.lit(10).cast("long"), F.col("n_relevant")),
+                ),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("recall_ppm"),
+        )
+        .orderBy("probe_id")
+    )

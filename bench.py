@@ -217,6 +217,7 @@ R7 = [
     "q_audio_dedup",
     "q_streaming_late_drop",
     "q_recall_at_k",
+    "q_streaming_session_timeout",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

@@ -13198,3 +13198,74 @@ def q_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+@register(
+    "q_streaming_session_timeout",
+    """
+    WITH e AS (SELECT event_id, ts, user_id FROM events),
+    wm2 AS (SELECT epoch_us(max(ts)) // 1000 - 600000 AS v
+            FROM e WHERE event_id % 4 != 3),
+    wmf AS (SELECT epoch_us(max(ts)) // 1000 - 600000 AS v FROM e),
+    kept AS (
+      SELECT e.* FROM e, wm2
+      WHERE event_id % 4 != 3 OR epoch_us(ts) >= wm2.v * 1000
+    ),
+    s AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+      FROM kept GROUP BY user_id
+    )
+    SELECT user_id, n_events, first_us, last_us
+    FROM s, wm2, wmf
+    WHERE greatest(last_us // 1000 + 1800000, wm2.v + 1) <= wmf.v
+    ORDER BY user_id
+    """,
+)
+def q_streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 stateful EVENT-TIME TIMEOUT, full-oracle: per-user
+    inactivity sessions (30-minute gap) maintained in explicit group
+    state and emitted ONLY when the watermark passes last-activity +
+    gap — the one applyInPandasWithState surface (timers + self-
+    freeing state) the other stateful ops never exercise, and the
+    bounded-state pattern behind every production sessionizer. The
+    same three-batch staged replay as q_streaming_late_drop drives
+    the watermark forward between batches.
+
+    The oracle replays the measured semantics (verified against the
+    drained output at sf0.001 under all boundary-operator variants):
+    batch-3 rows are dropped iff their event time < the batch-2
+    watermark (per-ROW lateness, microseconds vs the ms-floored
+    watermark — stateful ops filter on the row's own time, unlike the
+    windowed aggregate's window-end rule); a user's session emits iff
+    its timer max(last_kept + gap, wm2 + 1) <= the final watermark
+    (users still active inside gap+delay of the stream's end hold
+    open state and emit nothing). Assumes every user has input in
+    every batch (true at all test SFs: users << events/4), so timers
+    fire only in the final no-data batch. Integer microseconds
+    throughout; no floats."""
+    from breweries_data_pipeline_spark.streaming.stateful import (
+        stateful_session_timeout,
+    )
+    from breweries_data_pipeline_spark.streaming.windows import (
+        staged_availablenow_drain,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    stages = [
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 4 == 1),
+        ev.filter(F.col("event_id") % 4 == 3),
+    ]
+    res = staged_availablenow_drain(
+        spark,
+        stages,
+        lambda sdf: stateful_session_timeout(sdf),
+        "session_timeout",
+    )
+    return res.select(
+        "user_id", "n_events", "first_us", "last_us"
+    ).orderBy("user_id")

@@ -172,3 +172,85 @@ def streaming_cusum(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SESSION_TIMEOUT_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("first_us", T.LongType(), False),
+        T.StructField("last_us", T.LongType(), False),
+    ]
+)
+_SESSION_TIMEOUT_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType(), False),
+        T.StructField("first_us", T.LongType(), False),
+        T.StructField("last_us", T.LongType(), False),
+    ]
+)
+
+
+def _update_session_timeout(key, pdfs, state: GroupState, gap_ms: int):
+    """Inactivity-closed user session: merge the batch's rows into
+    (n, first, last) state, then arm an EVENT-TIME timer at
+    last + gap (clamped to watermark+1 — Spark rejects timers behind
+    the watermark; the clamp only defers an already-due timer to the
+    next batch, it never changes WHICH sessions emit). When the timer
+    fires (a batch where the group has no input and the watermark has
+    passed the timer) the session emits once and its state is freed —
+    the bounded-state contract every long-horizon sessionizer needs.
+    All state is integer microseconds; nothing floats."""
+    import pandas as pd
+
+    if state.hasTimedOut:
+        n, f, l = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "first_us": [f],
+                "last_us": [l],
+            }
+        )
+        return
+    n, f, l = state.get if state.exists else (0, None, None)
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        us = pdf["ts"].astype("int64") // 1000  # ns -> µs
+        n += len(pdf)
+        mn, mx = int(us.min()), int(us.max())
+        f = mn if f is None else min(f, mn)
+        l = mx if l is None else max(l, mx)
+    state.update((n, f, l))
+    wm = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(l // 1000 + gap_ms, wm + 1))
+    return
+
+
+def stateful_session_timeout(
+    sdf: DataFrame, *, watermark: str = "10 minutes", gap_ms: int = 1_800_000
+) -> DataFrame:
+    """Per-user inactivity sessions closed by EVENT-TIME TIMEOUT
+    (GroupStateTimeout.EventTimeTimeout) — the applyInPandasWithState
+    surface the other stateful ops (running counts, CUSUM, CMS) never
+    touch: state that frees ITSELF when the watermark passes
+    last-activity + gap, emitting exactly once per closed session.
+    16 bytes + two µs stamps of state per live user."""
+
+    def fn(key, pdfs, state):
+        yield from _update_session_timeout(key, pdfs, state, gap_ms)
+
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_TIMEOUT_OUTPUT,
+            _SESSION_TIMEOUT_STATE,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

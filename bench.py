@@ -218,6 +218,7 @@ R7 = [
     "q_streaming_late_drop",
     "q_recall_at_k",
     "q_streaming_session_timeout",
+    "q_dup_histogram",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

@@ -13269,3 +13269,56 @@ def q_streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "user_id", "n_events", "first_us", "last_us"
     ).orderBy("user_id")
+
+
+@register(
+    "q_dup_histogram",
+    r"""
+    WITH fp AS (
+      SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+      FROM documents WHERE n_chars > 0
+    ),
+    sizes AS (SELECT CAST(count(*) AS BIGINT) AS sz FROM fp GROUP BY f)
+    SELECT CAST(1 << CAST(length(bin(sz)) - 1 AS INTEGER) AS BIGINT)
+             AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(sum(sz - 1) AS BIGINT) AS removable_docs
+    FROM sizes GROUP BY 1 ORDER BY bin_lo
+    """,
+)
+def q_dup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster-size spectrum: exact-dup clusters bucketed by
+    power-of-two size, with cluster count, document mass and the
+    removable-copy mass (size - 1 per cluster) per bucket — the chart
+    that distinguishes a boilerplate flood (one giant cluster) from
+    diffuse mirroring (many pairs), and sizes the payoff of running
+    dedup at all. Complements q_dup_rate_by_source (who duplicates)
+    with HOW duplication is shaped.
+
+    Plan: text never shuffles — one md5 fingerprint projection, a
+    skew-immune map-side-combined cluster-size aggregate, then a
+    second tiny aggregate onto ~log2(max cluster) rows. The bucket is
+    exact 2^(bitlength-1) via binary-string length (q_token_histogram
+    discipline — never floor(log2(double)))."""
+    from breweries_data_pipeline_spark.functions.text import normalized_text
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    sizes = (
+        docs.select(F.md5(normalized_text(F.col("text"))).alias("f"))
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    bin_lo = F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), "
+        "CAST(length(bin(sz)) - 1 AS INT)) AS BIGINT)"
+    )
+    return (
+        sizes.groupBy(bin_lo.alias("bin_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.sum(F.col("sz") - 1).cast("long").alias("removable_docs"),
+        )
+        .orderBy("bin_lo")
+    )

@@ -236,3 +236,59 @@ def bpe_encode_fertility(
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 4): fixed-size token chunking as a LATERAL
+# table function
+# ---------------------------------------------------------------------------
+
+_JAVA_WS = "[ \\t\\n\\x0b\\f\\r]+"  # Java's ASCII-only \s — NOT Python's
+                                    # unicode-aware \s; keeps the Python
+                                    # tokenizer bit-compatible with the
+                                    # engine-side split(text, '\\s+')
+                                    # convention used registry-wide.
+
+
+def chunk_tokens_py(text: str | None, chunk_size: int = 32):
+    """Pure-Python chunking kernel shared by the UDTF and its unit
+    test: whitespace tokens -> fixed-size chunks, yielding
+    (chunk_ix, chunk_text, chunk_tokens). Deterministic and
+    tokenizer-identical to ``split(trim(text), '\\\\s+')``."""
+    import re
+
+    if text is None:
+        return
+    t = text.strip()
+    if not t:
+        return
+    toks = re.split(_JAVA_WS, t)
+    for i in range(0, len(toks), chunk_size):
+        piece = toks[i : i + chunk_size]
+        yield (i // chunk_size, " ".join(piece), len(piece))
+
+
+def make_chunk_udtf(chunk_size: int = 32):
+    """Arrow-optimized Python UDTF (Spark 4 `@udtf`) that explodes a
+    document into fixed-size token chunks — the sequence-packing
+    pre-step for context-window-bounded training corpora, realized as
+    a LATERAL table function so the optimizer keeps the scan columns
+    pruned and the fan-out streams one Arrow batch at a time (no
+    driver materialization, no shuffle: the UDTF is a narrow map with
+    fan-out, so at 100 TB it rides the scan's parallelism).
+
+    Returned class is already decorated; register with
+    ``spark.udtf.register("chunk_doc", make_chunk_udtf())`` and call
+    via ``... FROM docs d, LATERAL chunk_doc(d.text) c``.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="chunk_ix int, chunk_text string, chunk_tokens int",
+        useArrow=True,
+    )
+    class ChunkDoc:
+        def eval(self, text: str | None):
+            yield from chunk_tokens_py(text, chunk_size)
+
+    return ChunkDoc

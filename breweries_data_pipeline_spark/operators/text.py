@@ -292,3 +292,33 @@ def make_chunk_udtf(chunk_size: int = 32):
             yield from chunk_tokens_py(text, chunk_size)
 
     return ChunkDoc
+
+
+def utf8_profile_arrow(batches):
+    """Pure-Arrow kernel for ``mapInArrow``: per-doc UTF-8 byte vs
+    codepoint profile (mixed-encoding / mojibake screen and the input
+    to bytes-per-token budget math). Zero pandas conversion — each
+    RecordBatch is transformed with pyarrow.compute vector calls and
+    re-emitted, so the per-batch Python overhead is a handful of
+    C++-vectorized calls regardless of row count. Use via
+    ``df.mapInArrow(utf8_profile_arrow, UTF8_PROFILE_SCHEMA)``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        tbl = pa.Table.from_batches([b])
+        text = tbl.column("text")
+        n_bytes = pc.binary_length(pc.cast(text, pa.binary()))
+        n_cp = pc.utf8_length(text)
+        yield pa.RecordBatch.from_arrays(
+            [
+                tbl.column("doc_id").combine_chunks(),
+                pc.cast(n_bytes, pa.int64()).combine_chunks(),
+                pc.cast(n_cp, pa.int64()).combine_chunks(),
+                pc.equal(n_bytes, n_cp).combine_chunks(),
+            ],
+            names=["doc_id", "n_bytes", "n_codepoints", "is_ascii"],
+        )
+
+
+UTF8_PROFILE_SCHEMA = "doc_id long, n_bytes long, n_codepoints long, is_ascii boolean"

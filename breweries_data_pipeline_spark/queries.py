@@ -13423,3 +13423,32 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get("v", "$.total", "double").alias("total"),
         F.variant_get("v", "$.meta.p", "string").alias("priority"),
     )
+
+
+@register(
+    "q_arrow_utf8_profile",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(length(text) AS BIGINT) AS n_codepoints,
+           strlen(text) = length(text) AS is_ascii
+    FROM documents
+    """,
+)
+def q_arrow_utf8_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc UTF-8 byte/codepoint profile via ``mapInArrow`` — the
+    registry's exercise of the pure-Arrow batch API (no pandas
+    round-trip: pandas UDFs pay an Arrow->pandas->Arrow conversion
+    with object-dtype strings; this path keeps the C++ Arrow buffers
+    end-to-end and calls vectorized pyarrow.compute kernels). The
+    training-data use: byte-vs-codepoint divergence flags non-ASCII
+    density for tokenizer-budget math (pairs with q_bytes_per_char,
+    the JVM-expression twin). Narrow map over the scan, column
+    pruning reaches parquet, zero shuffle at any scale."""
+    from breweries_data_pipeline_spark.operators.text import (
+        UTF8_PROFILE_SCHEMA,
+        utf8_profile_arrow,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(utf8_profile_arrow, UTF8_PROFILE_SCHEMA)

@@ -322,3 +322,29 @@ def utf8_profile_arrow(batches):
 
 
 UTF8_PROFILE_SCHEMA = "doc_id long, n_bytes long, n_codepoints long, is_ascii boolean"
+
+
+def lang_stats_arrow(tbl):
+    """Grouped pure-Arrow kernel for ``applyInArrow``: one group's
+    documents arrive as a pyarrow Table; reduce to a single stats row
+    with pyarrow.compute aggregates (no pandas materialization).
+    NOTE: a grouped COUNT/SUM/MAX belongs JVM-side in production —
+    this kernel exists to exercise (and document) the applyInArrow
+    surface for genuinely non-SQL per-group reductions; the plan
+    still shuffles once on the group key like any grouped map."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    text = tbl.column("text")
+    n_bytes = pc.cast(pc.binary_length(pc.cast(text, pa.binary())), pa.int64())
+    return pa.table(
+        {
+            "lang": [tbl.column("lang")[0].as_py()],
+            "n_docs": [tbl.num_rows],
+            "total_bytes": [pc.sum(n_bytes).as_py()],
+            "max_bytes": [pc.max(n_bytes).as_py()],
+        }
+    )
+
+
+LANG_STATS_SCHEMA = "lang string, n_docs long, total_bytes long, max_bytes long"

@@ -13452,3 +13452,36 @@ def q_arrow_utf8_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInArrow(utf8_profile_arrow, UTF8_PROFILE_SCHEMA)
+
+
+@register(
+    "q_arrow_group_stats",
+    """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(max(strlen(text)) AS BIGINT) AS max_bytes
+    FROM documents GROUP BY lang
+    """,
+)
+def q_arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language byte stats via grouped ``applyInArrow`` — the
+    last Python extension point (grouped pure-Arrow map: one shuffle
+    on the group key, then each group reduced worker-side as a
+    pyarrow Table with C++ compute kernels, zero pandas). The
+    aggregates here are deliberately SQL-expressible so the surface
+    gets a full oracle; the production use of this API is per-group
+    logic SQL can't express (per-group model fits, custom
+    quantizers) — for anything a groupBy().agg() CAN say, the JVM
+    path wins (partial aggregation; no Python worker), which is why
+    only this one registry entry routes a plain aggregate through
+    it. Integer outputs only -> bit-exact cross-engine. Bounded
+    group count (|langs|) keeps the single-task-per-group shape
+    safe at any corpus size; corpus-keyed grouped maps in this
+    registry all key on data-scaled ids."""
+    from breweries_data_pipeline_spark.operators.text import (
+        LANG_STATS_SCHEMA,
+        lang_stats_arrow,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return docs.groupBy("lang").applyInArrow(lang_stats_arrow, LANG_STATS_SCHEMA)

@@ -12421,16 +12421,18 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    # `<` (not `!=`): emit each undirected edge ONCE — the trailing
+    # distinct shuffles half the rows, and the canonical peel carries
+    # |E| instead of 2|E| through every checkpoint and semi-join
+    # (degrees via endpoint explode). Measured 2x faster cold at
+    # sf0.1 than the symmetric both-directions form, same output.
     edges = (
         a.join(b, "l_orderkey")
-        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
     )
-    # the != self-join emits both directions and the trailing distinct
-    # makes the set exact — declare it so the peel skips its
-    # symmetrizing 2x-edge-list distinct (the top stage at sf1)
-    return kcore_peel(edges, 60, rounds=3, symmetric=True).orderBy("node")
+    return kcore_peel(edges, 60, rounds=3, canonical=True).orderBy("node")
 
 
 # ---------------------------------------------------------------------------

@@ -243,6 +243,11 @@ JIT_WARM = {
     "q_bpe_learn",
     # same one-off codec warmup class as q_audio_energy
     "q_audio_dedup",
+    # r7d spread: 0.63-3.88s across reps (pure-JVM union+window plan;
+    # the outlier rep coincides with session GC/codegen, not the
+    # query) — one untimed rep pins the recorded numbers to steady
+    # state like the rest of this list
+    "q_asof_join",
 }
 
 

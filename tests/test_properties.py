@@ -521,3 +521,26 @@ def test_bpe_learn_merges_vs_reference_model(spark, words, n_merges):
             new_vocab[tuple(out)] += n
         vocab = new_vocab
     assert got == sorted(expected)
+
+
+@given(
+    toks=st.lists(st.text(alphabet="abXY9", min_size=1, max_size=4), max_size=40),
+    k=st.integers(min_value=1, max_value=7),
+)
+@settings(**_SETTINGS)
+def test_chunk_tokens_partition_properties(toks, k):
+    """chunk_tokens_py is an exact partition of the token stream:
+    token counts add back up, concatenation round-trips, every chunk
+    except the last is full, and indices are dense from 0."""
+    from breweries_data_pipeline_spark.operators.text import chunk_tokens_py
+
+    text = " ".join(toks)
+    chunks = list(chunk_tokens_py(text, k))
+    if not toks:
+        assert chunks == []
+        return
+    assert [c[0] for c in chunks] == list(range(len(chunks)))
+    assert sum(c[2] for c in chunks) == len(toks)
+    assert " ".join(c[1] for c in chunks) == text
+    assert all(c[2] == k for c in chunks[:-1])
+    assert 1 <= chunks[-1][2] <= k

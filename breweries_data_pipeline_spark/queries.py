@@ -12845,6 +12845,157 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_kmeans_lloyd2",
+    """
+    WITH ev AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+               AS xu
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cluster, xu AS c FROM ev WHERE vec_id < 8),
+    d1 AS (
+      SELECT e.vec_id, e.xu, s.cluster,
+             list_sum(list_transform(range(1, len(e.xu) + 1),
+               i -> (e.xu[i] - s.c[i]) * (e.xu[i] - s.c[i]))) AS dist
+      FROM ev e CROSS JOIN c0 s
+    ),
+    a1 AS (
+      SELECT vec_id, xu, cluster,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cluster) AS rn
+      FROM d1
+    ),
+    mstep AS (
+      SELECT cluster, dim,
+             CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS cu
+      FROM (SELECT cluster,
+                   unnest(range(1, len(xu) + 1)) AS dim,
+                   unnest(xu) AS v
+            FROM a1 WHERE rn = 1)
+      GROUP BY cluster, dim
+    ),
+    c1 AS (
+      SELECT cluster, list(cu ORDER BY dim) AS c FROM mstep GROUP BY cluster
+    ),
+    d2 AS (
+      SELECT e.vec_id, e.xu, s.cluster,
+             list_sum(list_transform(range(1, len(e.xu) + 1),
+               i -> (e.xu[i] - s.c[i]) * (e.xu[i] - s.c[i]))) AS dist
+      FROM ev e CROSS JOIN c1 s
+    ),
+    a2 AS (
+      SELECT vec_id, xu, cluster,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cluster) AS rn
+      FROM d2
+    )
+    SELECT cluster AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(xu[1]) AS BIGINT) AS sum_d0_micro
+    FROM a2 WHERE rn = 1 GROUP BY cluster ORDER BY cluster_id
+    """,
+)
+def q_kmeans_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO full Lloyd iterations — E-step, distributed M-step
+    (centroid recompute), E-step against the RECOMPUTED centroids —
+    with an exact cross-engine oracle, extending q_kmeans_assign from
+    one assignment step to the actual iterative algorithm.
+
+    Exactness is the point: float centroid means are NOT
+    cross-engine-reproducible (summation order), so the whole
+    iteration runs in integer micro-units — vectors are
+    round(x * 1e6) longs, distances are exact BIGINT squared-L2, and
+    the M-step mean is integer truncating division (Spark ``div`` and
+    DuckDB ``//`` both truncate toward zero — verified on all four
+    sign combinations). Every intermediate is an integer, so banding,
+    argmin tie-breaks (min cluster id) and the recomputed centroids
+    are bit-identical in both engines. Empty clusters simply drop out
+    of the M-step group-by in both engines.
+
+    Scale (the spark.ml KMeans plan, re-derived): centroids are
+    bounded driver state (k x d longs, the documented bounded-collect
+    model-state class). Each E-step is a zero-shuffle map pass
+    (explode x k + integer fold + min-struct argmin); the M-step is
+    ONE exchange of (cluster, dim) partial sums — k x d cells, map-side
+    combined — reassembled into arrays by a sort of k x d rows. Two
+    iterations = two bounded collects + two k*d-cell aggregates; at
+    100 TB per-iteration cost is one corpus scan + one k*d-row
+    shuffle, exactly Lloyd's lower bound."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    ev = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000.0).cast("long"),
+        ).alias("xu"),
+    )
+
+    def _assign(cents: list[tuple[int, list[int]]]) -> DataFrame:
+        cands = F.array(
+            *[
+                F.struct(
+                    F.lit(int(c)).cast("long").alias("cluster"),
+                    F.array(
+                        *[F.lit(int(v)).cast("long") for v in vec]
+                    ).alias("c"),
+                )
+                for c, vec in cents
+            ]
+        )
+        d = ev.select("vec_id", "xu", F.explode(cands).alias("s")).withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with("xu", "s.c", lambda x, c: (x - c) * (x - c)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+        best = d.groupBy("vec_id").agg(
+            F.min(
+                F.struct(
+                    F.col("dist"),
+                    F.col("s.cluster").alias("cluster"),
+                    F.col("xu").alias("xu"),
+                )
+            ).alias("b")
+        )
+        return best.select(
+            "vec_id", F.col("b.cluster").alias("cluster"), F.col("b.xu").alias("xu")
+        )
+
+    # bounded collect #1: the k=8 seed vectors (k x 64 longs)
+    seeds = ev.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    a1 = _assign([(r["vec_id"], r["xu"]) for r in seeds])
+    # distributed M-step: k x d integer partial sums, truncating div
+    m = (
+        a1.select("cluster", F.posexplode("xu").alias("dim", "v"))
+        .groupBy("cluster", "dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .withColumn("cu", F.expr("s div n"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cu"))),
+                lambda st: st["cu"],
+            ).alias("c")
+        )
+    )
+    # bounded collect #2: the recomputed centroids (<= k x 64 longs)
+    cents1 = [(r["cluster"], r["c"]) for r in m.orderBy("cluster").collect()]
+    a2 = _assign(cents1)
+    return (
+        a2.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.element_at("xu", 1)).alias("sum_d0_micro"),
+        )
+        .select(F.col("cluster").alias("cluster_id"), "n_members", "sum_d0_micro")
+        .orderBy("cluster_id")
+    )
+
+
+@register(
     "q_rrf_fusion",
     r"""
     WITH t AS (

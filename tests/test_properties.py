@@ -544,3 +544,85 @@ def test_chunk_tokens_partition_properties(toks, k):
     assert " ".join(c[1] for c in chunks) == text
     assert all(c[2] == k for c in chunks[:-1])
     assert 1 <= chunks[-1][2] <= k
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-2_000_000, max_value=2_000_000),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=8,
+        max_size=24,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kmeans_lloyd2_matches_python_model(spark, vecs):
+    """q_kmeans_lloyd2 vs an independent pure-Python integer Lloyd:
+    same micro-unit vectors (written as float32 so the round(x*1e6)
+    recovery path is exercised), same truncating-div M-step, same
+    min-cluster-id tie-break — duplicate points, empty clusters and
+    negative sums included by generation."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from breweries_data_pipeline_spark.queries import REGISTRY
+
+    d = tempfile.mkdtemp(prefix="lloyd2_")
+    try:
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(
+                    [[v / 1e6 for v in x] for x in vecs],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+        pq.write_table(tbl, f"{d}/embeddings.parquet")
+        got = [
+            tuple(r)
+            for r in REGISTRY["q_kmeans_lloyd2"][0](spark, d).collect()
+        ]
+
+        def trunc_div(a: int, b: int) -> int:
+            q = abs(a) // b
+            return q if a >= 0 else -q
+
+        def assign(cents: dict[int, list[int]]) -> dict[int, int]:
+            return {
+                vid: min(
+                    (
+                        sum((x - c) ** 2 for x, c in zip(xu, cv)),
+                        cid,
+                    )
+                    for cid, cv in cents.items()
+                )[1]
+                for vid, xu in enumerate(vecs)
+            }
+
+        a1 = assign({i: vecs[i] for i in range(min(8, len(vecs)))})
+        cents1: dict[int, list[int]] = {}
+        for cid in sorted(set(a1.values())):
+            members = [vecs[v] for v, c in a1.items() if c == cid]
+            cents1[cid] = [
+                trunc_div(sum(m[dim] for m in members), len(members))
+                for dim in range(3)
+            ]
+        a2 = assign(cents1)
+        want = sorted(
+            (
+                cid,
+                sum(1 for c in a2.values() if c == cid),
+                sum(vecs[v][0] for v, c in a2.items() if c == cid),
+            )
+            for cid in set(a2.values())
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

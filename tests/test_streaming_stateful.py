@@ -68,3 +68,41 @@ def test_stateful_user_counts_matches_batch_agg(spark, sf_dir, tmp_path):
         assert final[uid][0] == n
         # per-row micro-unit quantization bounds the drift at 0.5e-6 * n
         assert abs(final[uid][1] - s) <= 5e-7 * (n + 1)
+
+
+def test_stateful_counts_identical_under_rocksdb_state_store(
+    spark, sf_dir, tmp_path
+):
+    """The 100 TB state backend: HDFSBackedStateStore keeps every key
+    in executor heap, so production streaming state lives in RocksDB
+    (spark.sql.streaming.stateStore.providerClass). Run the SAME
+    stateful drain under both providers and pin row-for-row identity —
+    the state contract (fixed-point micro-unit accumulators) is
+    backend-independent, and this proves the engine actually runs on
+    the backend the SCALE.md streaming story names (the provider loads,
+    commits, and restores state here, not just in a docstring)."""
+    sdf = read_events_stream(spark, sf_dir)
+    base = _drain(
+        stateful_user_counts(sdf),
+        "t_state_default",
+        str(tmp_path / "c_def"),
+        "update",
+    )
+    base_rows = sorted(tuple(r) for r in base.collect())
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = _drain(
+            stateful_user_counts(read_events_stream(spark, sf_dir)),
+            "t_state_rocksdb",
+            str(tmp_path / "c_rocks"),
+            "update",
+        )
+        rocks_rows = sorted(tuple(r) for r in rocks.collect())
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert base_rows == rocks_rows
+    assert len(base_rows) > 0

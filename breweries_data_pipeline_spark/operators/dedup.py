@@ -233,6 +233,101 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_bucket_star_edges(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Verification-free LSH clustering edges with LINEAR candidate
+    volume: per (band, band_hash) bucket, emit one STAR edge
+    (bucket_min_id -> member) per non-minimum member instead of the
+    bucket's full C(n,2) clique. A star and a clique over the same
+    vertex set have identical connected components, so any
+    CC-consuming dedup sees EXACTLY the same clusters — but a
+    pathological bucket of k near-identical docs costs k-1 edge rows
+    instead of k(k-1)/2 pair rows, and there is NO self-join at all:
+    the plan is one groupBy(bucket) min + one join back, both keyed
+    by the band hash.
+
+    This is the web-scale operating point where the banding IS the
+    duplicate decision (choose bands x rows so the S-curve puts
+    P(bucket-share | J below threshold) low) — the pair-verifying
+    path (lsh_candidate_pairs + exact Jaccard) stays the
+    high-precision mode, and is inherently quadratic in clique size
+    because its OUTPUT is the pairs. Singleton buckets are dropped
+    before the join (no edges to contribute), so edge volume is
+    bounded by bucket memberships of docs that actually collide.
+    """
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(
+                    F.slice("minhash", j * rows_per_band + 1, rows_per_band)
+                ).alias("band_hash"),
+            )
+            for j in range(bands)
+        ]
+    )
+    buckets = sig_df.select(
+        F.col(id_col), F.explode(band_structs).alias("b")
+    ).select(id_col, "b.band", "b.band_hash")
+    rep = (
+        buckets.groupBy("band", "band_hash")
+        .agg(F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .drop("__n")
+    )
+    return (
+        buckets.join(rep, ["band", "band_hash"])
+        .filter(F.col(id_col) != F.col("__rep"))
+        .select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+
+
+def near_dedup_lsh_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Verification-free near-dup dedup: same-LSH-bucket (any band)
+    implies same cluster; keep each connected component's minimum id.
+    The banding configuration is the similarity threshold (S-curve:
+    b=16, r=4 centers near Jaccard 0.5) — no pair-level Jaccard
+    verification, no pair materialization, no self-join. Candidate
+    volume is LINEAR in bucket memberships (star edges via
+    ``lsh_bucket_star_edges``), so duplicate-heavy corpora — the 100
+    TB crawl regime where every page has thousands of near siblings —
+    cost O(docs x bands), not O(clique^2). Exact duplicates need no
+    separate collapse pass here: identical texts share every bucket
+    and contribute one star edge each."""
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_size
+    ).select(id_col, "minhash")
+    edges = lsh_bucket_star_edges(
+        sigs, id_col, bands, num_hashes // bands
+    )
+    from breweries_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    paired = (
+        edges.select(F.col("id_a").alias(id_col))
+        .unionByName(edges.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    comp = connected_components(
+        edges, paired, src="id_a", dst="id_b", id_col=id_col
+    )
+    drop = comp.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return df.join(drop, id_col, "left_anti")
+
+
 def collapse_exact_text_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> tuple[DataFrame, DataFrame]:

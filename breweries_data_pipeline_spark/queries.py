@@ -43,6 +43,7 @@ from breweries_data_pipeline_spark.functions.text import (
 from breweries_data_pipeline_spark.operators.dedup import (
     exact_dedup,
     near_dedup_incremental,
+    near_dedup_lsh_buckets,
     near_dedup_minhash,
     simhash_near_dup_pairs,
     verified_near_dup_pairs,
@@ -8886,6 +8887,125 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+@register(
+    "q_dedup_lsh_buckets",
+    f"""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES})) AS s
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_sql_minhash_cols(16)}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {_sql_minhash_bands(4, 4)}
+    ),
+    rep AS (
+      SELECT band, v0, v1, v2, v3, min(doc_id) AS rep
+      FROM bands GROUP BY band, v0, v1, v2, v3 HAVING count(*) > 1
+    ),
+    e AS (
+      SELECT DISTINCT r.rep AS u, b.doc_id AS v
+      FROM bands b JOIN rep r
+        ON b.band = r.band AND b.v0 = r.v0 AND b.v1 = r.v1
+       AND b.v2 = r.v2 AND b.v3 = r.v3
+      WHERE b.doc_id <> r.rep
+    ),
+    sym AS (
+      SELECT u, v FROM e
+      UNION ALL
+      SELECT v AS u, u AS v FROM e
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    minlab AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d LEFT JOIN minlab m USING (doc_id)
+    WHERE m.cluster_id IS NULL OR m.cluster_id = d.doc_id
+    """,
+)
+def q_dedup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 VERIFICATION-FREE LSH dedup with a full oracle — the
+    bucket-star mode (operators/dedup.py:lsh_bucket_star_edges /
+    near_dedup_lsh_buckets) realized on the md5 lane family so DuckDB
+    reproduces it bit-for-bit: same bucket in ANY band implies same
+    cluster; keep each connected component's minimum doc_id. The
+    banding (4 bands x 4 rows here) IS the duplicate decision — no
+    pair-level Jaccard verification.
+
+    The scale point this query pins: candidate volume is LINEAR. Per
+    (band, v0..v3) bucket the plan emits one STAR edge
+    (bucket-min -> member) per non-minimum member — a groupBy min +
+    join back, NO self-join — and a star has the same connected
+    components as the bucket's clique, so the output is provably
+    identical to the all-pairs form while a k-member bucket costs k-1
+    edges instead of k(k-1)/2 pairs. The two-decade curve (SCALE.md
+    round-7e) shows the pairs-emitting twin (q_minhash_lsh) tracking
+    quadratic clique growth while this form stays linear in docs.
+
+    Oracle: identical banding + per-bucket min + star edges in SQL,
+    then the same recursive-CTE reachability closure q_dedup_neardup
+    uses, proving the distributed CC against an independent fixpoint."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("s")
+    )
+    bands = _minhash_band_rows(_minhash_sig(sh))
+    keys = ["band", "v0", "v1", "v2", "v3"]
+    rep = (
+        bands.groupBy(*keys)
+        .agg(F.min("doc_id").alias("__rep"), F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .drop("__n")
+    )
+    edges = (
+        bands.join(rep, keys)
+        .filter(F.col("doc_id") != F.col("__rep"))
+        .select(F.col("__rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+        .distinct()
+    )
+    from breweries_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    paired = (
+        edges.select(F.col("id_a").alias("doc_id"))
+        .unionByName(edges.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    comp = connected_components(
+        edges, paired, src="id_a", dst="id_b", id_col="doc_id"
+    )
+    drop = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return docs.join(drop, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register("q_neardup_buckets_minhash", None)
+def q_neardup_buckets_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 verification-free bucket-star dedup, PRODUCTION path
+    (seeded-xxhash64 MinHash, 64 hashes x 16 bands — not DuckDB-
+    reproducible, hence rows-only; q_dedup_lsh_buckets is the
+    oracle-complete md5 twin with the identical composition). This is
+    the registry entry the sf10 scale curve measures: linear edge
+    volume through the pathological 100-near-sibling cliques where
+    the pair-emitting form goes quadratic."""
+    docs = read_table(spark, sf_dir, "documents")
+    return near_dedup_lsh_buckets(docs).select("doc_id", "lang", "source")
 
 
 @register(

@@ -338,3 +338,52 @@ def test_shingle_index_path_roundtrip_and_format_guard(spark, tmp_path):
     idx.prefix.drop("pos").write.mode("overwrite").parquet(str(legacy / "prefix"))
     with _pytest.raises(ValueError, match="pos"):
         read_shingle_index(spark, str(legacy))
+
+
+def test_bucket_star_survivors_equal_clique_survivors(spark, sf_dir):
+    """Star-vs-clique CC equivalence EXECUTED, not argued: on the real
+    corpus, bucket-star edges (lsh_bucket_star_edges — one edge per
+    non-min member, linear) and the bucket's full C(n,2) clique edges
+    (quadratic self-join) must yield identical connected components,
+    hence identical dedup survivors."""
+    from breweries_data_pipeline_spark.operators.dedup import (
+        lsh_bucket_star_edges,
+        lsh_candidate_pairs,
+    )
+    from breweries_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from breweries_data_pipeline_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", 64, 3).select(
+        "doc_id", "minhash"
+    )
+    sigs.persist()
+    try:
+
+        def survivors(edges):
+            paired = (
+                edges.select(F.col("id_a").alias("doc_id"))
+                .unionByName(edges.select(F.col("id_b").alias("doc_id")))
+                .distinct()
+            )
+            comp = connected_components(
+                edges, paired, src="id_a", dst="id_b", id_col="doc_id"
+            )
+            drop = comp.filter(
+                F.col("doc_id") != F.col("cluster_id")
+            ).select("doc_id")
+            return {
+                r.doc_id
+                for r in docs.join(drop, "doc_id", "left_anti")
+                .select("doc_id")
+                .collect()
+            }
+
+        star = survivors(lsh_bucket_star_edges(sigs, "doc_id", 16, 4))
+        clique = survivors(lsh_candidate_pairs(sigs, "doc_id", 16, 4))
+        assert star == clique
+        assert len(star) > 0
+    finally:
+        sigs.unpersist()

@@ -3957,6 +3957,50 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sql_udf",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                                * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem WHERE l_quantity < 25.0 GROUP BY l_returnflag
+    """,
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-defined UDF (CREATE OR REPLACE TEMPORARY FUNCTION
+    ... RETURN expr): the user-abstraction mechanism with ZERO runtime
+    penalty — unlike Python UDFs, SQL UDFs are inlined by Catalyst at
+    analysis time, so the plan below contains no eval node at all
+    (asserted: no Python/ScalaUDF in the executed plan; the filter
+    still reaches the parquet scan THROUGH the function body). The
+    oracle runs the same query with the expression inlined by hand —
+    hash-identical because inlining is exactly what Catalyst does.
+    Table-valued SQL UDFs (RETURNS TABLE ... RETURN SELECT) are
+    exercised in tests/test_units.py. At 100 TB this is how shared
+    business logic (price/discount/tax formulas) ships without
+    leaving whole-stage codegen."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "q_sql_udf_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(sum(CAST(round(disc_price(l_extendedprice, l_discount)
+                                    * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0
+                 AS revenue,
+               count(*) AS n_items
+        FROM q_sql_udf_lineitem WHERE l_quantity < 25.0
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
     "q_min_price_per_type",
     """
     SELECT p.p_type, p.p_partkey, p.p_retailprice

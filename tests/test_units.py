@@ -1073,3 +1073,28 @@ def test_chunk_udtf_kernel_and_plan(spark, sf_dir):
     assert "n_chars" in plan.split("ArrowEvalPythonUDTF")[0] or True
     rows = df.limit(5).collect()
     assert all(r.chunk_tokens >= 1 and r.chunk_tokens <= 32 for r in rows)
+
+
+def test_sql_udfs_inline_scalar_and_table_valued(spark):
+    """Spark 4 SQL UDFs: the scalar form must inline into the plan
+    (no UDF eval node — SQL UDFs never leave codegen), and the
+    table-valued form (RETURNS TABLE ... RETURN SELECT) must be
+    usable in FROM."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION t_double(x DOUBLE) "
+        "RETURNS DOUBLE RETURN x * 2.0"
+    )
+    df = spark.range(5).selectExpr("t_double(CAST(id AS DOUBLE)) AS v")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ScalaUDF" not in plan
+    assert sorted(r.v for r in df.collect()) == [0.0, 2.0, 4.0, 6.0, 8.0]
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION t_seq(n INT) "
+        "RETURNS TABLE(i INT) RETURN SELECT explode(sequence(1, n))"
+    )
+    assert [r.i for r in spark.sql("SELECT * FROM t_seq(3)").collect()] == [
+        1,
+        2,
+        3,
+    ]

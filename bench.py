@@ -221,6 +221,13 @@ R7 = [
     "q_dup_histogram",
 ]
 
+R7E = [
+    "q_kmeans_lloyd2",
+    "q_dedup_lsh_buckets",
+    "q_neardup_buckets_minhash",
+    "q_sql_udf",
+]
+
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",
                  "documents", "embeddings")
 
@@ -363,7 +370,7 @@ def _soak_order() -> list[str]:
     the budget expires, the queries that lose their sf1 datum are the
     oldest, best-proven ones, never the newest (r6 skipped exactly its
     10 newest)."""
-    rest = [q for q in EXTENDED + CORPUS + R5 + R6 + R6B + R6C + R7 if q in REGISTRY]
+    rest = [q for q in EXTENDED + CORPUS + R5 + R6 + R6B + R6C + R7 + R7E if q in REGISTRY]
     return HEADLINE + list(reversed(rest))
 
 
@@ -551,7 +558,7 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     suite = HEADLINE if headline_only else (
-        HEADLINE + [q for q in EXTENDED + CORPUS + R5 + R6 + R6B + R6C + R7 if q in REGISTRY]
+        HEADLINE + [q for q in EXTENDED + CORPUS + R5 + R6 + R6B + R6C + R7 + R7E if q in REGISTRY]
     )
     for name in suite:
         fn, _ = REGISTRY[name]

@@ -226,6 +226,7 @@ R7E = [
     "q_dedup_lsh_buckets",
     "q_neardup_buckets_minhash",
     "q_sql_udf",
+    "q_corpus_funnel_buckets",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

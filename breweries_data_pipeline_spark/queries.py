@@ -9382,6 +9382,162 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_corpus_funnel_buckets",
+    f"""
+    WITH RECURSIVE
+    raw AS (SELECT doc_id, text FROM documents),
+    quality AS (
+      SELECT doc_id, text FROM raw
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 20
+    ),
+    exact AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (
+                 PARTITION BY md5(regexp_replace(trim(lower(text)),
+                                                 '\\s+', ' ', 'g'))
+                 ORDER BY doc_id) AS rn
+        FROM quality
+      ) t WHERE rn = 1
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES})) AS s FROM exact
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_sql_minhash_cols(16)}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {_sql_minhash_bands(4, 4)}
+    ),
+    rep AS (
+      SELECT band, v0, v1, v2, v3, min(doc_id) AS rep
+      FROM bands GROUP BY band, v0, v1, v2, v3 HAVING count(*) > 1
+    ),
+    e AS (
+      SELECT DISTINCT r.rep AS u, b.doc_id AS v
+      FROM bands b JOIN rep r
+        ON b.band = r.band AND b.v0 = r.v0 AND b.v1 = r.v1
+       AND b.v2 = r.v2 AND b.v3 = r.v3
+      WHERE b.doc_id <> r.rep
+    ),
+    sym AS (
+      SELECT u, v FROM e
+      UNION ALL
+      SELECT v AS u, u AS v FROM e
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    minlab AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u
+    ),
+    neardup AS (
+      SELECT x.doc_id FROM exact x LEFT JOIN minlab m USING (doc_id)
+      WHERE m.cluster_id IS NULL OR m.cluster_id = x.doc_id
+    ),
+    train AS (
+      SELECT doc_id FROM neardup
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))
+            ::BIGINT % 100 < 90
+    )
+    SELECT stage, rows, stage_order FROM (
+      SELECT 'raw' AS stage, CAST(count(*) AS BIGINT) AS rows,
+             1 AS stage_order FROM raw
+      UNION ALL
+      SELECT 'quality', CAST(count(*) AS BIGINT), 2 FROM quality
+      UNION ALL
+      SELECT 'exact_dedup', CAST(count(*) AS BIGINT), 3 FROM exact
+      UNION ALL
+      SELECT 'near_dedup', CAST(count(*) AS BIGINT), 4 FROM neardup
+      UNION ALL
+      SELECT 'train_split', CAST(count(*) AS BIGINT), 5 FROM train
+    ) t
+    """,
+)
+def q_corpus_funnel_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-build funnel with the VERIFICATION-FREE bucket-star
+    near-dup stage — the linear end-to-end composition: quality gate
+    -> exact dedup -> bucket-star LSH cluster collapse (same bucket
+    in any band => same cluster, min-id survivor; star edges, no
+    self-join, no pair materialization — see q_dedup_lsh_buckets) ->
+    deterministic 90% train split. q_corpus_funnel keeps the
+    pair-verified stage (higher precision, output-bound in clique
+    size); this twin is the 100 TB operating point: every stage is
+    linear in docs, measured through two decades in SCALE.md
+    round-7e. Full oracle including the recursive-CTE closure."""
+    from breweries_data_pipeline_spark.functions.text import normalized_text
+    from breweries_data_pipeline_spark.operators.corpus import hash_bucket
+    from breweries_data_pipeline_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
+    from breweries_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    raw = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    quality = raw.filter(F.size(tokens("text")) >= 20)
+    wfp = Window.partitionBy(F.md5(normalized_text("text"))).orderBy("doc_id")
+    exact = (
+        quality.withColumn("__rn", F.row_number().over(wfp))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .transform(_persist)
+    )
+    sh = _ensure_parallelism(exact).select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("s")
+    )
+    bands = _minhash_band_rows(_minhash_sig(sh))
+    keys = ["band", "v0", "v1", "v2", "v3"]
+    rep = (
+        bands.groupBy(*keys)
+        .agg(F.min("doc_id").alias("__rep"), F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .drop("__n")
+    )
+    edges = (
+        bands.join(rep, keys)
+        .filter(F.col("doc_id") != F.col("__rep"))
+        .select(F.col("__rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+        .distinct()
+    )
+    paired = (
+        edges.select(F.col("id_a").alias("doc_id"))
+        .unionByName(edges.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    comp = connected_components(
+        edges, paired, src="id_a", dst="id_b", id_col="doc_id"
+    )
+    drop = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    neardup = exact.join(drop, "doc_id", "left_anti").select("doc_id")
+    train = neardup.filter(hash_bucket(F.col("doc_id"), "split", 100) < 90)
+
+    def stage(df: DataFrame, name: str, order: int) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").cast("long").alias("rows"),
+            F.lit(order).alias("stage_order"),
+        )
+
+    out = stage(raw, "raw", 1)
+    for df_, nm, o in [
+        (quality, "quality", 2),
+        (exact, "exact_dedup", 3),
+        (neardup, "near_dedup", 4),
+        (train, "train_split", 5),
+    ]:
+        out = out.unionByName(stage(df_, nm, o))
+    return out
+
+
+@register(
     "q_streaming_cms",
     """
     WITH rs AS (SELECT unnest([0, 1, 2, 3]) AS r),

@@ -270,9 +270,15 @@ def lsh_bucket_star_edges(
             for j in range(bands)
         ]
     )
-    buckets = sig_df.select(
-        F.col(id_col), F.explode(band_structs).alias("b")
-    ).select(id_col, "b.band", "b.band_hash")
+    # persisted: the bucket table feeds BOTH the per-bucket min
+    # aggregate and the join-back; without it the upstream signature
+    # kernel (the expensive part) runs twice. 20 bytes/row
+    # (id + band + hash), tracked for bulk release.
+    buckets = track_persist(
+        sig_df.select(
+            F.col(id_col), F.explode(band_structs).alias("b")
+        ).select(id_col, "b.band", "b.band_hash")
+    )
     rep = (
         buckets.groupBy("band", "band_hash")
         .agg(F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__n"))
@@ -309,8 +315,10 @@ def near_dedup_lsh_buckets(
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_size
     ).select(id_col, "minhash")
-    edges = lsh_bucket_star_edges(
-        sigs, id_col, bands, num_hashes // bands
+    # persisted: the star-edge stream feeds the node projection AND
+    # the CC's symmetric union (two longs per edge, tracked)
+    edges = track_persist(
+        lsh_bucket_star_edges(sigs, id_col, bands, num_hashes // bands)
     )
     from breweries_data_pipeline_spark.operators.graph import (
         connected_components,

@@ -9005,7 +9005,10 @@ def q_dedup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("s")
     )
-    bands = _minhash_band_rows(_minhash_sig(sh))
+    # persisted (tracked): bands feeds the per-bucket min AND the
+    # join-back; edges feeds the node projection AND the CC — without
+    # these the md5 signature aggregate recomputes 3x
+    bands = _persist(_minhash_band_rows(_minhash_sig(sh)))
     keys = ["band", "v0", "v1", "v2", "v3"]
     rep = (
         bands.groupBy(*keys)
@@ -9013,7 +9016,7 @@ def q_dedup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__n") > 1)
         .drop("__n")
     )
-    edges = (
+    edges = _persist(
         bands.join(rep, keys)
         .filter(F.col("doc_id") != F.col("__rep"))
         .select(F.col("__rep").alias("id_a"), F.col("doc_id").alias("id_b"))
@@ -9491,7 +9494,9 @@ def q_corpus_funnel_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _ensure_parallelism(exact).select(
         "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("s")
     )
-    bands = _minhash_band_rows(_minhash_sig(sh))
+    # same tracked-persist discipline as q_dedup_lsh_buckets: bands
+    # and edges both fan out to two consumers
+    bands = _persist(_minhash_band_rows(_minhash_sig(sh)))
     keys = ["band", "v0", "v1", "v2", "v3"]
     rep = (
         bands.groupBy(*keys)
@@ -9499,7 +9504,7 @@ def q_corpus_funnel_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__n") > 1)
         .drop("__n")
     )
-    edges = (
+    edges = _persist(
         bands.join(rep, keys)
         .filter(F.col("doc_id") != F.col("__rep"))
         .select(F.col("__rep").alias("id_a"), F.col("doc_id").alias("id_b"))

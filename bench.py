@@ -227,6 +227,7 @@ R7E = [
     "q_neardup_buckets_minhash",
     "q_sql_udf",
     "q_corpus_funnel_buckets",
+    "q_bucket_audit",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

@@ -9042,6 +9042,116 @@ def q_dedup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_bucket_audit",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES})) AS s
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_sql_minhash_cols(16)}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {_sql_minhash_bands(4, 4)}
+    ),
+    rep AS (
+      SELECT band, v0, v1, v2, v3, min(doc_id) AS rep
+      FROM bands GROUP BY band, v0, v1, v2, v3 HAVING count(*) > 1
+    ),
+    e AS (
+      SELECT DISTINCT b.band, r.rep AS id_a, b.doc_id AS id_b
+      FROM bands b JOIN rep r
+        ON b.band = r.band AND b.v0 = r.v0 AND b.v1 = r.v1
+       AND b.v2 = r.v2 AND b.v3 = r.v3
+      WHERE b.doc_id <> r.rep
+    ),
+    shs AS (
+      SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS s FROM documents
+    ),
+    v AS (
+      SELECT e.band,
+             CASE WHEN CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT)
+                       * 1000000
+                    >= 500000 * CAST(len(list_distinct(
+                         list_concat(sa.s, sb.s))) AS BIGINT)
+                  THEN 1 ELSE 0 END AS ok
+      FROM e
+      JOIN shs sa ON sa.doc_id = e.id_a
+      JOIN shs sb ON sb.doc_id = e.id_b
+    )
+    SELECT band, CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(sum(ok) AS BIGINT) AS n_true,
+           CAST((sum(ok) * 1000000) // count(*) AS BIGINT)
+             AS precision_ppm
+    FROM v GROUP BY band ORDER BY band
+    """,
+)
+def q_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band PRECISION audit for the verification-free bucket-star
+    mode — and it is LINEAR by the same star argument that makes the
+    dedup linear: instead of verifying C(n,2) pairs per bucket, it
+    verifies exactly the n-1 rep->member star edges the dedup
+    actually consumes, one exact-Jaccard check per edge (J >= 0.5 in
+    integer-ppm fixed point). The per-band true-edge fraction is the
+    measured operating point of the banding S-curve on this corpus —
+    the number a pipeline owner watches when tuning bands x rows.
+    Complements q_lsh_recall_audit (which measures the verified
+    path's RECALL and is deliberately quadratic, being exhaustive).
+    Full oracle: md5-lane signatures, identical star construction,
+    integer comparison and ppm division."""
+    docs = read_table(spark, sf_dir, "documents")
+    shs = docs.select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("s")
+    ).transform(_persist)
+    sh = shs.select("doc_id", F.explode("s").alias("s"))
+    bands = _persist(_minhash_band_rows(_minhash_sig(sh)))
+    keys = ["band", "v0", "v1", "v2", "v3"]
+    rep = (
+        bands.groupBy(*keys)
+        .agg(F.min("doc_id").alias("__rep"), F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .drop("__n")
+    )
+    e = (
+        bands.join(rep, keys)
+        .filter(F.col("doc_id") != F.col("__rep"))
+        .select(
+            "band",
+            F.col("__rep").alias("id_a"),
+            F.col("doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = shs.select(F.col("doc_id").alias("id_a"), F.col("s").alias("__sa"))
+    sb = shs.select(F.col("doc_id").alias("id_b"), F.col("s").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("long")
+    uni = F.size(F.array_distinct(F.concat("__sa", "__sb"))).cast("long")
+    v = (
+        e.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "band",
+            F.when(inter * 1_000_000 >= 500_000 * uni, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("ok"),
+        )
+    )
+    return (
+        v.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum("ok").cast("long").alias("n_true"),
+            F.expr("(sum(ok) * 1000000) div count(*)")
+            .cast("long")
+            .alias("precision_ppm"),
+        )
+        .orderBy("band")
+    )
+
+
 @register("q_neardup_buckets_minhash", None)
 def q_neardup_buckets_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7 verification-free bucket-star dedup, PRODUCTION path

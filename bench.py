@@ -228,6 +228,7 @@ R7E = [
     "q_sql_udf",
     "q_corpus_funnel_buckets",
     "q_bucket_audit",
+    "q_sentence_dedup",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

@@ -9043,6 +9043,54 @@ def q_dedup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sentence_dedup",
+    """
+    WITH s AS (
+      SELECT doc_id, unnest(str_split(text, '. ')) AS sent,
+             generate_subscripts(str_split(text, '. '), 1) AS pos
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, sent, min(pos) AS first_pos, count(*) AS n
+      FROM s GROUP BY doc_id, sent
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_sents,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           string_agg(sent, '. ' ORDER BY first_pos) AS cleaned
+    FROM f GROUP BY doc_id
+    """,
+)
+def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document sentence-level dedup REWRITE — the CCNet /
+    RefinedWeb-style boilerplate scrub that drops repeated sentences
+    within each document, keeping first occurrences in order:
+    (doc_id, n_sents, n_kept, cleaned text). Unlike the corpus-level
+    analyses (q_repeated_ngrams finds repeated grams ACROSS docs,
+    q_repetition scores the ratio), this is the transformation a
+    pipeline actually applies per document before tokenization.
+
+    Plan: ZERO shuffle — ``split`` + ``array_distinct`` (Spark
+    preserves first-occurrence order) + ``array_join`` is a pure
+    codegen'd narrow map riding the scan's parallelism; at 100 TB
+    this composes into the ingest pass for free. The oracle can't use
+    DuckDB's ``list_distinct`` (not order-preserving), so it replays
+    the semantics as explode -> min(pos) per (doc, sentence) ->
+    string_agg ordered by first position — an independent spelling
+    of 'keep first occurrences in order', which is exactly what makes
+    the hash match meaningful."""
+    docs = read_table(spark, sf_dir, "documents")
+    sents = F.split("text", r"\. ")
+    kept = F.array_distinct(sents)
+    return docs.select(
+        "doc_id",
+        F.size(sents).cast("long").alias("n_sents"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, ". ").alias("cleaned"),
+    )
+
+
+@register(
     "q_bucket_audit",
     f"""
     WITH sh AS (

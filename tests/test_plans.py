@@ -330,3 +330,38 @@ def test_bucketed_rank_offsets_join_is_broadcast(spark, sf_dir):
     # and the heavy sort runs within (group, bucket), never per group
     # alone: the local window's partition key includes the bucket
     assert "__bk" in plan
+
+
+def test_panel_head_shape():
+    """The driver's CORRECTNESS gate oracles exactly the first 50
+    entries of queries(). PANEL_HEAD must therefore be: exactly 50
+    unique names, every one registered, every one carrying a FULL
+    DuckDB oracle (no rows-only in the head), actually emitted first
+    by queries()/oracle_sql(), and include at least one flagship per
+    LLM-pipeline extension family so the driver certifies those
+    directly instead of via the repo's own parity suite."""
+    from breweries_data_pipeline_spark.queries import (
+        PANEL_HEAD,
+        oracle_sql,
+        queries,
+    )
+
+    assert len(PANEL_HEAD) == 50
+    assert len(set(PANEL_HEAD)) == 50
+    assert all(n in REGISTRY for n in PANEL_HEAD)
+    # full oracle for every head entry — the panel must be 50/50 oracled
+    assert all(REGISTRY[n][1] is not None for n in PANEL_HEAD)
+    q = list(queries())
+    assert q[:50] == PANEL_HEAD
+    # nothing lost or duplicated by the reorder
+    assert len(q) == len(REGISTRY) and set(q) == set(REGISTRY)
+    # oracle_sql preserves the same relative order (driver zips by key)
+    o = list(oracle_sql())
+    assert o == [n for n in q if REGISTRY[n][1] is not None]
+    flagships = {
+        "q_dedup_lsh_buckets", "q_minhash_lsh", "q_similarity_topk",
+        "q_semantic_dedup", "q_kmeans_lloyd2", "q_png_decode",
+        "q_bpe_learn", "q_corpus_funnel_buckets", "q_streaming_late_drop",
+        "q_sentence_dedup",
+    }
+    assert flagships <= set(PANEL_HEAD)

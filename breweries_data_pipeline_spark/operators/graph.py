@@ -491,6 +491,7 @@ def kcore_peel(
     rounds: int = 3,
     symmetric: bool = False,
     canonical: bool = False,
+    dedup_input: bool = False,
 ) -> DataFrame:
     """Bounded-round k-core peeling: each round drops every node whose
     degree in the CURRENT surviving subgraph is below ``k``, plus the
@@ -531,14 +532,23 @@ def kcore_peel(
     direction. Measured at sf0.1: 2x faster cold than the symmetric
     form, identical output. Prefer this whenever the edge producer
     can emit ``src < dst`` (a ``<`` filter instead of ``!=`` on a
-    self-join — which also halves the edge-build distinct)."""
+    self-join — which also halves the edge-build distinct).
+
+    PRECONDITION for ``canonical=True``: the input must already be
+    DISTINCT. Unlike the default path (which re-distincts after
+    symmetrizing), the canonical branch only applies the ``u < v``
+    filter — duplicate edge rows silently inflate degrees and change
+    which nodes survive peeling. If the producer cannot guarantee
+    distinctness, pass ``dedup_input=True`` to spend one extra
+    up-front shuffle (still far cheaper than a wrong core)."""
     u, v = F.col("__u"), F.col("__v")
     if canonical:
-        cur = (
-            edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
-            .where(u < v)
-            .localCheckpoint(eager=True)
-        )
+        canon = edges.select(
+            F.col(src).alias("__u"), F.col(dst).alias("__v")
+        ).where(u < v)
+        if dedup_input:
+            canon = canon.distinct()
+        cur = canon.localCheckpoint(eager=True)
         for _ in range(rounds):
             deg = (
                 cur.select(F.explode(F.array("__u", "__v")).alias("__n"))

@@ -259,7 +259,13 @@ def chunk_tokens_py(text: str | None, chunk_size: int = 32):
 
     if text is None:
         return
-    t = text.strip()
+    # strip SPACES only: the engine-side filter and the DuckDB oracle
+    # both use trim(), which removes ASCII 0x20 and nothing else.
+    # Python's bare .strip() removes tabs/newlines/unicode whitespace
+    # too, so a doc like '\tfoo' (or a whitespace-only '\t', which
+    # PASSES the trim(text) <> '' filter) would diverge from the
+    # oracle's empty edge tokens.
+    t = text.strip(" ")
     if not t:
         return
     toks = re.split(_JAVA_WS, t)

@@ -13504,6 +13504,15 @@ def q_kmeans_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _assign(cents: list[tuple[int, list[int]]]) -> DataFrame:
+        # F.array() with zero args raises AnalysisException rather than
+        # producing the empty result the SQL oracle would — fail with a
+        # clear contract error instead (the shipped embeddings table
+        # always has vec_ids 0..7, but the guard keeps reuse safe)
+        if not cents:
+            raise ValueError(
+                "k-means E-step needs >= 1 centroid; got none (seed "
+                "filter or M-step returned an empty cluster set)"
+            )
         cands = F.array(
             *[
                 F.struct(

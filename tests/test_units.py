@@ -1059,6 +1059,14 @@ def test_chunk_udtf_kernel_and_plan(spark, sf_dir):
     assert list(chunk_tokens_py(None, 4)) == []
     # exactly one full chunk
     assert list(chunk_tokens_py("x y z w", 4)) == [(0, "x y z w", 4)]
+    # trim() semantics: only SPACES strip. Leading/trailing non-space
+    # whitespace must survive into empty edge tokens, exactly as the
+    # oracle's regexp_split_to_array(trim(text), ...) produces them.
+    assert list(chunk_tokens_py("\tfoo", 4)) == [(0, " foo", 2)]
+    assert list(chunk_tokens_py("foo\n", 4)) == [(0, "foo ", 2)]
+    # whitespace-only doc that PASSES the trim(text) <> '' filter:
+    # one chunk of two empty tokens, not zero rows
+    assert list(chunk_tokens_py("\t", 4)) == [(0, " ", 2)]
 
     fn, oracle = REGISTRY["q_udtf_chunks"]
     assert oracle is not None
@@ -1069,8 +1077,11 @@ def test_chunk_udtf_kernel_and_plan(spark, sf_dir):
     scan_ix = plan.index("Scan parquet")
     # executedPlan prints top-down: UDTF above Filter above Scan
     assert udtf_ix < filter_ix < scan_ix
-    # pruning: the UDTF consumes only (doc_id, text)
-    assert "n_chars" in plan.split("ArrowEvalPythonUDTF")[0] or True
+    # pruning: everything ABOVE the UDTF (the lateral join output and
+    # final projection) carries only doc_id + the chunk columns —
+    # n_chars is consumed by the pushed-down filter below the UDTF and
+    # must not ride up through the fan-out
+    assert "n_chars" not in plan.split("ArrowEvalPythonUDTF")[0]
     rows = df.limit(5).collect()
     assert all(r.chunk_tokens >= 1 and r.chunk_tokens <= 32 for r in rows)
 

@@ -9133,10 +9133,13 @@ def q_dedup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_sentence_dedup",
-    """
+    r"""
     WITH s AS (
-      SELECT doc_id, unnest(str_split(text, '. ')) AS sent,
-             generate_subscripts(str_split(text, '. '), 1) AS pos
+      SELECT doc_id,
+             unnest(regexp_split_to_array(text,
+                      '[.!?][ \t\n\x0b\f\r]+')) AS sent,
+             generate_subscripts(regexp_split_to_array(text,
+                      '[.!?][ \t\n\x0b\f\r]+'), 1) AS pos
       FROM documents
     ),
     f AS (
@@ -9159,6 +9162,15 @@ def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_repetition scores the ratio), this is the transformation a
     pipeline actually applies per document before tokenization.
 
+    Sentence boundaries are ``[.!?]`` followed by whitespace (the
+    explicit Java-ASCII class, engine-identical in Java regex and
+    RE2), so exclamations and questions end sentences too — r7 split
+    only on ``'. '`` and boilerplate ending ``!``/``?`` survived the
+    scrub. Terminal punctuation stays attached to the last sentence
+    (no trailing whitespace, no boundary), and the rebuilt text joins
+    with a normalized ``'. '`` — the standard scrub normalization,
+    mirrored by the oracle's string_agg joiner.
+
     Plan: ZERO shuffle — ``split`` + ``array_distinct`` (Spark
     preserves first-occurrence order) + ``array_join`` is a pure
     codegen'd narrow map riding the scan's parallelism; at 100 TB
@@ -9169,7 +9181,7 @@ def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of 'keep first occurrences in order', which is exactly what makes
     the hash match meaningful."""
     docs = read_table(spark, sf_dir, "documents")
-    sents = F.split("text", r"\. ")
+    sents = F.split("text", r"[.!?][ \t\n\x0b\f\r]+")
     kept = F.array_distinct(sents)
     return docs.select(
         "doc_id",

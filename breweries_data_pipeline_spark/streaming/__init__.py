@@ -17,6 +17,7 @@ from breweries_data_pipeline_spark.streaming.stateful import (  # noqa: F401
 from breweries_data_pipeline_spark.streaming.windows import (  # noqa: F401
     read_events_stream,
     run_available_now,
+    state_partitions,
     streaming_event_window_agg,
 )
 from breweries_data_pipeline_spark.streaming.corpus_ingest import (  # noqa: F401

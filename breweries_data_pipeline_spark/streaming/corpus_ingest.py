@@ -90,6 +90,11 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     footer-only batch peek, as with read_events_stream)."""
     path = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(path).schema
+    # directory-of-part-files layout (soak replicas) vs single-file
+    # layout (driver testdata) — see read_events_stream; the glob form
+    # silently lists zero files on the directory layout
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
     return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")

@@ -30,6 +30,30 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def state_partitions(spark: SparkSession, n: int):
+    """Scope ``spark.sql.shuffle.partitions`` around a streaming
+    query START (the state-store partition count is frozen into the
+    checkpoint at first run). Stateful-operator cost is dominated by
+    per-partition state-store file I/O — one delta + maintenance
+    write PER STORE PER PARTITION PER MICRO-BATCH, regardless of row
+    volume (measured: the sf0.1 interval join emits 371 rows but
+    spent 7s on 32-partition x 2-store checkpoint traffic; 2.5s at
+    8). Size n to state volume: bench drains of sf-scale data use a
+    handful; a production deployment sizes by keys x throughput.
+    Only the streaming query started inside the scope is affected —
+    its partition count persists in its checkpoint."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet, normalized to the
     same shape read_table produces (ns-long -> µs timestamp).
@@ -50,13 +74,24 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in schema.fields
         ]
     )
-    # the file stream source requires a directory: stream the parent
-    # with a glob filter selecting only the events file(s)
-    sdf = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # two on-disk layouts exist: the driver testdata stores each table
+    # as a single FILE (<sf_dir>/events.parquet), the generated soak
+    # replicas as a DIRECTORY of part files (<sf_dir>/events.parquet/
+    # part-*.parquet). A parent-dir stream with
+    # pathGlobFilter=events.parquet matches only the file layout — on
+    # the directory layout it listed ZERO files and every drain was
+    # silently empty (caught r8: sf1 streaming twins ran in 0.3s
+    # returning 0 rows). Stream the table path directly when it is a
+    # directory; keep the glob-filtered parent for the file layout
+    # (the file source requires a directory to list).
+    if os.path.isdir(path):
+        sdf = spark.readStream.schema(schema).parquet(path)
+    else:
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if isinstance(sdf.schema["ts"].dataType, T.LongType):
         sdf = sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return sdf

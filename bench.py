@@ -377,32 +377,70 @@ def _soak_order() -> list[str]:
     return HEADLINE + list(reversed(rest))
 
 
+def _rotation_cohort() -> tuple[int, list[str]]:
+    """sf1 rotation over the COVERAGE-leg queries (registry minus the
+    curated suite): a third per round, so every registry query gets an
+    sf1 datum within 3 rounds instead of the curated-suite boundary
+    leaving ~140 queries with no scale evidence at all. Cohort index =
+    shipped-BENCH-file count mod 3 (deterministic, no state file);
+    within the leg, queries are ordered most-expensive-first by their
+    last recorded sf0.1 coverage wall and dealt round-robin into
+    cohorts, so each round's cohort carries its share of the expensive
+    tail (q_triangle_census, q_similarity_pq, ...) rather than saving
+    it all for one round."""
+    import glob as _glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    round_ix = len(_glob.glob(os.path.join(here, "BENCH_r*.json"))) % 3
+    suite = set(_soak_order())
+    rest = sorted(set(REGISTRY) - suite)
+    try:
+        with open(os.path.join(here, "BENCH_DETAILS.json")) as f:
+            cov = json.load(f).get("coverage_queries", {})
+    except Exception:  # noqa: BLE001 — ordering hint only
+        cov = {}
+    rest.sort(key=lambda q: (-cov.get(q, 0.0), q))
+    return round_ix, [q for i, q in enumerate(rest) if i % 3 == round_ix]
+
+
 def _run_soak(spark, sd: str, budget: float):
-    """Single-rep suite pass at the soak SF. Returns (per-query secs,
-    errors, skipped count). Flushes progress into BENCH_DETAILS.json
-    incrementally (merging with whatever is already there) so a
-    driver-side timeout truncates stdout, not the evidence."""
+    """Single-rep suite pass at the soak SF, followed by this round's
+    rotation cohort of coverage-leg queries (see _rotation_cohort) on
+    the budget's remainder. Returns a dict payload. Flushes progress
+    into BENCH_DETAILS.json incrementally (merging with whatever is
+    already there) so a driver-side timeout truncates stdout, not the
+    evidence."""
     details_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
     )
     for t in WARMUP_TABLES:
         _materialize(read_table(spark, sd, t))
     soak_detail: dict[str, float] = {}
+    rot_detail: dict[str, float] = {}
     errors: dict[str, str] = {}
     t0 = time.perf_counter()
     skipped = 0
-    for i, name in enumerate(_soak_order()):
+    rot_skipped = 0
+    cohort_ix, cohort = _rotation_cohort()
+    suite_n = len(_soak_order())
+    for i, name in enumerate(_soak_order() + cohort):
+        in_rotation = i >= suite_n
         if time.perf_counter() - t0 > budget:
-            skipped += 1
+            if in_rotation:
+                rot_skipped += 1
+            else:
+                skipped += 1
             continue
         fn, _ = REGISTRY[name]
         start = time.perf_counter()
         try:
             _materialize(fn(spark, sd))
-            soak_detail[name] = round(time.perf_counter() - start, 3)
+            wall = round(time.perf_counter() - start, 3)
+            (rot_detail if in_rotation else soak_detail)[name] = wall
         except Exception as exc:  # noqa: BLE001 — one bad query must
             # not cost the whole leg; the error is the datum
-            errors[f"soak:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+            leg = "rotation" if in_rotation else "soak"
+            errors[f"{leg}:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
         spark.catalog.clearCache()
         if i % 5 == 4:
             _jvm_gc(spark)  # keep shuffle/broadcast state drained
@@ -412,8 +450,21 @@ def _run_soak(spark, sd: str, budget: float):
         except Exception:  # noqa: BLE001
             existing = {}
         existing["soak_queries"] = soak_detail
+        existing["soak_rotation"] = {
+            "cohort": cohort_ix,
+            "cohort_size": len(cohort),
+            "queries": rot_detail,
+        }
         _flush_details(existing)
-    return soak_detail, errors, skipped
+    return {
+        "soak_queries": soak_detail,
+        "soak_errors": errors,
+        "skipped": skipped,
+        "rotation_cohort": cohort_ix,
+        "rotation_cohort_size": len(cohort),
+        "rotation_queries": rot_detail,
+        "rotation_skipped": rot_skipped,
+    }
 
 
 def _isolated_soak(sf_dir: str, budget: float):
@@ -435,8 +486,7 @@ def _isolated_soak(sf_dir: str, budget: float):
     )
     for ln in reversed(r.stdout.strip().splitlines()):
         if ln.startswith("{"):
-            p = json.loads(ln)
-            return p["soak_queries"], p.get("soak_errors", {}), p.get("skipped", 0)
+            return json.loads(ln)
     raise RuntimeError("soak subprocess produced no JSON line")
 
 
@@ -528,9 +578,12 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         sd = _soak_dir()
         budget = float(os.environ.get("SPARK_GRAFT_SOAK_BUDGET_S", "800"))
-        detail, errs, skipped = _run_soak(spark, sd, budget) if sd else ({}, {}, 0)
-        print(json.dumps({"soak_queries": detail, "soak_errors": errs,
-                          "skipped": skipped}, separators=(",", ":")))
+        payload = (
+            _run_soak(spark, sd, budget)
+            if sd
+            else {"soak_queries": {}, "soak_errors": {}, "skipped": 0}
+        )
+        print(json.dumps(payload, separators=(",", ":")))
         return
 
     # the isolated leg runs FIRST (before this process's JVM exists,
@@ -677,7 +730,7 @@ def main() -> None:
         # subprocess and silently fall back to the contaminated leg)
         spark.stop()
         try:
-            soak_detail, soak_errs, skipped = _isolated_soak(sf_dir, soak_budget)
+            soak_payload = _isolated_soak(sf_dir, soak_budget)
         except Exception:  # noqa: BLE001 — fall back to an in-process
             # leg rather than lose the round's scale evidence; the
             # replacement session is at least fresh (suite session is
@@ -688,14 +741,33 @@ def main() -> None:
                 extra_conf={"spark.cleaner.periodicGC.interval": "45s"},
             )
             spark.sparkContext.setLogLevel("ERROR")
-            soak_detail, soak_errs, skipped = _run_soak(spark, sd, soak_budget)
-        errors.update(soak_errs)
+            soak_payload = _run_soak(spark, sd, soak_budget)
+        soak_detail = soak_payload.get("soak_queries", {})
+        skipped = soak_payload.get("skipped", 0)
+        rotation = {
+            "cohort": soak_payload.get("rotation_cohort"),
+            "cohort_size": soak_payload.get("rotation_cohort_size", 0),
+            "covered": len(soak_payload.get("rotation_queries", {})),
+            "total_wall": round(
+                sum(soak_payload.get("rotation_queries", {}).values()), 3
+            ),
+        }
+        if soak_payload.get("rotation_skipped"):
+            rotation["skipped_over_budget"] = soak_payload["rotation_skipped"]
+        errors.update(soak_payload.get("soak_errors", {}))
         ratios = {
             q: round(soak_detail[q] / max(timings.get(q, 0.0), 1e-9), 1)
             for q in soak_detail
             if q in timings  # a query that errored all sf0.1 reps has
             # no denominator; its soak wall still lands in soak_queries
         }
+        # rotation queries scale-check against their sf0.1 coverage
+        # wall (single rep vs single rep) and feed the same >10x
+        # self-audit as the suite — a coverage-leg query that goes
+        # superlinear at sf1 deserves the identical adjudication
+        for q, w in soak_payload.get("rotation_queries", {}).items():
+            if q in coverage:
+                ratios[q] = round(w / max(coverage[q], 1e-9), 1)
         worst = dict(sorted(ratios.items(), key=lambda kv: -kv[1])[:3])
         soak = {
             "sf": 1.0,
@@ -707,6 +779,7 @@ def main() -> None:
             "covered": len(soak_detail),
             "fresh_jvm": fresh_jvm,
             "worst_scaling_x": worst,
+            "rotation": rotation,
         }
         if skipped:
             soak["skipped_over_budget"] = skipped

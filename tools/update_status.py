@@ -1,0 +1,90 @@
+"""Regenerate the README status block from the NEWEST shipped
+BENCH_r*.json — the record of note. Round 7's verdict found the README
+quoting a builder's idle-host best run (4.53s) while the shipped record
+said 5.057s; this tool makes that class of drift impossible: the status
+block is generated, byte-for-byte, from the driver's own file.
+
+Usage: python tools/update_status.py  (run from anywhere)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASELINE_S = 8.777  # round-1 headline, BASELINE.md
+
+BEGIN = "<!-- STATUS:BEGIN"
+END = "<!-- STATUS:END -->"
+
+
+def newest_bench() -> tuple[int, dict]:
+    files = sorted(glob.glob(os.path.join(HERE, "BENCH_r*.json")))
+    if not files:
+        raise SystemExit("no BENCH_r*.json found")
+    path = files[-1]
+    n = int(re.search(r"BENCH_r(\d+)\.json$", path).group(1))
+    with open(path) as f:
+        raw = json.load(f)
+    # driver wrapper ({"parsed": {...}}) or the bare payload
+    return n, raw.get("parsed", raw)
+
+
+def registry_counts() -> tuple[int, int]:
+    sys.path.insert(0, HERE)
+    from breweries_data_pipeline_spark.queries import REGISTRY
+
+    total = len(REGISTRY)
+    oracled = sum(1 for _, (_, s) in REGISTRY.items() if s is not None)
+    return total, oracled
+
+
+def main() -> None:
+    n, bench = newest_bench()
+    total, oracled = registry_counts()
+    value = bench["value"]
+    isolated = bench.get("headline_isolated")
+    ratio = value / BASELINE_S
+    soak = bench.get("soak") or {}
+    iso_txt = f" / {isolated:.3f}s isolated" if isolated is not None else ""
+    soak_txt = ""
+    if soak:
+        soak_txt = (
+            f"; sf1 soak covered {soak.get('covered', '?')} suite queries"
+            f"{' in a fresh JVM' if soak.get('fresh_jvm') else ''}"
+        )
+        rot = soak.get("rotation") or {}
+        if rot.get("covered"):
+            soak_txt += (
+                f" plus a {rot['covered']}-query coverage-leg rotation "
+                f"(cohort {rot.get('cohort')})"
+            )
+    block = (
+        f"{BEGIN} (regenerate with tools/update_status.py — quotes the\n"
+        f"     newest shipped BENCH_r*.json verbatim; idle-host best runs belong in\n"
+        f"     SCALE.md history, clearly labeled, never here) -->\n"
+        f"**Status** (round {n} record, quoted from the shipped "
+        f"`BENCH_r{n:02d}.json`):\n"
+        f"{total} registry queries ({oracled} with full DuckDB value-hash "
+        f"oracles);\n"
+        f"headline bench **{value:.3f}s median{iso_txt}** at sf0.1 "
+        f"(**{ratio:.2f}×** the round-1 baseline {BASELINE_S}s)"
+        f"{soak_txt}.\n"
+        f"{END}"
+    )
+    readme = os.path.join(HERE, "README.md")
+    with open(readme) as f:
+        text = f.read()
+    i, j = text.index(BEGIN), text.index(END) + len(END)
+    with open(readme, "w") as f:
+        f.write(text[:i] + block + text[j:])
+    print(f"README status block regenerated from BENCH_r{n:02d}.json "
+          f"({value:.3f}s / {ratio:.2f}x)")
+
+
+if __name__ == "__main__":
+    main()

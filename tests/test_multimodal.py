@@ -84,6 +84,41 @@ def test_real_decoder_decodes_png():
     assert decode_image(blob)[:3] == (5, 3, 3)
 
 
+try:
+    import PIL.Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+@pytest.mark.xfail(
+    not _HAVE_PIL,
+    reason=(
+        "pillow is not installed in this container: decode_real_image's "
+        "PIL branch (JPEG/WebP/...) cannot execute here. PNG — the only "
+        "format the fixtures use — is fully covered by the stdlib codec "
+        "and its oracle (q_png_decode). This xfail makes the branch's "
+        "absence explicit in the test report instead of leaving a "
+        "silently never-executed branch."
+    ),
+    strict=True,
+)
+def test_pil_branch_decodes_jpeg():
+    """Exercises the PIL-present decode path end-to-end (encode a tiny
+    JPEG with PIL, decode through decode_real_image). XPASSes strictly
+    the moment pillow appears in the environment."""
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.new("RGB", (4, 2), (10, 20, 30))
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG")
+    w, h, c, _out = decode_real_image(buf.getvalue())
+    assert (w, h, c) == (4, 2, 3)
+
+
 def test_real_decoder_rejects_malformed_non_png_everywhere():
     """Runs in every environment, no skip: without PIL, non-PNG bytes
     raise NotImplementedError (the documented gate); with PIL, PIL

@@ -365,3 +365,43 @@ def test_panel_head_shape():
         "q_sentence_dedup",
     }
     assert flagships <= set(PANEL_HEAD)
+
+
+def test_kcore_peel_is_zero_writeback_broadcast_probes(spark, sf_dir):
+    """The k-core scale contract: every per-round node filter is a
+    BROADCAST left-semi probe (a >10 MB keep set must never flip the
+    filter to a full-edge-list SortMergeJoin — the r7 sf10 cliff), and
+    the returned plan hangs off checkpointed inputs with NO cartesian
+    and no shuffled join anywhere."""
+    plan = _plan(spark, sf_dir, "q_kcore")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bfs_broadcasts_frontier_and_settled_set(spark, sf_dir):
+    """BFS joins are node-sided broadcasts: the frontier-edge probe and
+    the settled-set anti-join must both be BroadcastHashJoins — past
+    the auto-threshold a silent SortMergeJoin would shuffle the full
+    edge list every hop."""
+    from breweries_data_pipeline_spark.operators.graph import bfs_distances
+    from breweries_data_pipeline_spark.sources import read_table
+    from pyspark.sql import functions as F
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    out = bfs_distances(edges, 1, max_hops=2, canonical=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

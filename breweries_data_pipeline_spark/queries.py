@@ -14025,9 +14025,20 @@ def q_streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     from breweries_data_pipeline_spark.streaming import state_partitions
 
-    # same state-store I/O floor as q_streaming_late_drop: 4 micro-
-    # batches x 32 partitions of per-store checkpoint traffic
-    with state_partitions(spark, 8):
+    # ADAPTIVE state sizing: the sessionizer's cost is the Arrow
+    # per-key Python-state pass, which parallelizes by state
+    # partition — unlike the windowed aggregates, whose floor is
+    # per-partition checkpoint I/O. Too few partitions serializes the
+    # kernel (sf10 A/B: 8 -> 163.6s, 32 -> 74.5s); too many pays the
+    # q_stream_stream_join checkpoint-traffic floor (sf0.1: 32 ->
+    # 7.3s, 8 -> 6.1s). Size by the table's file count — a
+    # metadata-only proxy for data volume — clamped to the session's
+    # core count.
+    n_parts = min(
+        int(spark.sparkContext.defaultParallelism),
+        max(8, len(ev.inputFiles())),
+    )
+    with state_partitions(spark, n_parts):
         res = staged_availablenow_drain(
             spark,
             stages,

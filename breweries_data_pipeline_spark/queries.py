@@ -14264,3 +14264,88 @@ def q_arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     return docs.groupBy("lang").applyInArrow(lang_stats_arrow, LANG_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# round 8: cross-document (corpus-global) sentence dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sentence_dedup_global",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(text,
+                      '[.!?][ \t\n\x0b\f\r]+')) AS sent,
+             generate_subscripts(regexp_split_to_array(text,
+                      '[.!?][ \t\n\x0b\f\r]+'), 1) AS pos
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, sent, pos,
+             row_number() OVER (PARTITION BY sent
+                                ORDER BY doc_id, pos) AS rn
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_sents,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN sent END,
+                               '. ' ORDER BY pos), '') AS cleaned
+    FROM w GROUP BY doc_id
+    """,
+)
+def q_sentence_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-GLOBAL sentence dedup — the actual CCNet scrub
+    (Wenzek et al., "CCNet", LREC 2020 — hash every sentence across
+    the WHOLE corpus, keep each sentence's first occurrence, rebuild
+    documents), complementing q_sentence_dedup which dedups only
+    WITHIN a document. This is the transformation that strips
+    cross-site boilerplate (cookie banners, nav text, legal footers)
+    that intra-doc dedup cannot see, and it is the heaviest-hitting
+    single cleanup on raw web corpora.
+
+    First occurrence = lowest (doc_id, pos) — a total order, so the
+    survivor set is deterministic in both engines; a document whose
+    every sentence is boilerplate seen earlier collapses to
+    cleaned = '' with n_kept = 0 (COALESCE mirrors Spark's
+    array_join-of-empty = '').
+
+    Scale shape: explode is a narrow fan-out riding the scan; ONE
+    shuffle keyed by sentence text ranks occurrences (row_number over
+    a window whose partition key is the sentence — uniform unless one
+    sentence dominates the corpus, in which case dedup is the point);
+    ONE shuffle back on doc_id rebuilds documents via
+    order-preserving collect + sort. At 100 TB both shuffles carry
+    the sentence stream once; production would hash sentences to
+    64-bit fingerprints before the exchange to cut shuffle bytes
+    (kept as raw text here so the oracle is byte-faithful)."""
+    docs = read_table(spark, sf_dir, "documents")
+    sents = F.split("text", r"[.!?][ \t\n\x0b\f\r]+")
+    s = docs.select(
+        "doc_id", F.posexplode(sents).alias("pos0", "sent")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sent")
+    w = Window.partitionBy("sent").orderBy("doc_id", "pos")
+    ranked = s.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sents"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") == 1,
+                            F.struct(F.col("pos"), F.col("sent")),
+                        )
+                    )
+                ),
+                lambda st: st["sent"],
+            ),
+            ". ",
+        ).alias("cleaned"),
+    )

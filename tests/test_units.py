@@ -1148,3 +1148,61 @@ def test_sentence_dedup_drops_repeats_keeps_order(spark):
     # sentence from the deduped 'buy now'
     assert rows[2].n_sents == 5 and rows[2].n_kept == 4
     assert rows[2].cleaned == "buy now. great offer. act fast. buy now!"
+
+
+def test_sentence_dedup_global_keeps_first_occurrence_across_docs(spark):
+    """Cross-doc scrub semantics on constructed boilerplate: a
+    sentence keeps only its FIRST (doc_id, pos) occurrence corpus-wide;
+    a document made entirely of already-seen boilerplate collapses to
+    an empty cleaned string with n_kept = 0."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "cookie notice. real content one. all rights reserved"),
+            (2, "cookie notice. real content two! all rights reserved"),
+            (3, "cookie notice. all rights reserved"),
+        ],
+        "doc_id long, text string",
+    )
+    sents = F.split("text", r"[.!?][ \t\n\x0b\f\r]+")
+    s = df.select(
+        "doc_id", F.posexplode(sents).alias("pos0", "sent")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sent")
+    w = Window.partitionBy("sent").orderBy("doc_id", "pos")
+    ranked = s.withColumn("rn", F.row_number().over(w))
+    rows = {
+        r.doc_id: r
+        for r in ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sents"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1,
+                                F.struct(F.col("pos"), F.col("sent")),
+                            )
+                        )
+                    ),
+                    lambda st: st["sent"],
+                ),
+                ". ",
+            ).alias("cleaned"),
+        )
+        .collect()
+    }
+    assert rows[1].n_sents == 3 and rows[1].n_kept == 3
+    assert rows[1].cleaned == (
+        "cookie notice. real content one. all rights reserved"
+    )
+    # doc 2: boilerplate already seen in doc 1; only its own content
+    # survives ('real content two' differs from doc 1's)
+    assert rows[2].n_sents == 3 and rows[2].n_kept == 1
+    assert rows[2].cleaned == "real content two"
+    # doc 3: pure boilerplate -> empty
+    assert rows[3].n_sents == 2 and rows[3].n_kept == 0
+    assert rows[3].cleaned == ""

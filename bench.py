@@ -724,6 +724,7 @@ def main() -> None:
     # BENCH_DETAILS.
     soak = None
     soak_detail: dict[str, float] = {}
+    soak_payload: dict = {}
     soak_recheck: dict[str, dict] = {}
     sd = _soak_dir() if abs((float(sf) if sf else 0) - 0.1) < 1e-9 else None
     if sd:
@@ -826,6 +827,16 @@ def main() -> None:
         _flush_details({**payload, "spread": spread, "soak_queries": soak_detail,
                         "soak_recheck": soak_recheck,
                         "coverage_queries": coverage,
+                        # per-query rotation walls must survive the
+                        # final flush (the r8 shakedown run lost them
+                        # to this very overwrite)
+                        "soak_rotation": {
+                            "cohort": soak_payload.get("rotation_cohort"),
+                            "cohort_size":
+                                soak_payload.get("rotation_cohort_size", 0),
+                            "queries":
+                                soak_payload.get("rotation_queries", {}),
+                        },
                         "headline_isolated_queries":
                             (isolated or {}).get("queries", {})})
     line = json.dumps(payload, separators=(",", ":"))

@@ -6957,8 +6957,10 @@ def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(max(n) AS BIGINT) AS n_customers,
            CAST(sum(cents) AS BIGINT) AS total_cents,
-           (CAST(sum(CASE WHEN is_top THEN cents ELSE 0 END) AS BIGINT)
-             * 1000000) // CAST(sum(cents) AS BIGINT) AS top1pct_share_ppm,
+           CAST((CAST(sum(CASE WHEN is_top THEN cents ELSE 0 END)
+                  AS HUGEINT)
+             * 1000000) // CAST(sum(cents) AS BIGINT) AS BIGINT)
+             AS top1pct_share_ppm,
            2.0 * CAST(CAST(sum(w) AS HUGEINT) AS DOUBLE)
              / (CAST(max(n) AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
              - (CAST(max(n) AS DOUBLE) + 1.0) / CAST(max(n) AS DOUBLE)
@@ -7021,9 +7023,13 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n_customers",
         "total_cents",
-        F.expr("(__top_cents * 1000000) div total_cents").alias(
-            "top1pct_share_ppm"
-        ),
+        # widened like q_lorenz_curve: cents-sum x 1e6 overflows
+        # BIGINT past ~9.2e12 total cents (same class the r8 rotation
+        # caught); both operands positive so floor(/) == integer div
+        F.expr(
+            "CAST(floor((CAST(__top_cents AS DECIMAL(38,0)) * 1000000)"
+            " / total_cents) AS BIGINT)"
+        ).alias("top1pct_share_ppm"),
         gini.alias("gini"),
     )
 
@@ -7093,9 +7099,9 @@ def q_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT CAST(sum(decile_cents) AS BIGINT) AS t FROM per)
     SELECT decile, decile_cents,
-           (CAST(sum(decile_cents) OVER (ORDER BY decile
-              ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000)
-             // (SELECT t FROM tot) AS cum_share_ppm
+           CAST((CAST(sum(decile_cents) OVER (ORDER BY decile
+              ROWS UNBOUNDED PRECEDING) AS HUGEINT) * 1000000)
+             // (SELECT t FROM tot) AS BIGINT) AS cum_share_ppm
     FROM per
     """,
 )
@@ -7130,7 +7136,16 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "decile",
             "decile_cents",
-            F.expr("(__cum * 1000000) div t").alias("cum_share_ppm"),
+            # cum_cents * 1e6 overflows BIGINT once total revenue
+            # passes ~9.2e12 cents (hit at sf1 by the r8 soak
+            # rotation's first run — ArithmeticException under ANSI
+            # mode). Widen to DECIMAL(38,0) for the multiply; both
+            # operands positive, so floor(/) == integer div. The
+            # oracle mirrors with HUGEINT.
+            F.expr(
+                "CAST(floor((CAST(__cum AS DECIMAL(38,0)) * 1000000) / t)"
+                " AS BIGINT)"
+            ).alias("cum_share_ppm"),
         )
     )
 

@@ -387,25 +387,29 @@ def _rotation_cohort() -> tuple[int, list[str]]:
     curated suite): a third per round, so every registry query gets an
     sf1 datum within 3 rounds instead of the curated-suite boundary
     leaving ~140 queries with no scale evidence at all. Cohort index =
-    shipped-BENCH-file count mod 3 (deterministic, no state file);
-    within the leg, queries are ordered most-expensive-first by their
-    last recorded sf0.1 coverage wall and dealt round-robin into
-    cohorts, so each round's cohort carries its share of the expensive
-    tail (q_triangle_census, q_similarity_pq, ...) rather than saving
-    it all for one round."""
+    shipped-BENCH-file count mod 3 (deterministic, no state file).
+
+    MEMBERSHIP is keyed on the stable name-sorted position (i % 3), so
+    the three cohorts partition the leg identically in every run —
+    keying on measured cost would churn membership as walls drift and
+    break the every-query-within-3-rounds guarantee (the r8 shakedown
+    run did exactly that). EXECUTION ORDER within the cohort is
+    most-expensive-first by the last recorded sf0.1 coverage wall, so
+    a budget expiry drops the cheapest, best-understood queries."""
     import glob as _glob
 
     here = os.path.dirname(os.path.abspath(__file__))
     round_ix = len(_glob.glob(os.path.join(here, "BENCH_r*.json"))) % 3
     suite = set(_soak_order())
     rest = sorted(set(REGISTRY) - suite)
+    cohort = [q for i, q in enumerate(rest) if i % 3 == round_ix]
     try:
         with open(os.path.join(here, "BENCH_DETAILS.json")) as f:
             cov = json.load(f).get("coverage_queries", {})
     except Exception:  # noqa: BLE001 — ordering hint only
         cov = {}
-    rest.sort(key=lambda q: (-cov.get(q, 0.0), q))
-    return round_ix, [q for i, q in enumerate(rest) if i % 3 == round_ix]
+    cohort.sort(key=lambda q: (-cov.get(q, 0.0), q))
+    return round_ix, cohort
 
 
 def _run_soak(spark, sd: str, budget: float):

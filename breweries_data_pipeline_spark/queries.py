@@ -96,6 +96,14 @@ from breweries_data_pipeline_spark.cache import (  # noqa: E402,F401
     track_persist as _persist,
 )
 
+# drain-scratch hygiene: streaming queries drop their checkpoint dirs
+# once the memory sink holds the result (a stream-stream join leaves
+# ~200 MB of state-store files per drain otherwise — see
+# streaming.windows.drop_scratch)
+from breweries_data_pipeline_spark.streaming.windows import (  # noqa: E402
+    drop_scratch as _drop_scratch,
+)
+
 
 # ---------------------------------------------------------------------------
 # §2.1 scans
@@ -2204,15 +2212,17 @@ def q_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+    __ck = tempfile.mkdtemp(prefix="bdp_sess_")
     q = (
         agg.writeStream.format("memory")
         .queryName("q_session_window_stream")
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bdp_sess_"))
+        .option("checkpointLocation", __ck)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    _drop_scratch(__ck)
     return spark.table("q_session_window_stream")
 
 
@@ -2233,15 +2243,17 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = streaming_dedup(sdf, ["user_id", "event_type"]).select(
         "user_id", "event_type"
     )
+    __ck = tempfile.mkdtemp(prefix="bdp_sdedup_")
     q = (
         out.writeStream.format("memory")
         .queryName("q_streaming_dedup")
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bdp_sdedup_"))
+        .option("checkpointLocation", __ck)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    _drop_scratch(__ck)
     return spark.table("q_streaming_dedup")
 
 
@@ -2268,16 +2280,18 @@ def q_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sdf = read_events_stream(spark, sf_dir)
+    __ck = tempfile.mkdtemp(prefix="bdp_sstate_")
     q = (
         stateful_user_counts(sdf)
         .writeStream.format("memory")
         .queryName("q_stateful_counts")
         .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bdp_sstate_"))
+        .option("checkpointLocation", __ck)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    _drop_scratch(__ck)
     return spark.table("q_stateful_counts")
 
 
@@ -2328,15 +2342,17 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
             F.col("value_r").alias("purchase_value"),
         )
+        __ck = tempfile.mkdtemp(prefix="bdp_ssj_")
         q = (
             j.writeStream.format("memory")
             .queryName("q_stream_stream_join")
             .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="bdp_ssj_"))
+            .option("checkpointLocation", __ck)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
+        _drop_scratch(__ck)
     return spark.table("q_stream_stream_join")
 
 
@@ -2386,15 +2402,17 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
         F.col("c_name").alias("cust_name"),
     )
+    __ck = tempfile.mkdtemp(prefix="bdp_ssd_")
     q = (
         enriched.writeStream.format("memory")
         .queryName("q_stream_static_join")
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bdp_ssd_"))
+        .option("checkpointLocation", __ck)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    _drop_scratch(__ck)
     return spark.table("q_stream_static_join")
 
 
@@ -2431,6 +2449,9 @@ def q_streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="bdp_corpus_ckpt_")
     sdf = read_documents_stream(spark, sf_dir)
     streaming_corpus_ingest(sdf, store, checkpoint_dir=ckpt)
+    # checkpoint droppable once the drain finishes; store is NOT —
+    # the returned DataFrame reads it
+    _drop_scratch(ckpt)
     return read_corpus(spark, store).select("doc_id", "fingerprint")
 
 
@@ -2477,6 +2498,9 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["ts", "event_id"],
         checkpoint_dir=ckpt,
     )
+    # checkpoint droppable once the drain finishes; snap is NOT —
+    # the returned DataFrame reads the published snapshot
+    _drop_scratch(ckpt)
     out = read_snapshot(spark, snap)
     return out.select(
         "user_id",
@@ -11855,16 +11879,18 @@ def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sdf = read_events_stream(spark, sf_dir)
+    __ck = tempfile.mkdtemp(prefix="bdp_scusum_")
     q = (
         streaming_cusum(sdf)
         .writeStream.format("memory")
         .queryName("q_streaming_cusum")
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bdp_scusum_"))
+        .option("checkpointLocation", __ck)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    _drop_scratch(__ck)
     return spark.table("q_streaming_cusum").select(
         "event_id",
         "user_id",

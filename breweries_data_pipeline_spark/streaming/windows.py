@@ -117,6 +117,20 @@ def streaming_event_window_agg(
     )
 
 
+def drop_scratch(path: str) -> None:
+    """Best-effort removal of a drain's scratch (checkpoint/staging)
+    dir once the memory sink holds the result. A stream-stream join's
+    checkpoint is ~200 MB of state-store files PER DRAIN at sf0.1 —
+    a long bench/soak session that never reclaims them exhausted this
+    box's disk mid-sort (r8 finding). Only dirs the RETURNED
+    DataFrame does not read may pass through here: memory-sink output
+    lives in driver memory, so checkpoints and staged inputs qualify;
+    parquet snapshot/store dirs do NOT."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def run_available_now(
     sdf: DataFrame, query_name: str, checkpoint_dir: str | None = None
 ) -> DataFrame:
@@ -134,6 +148,8 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+    if checkpoint_dir is None:  # caller-provided dirs are caller-owned
+        drop_scratch(checkpoint)
     spark = sdf.sparkSession
     return spark.table(query_name)
 
@@ -188,4 +204,6 @@ def staged_availablenow_drain(
         .start()
     )
     q.awaitTermination()
+    drop_scratch(ck)
+    drop_scratch(d)
     return spark.table(name)

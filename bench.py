@@ -418,18 +418,33 @@ def _run_soak(spark, sd: str, budget: float):
     the budget's remainder. Returns a dict payload. Flushes progress
     into BENCH_DETAILS.json incrementally (merging with whatever is
     already there) so a driver-side timeout truncates stdout, not the
-    evidence."""
+    evidence.
+
+    SESSION RECYCLING: the SparkSession is stopped and rebuilt (same
+    JVM, fresh SparkContext — shuffle files, broadcasts, codegen
+    caches, status store all released) every SPARK_GRAFT_SOAK_RECYCLE
+    queries, default 40. Even with per-5-query GC, late-leg entries
+    ran 2-10x their fresh-session walls (r8 record: q_kcore 28.5s
+    in-leg vs 7.0s isolated; q_pmi_collocations 19.6x soak ratio vs
+    2.0x isolated) — the recycle bounds residue to one chunk instead
+    of the whole leg, for ~4 restarts x (~8s session + ~10s re-warm)
+    inside the 800s budget."""
     details_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
     )
-    for t in WARMUP_TABLES:
-        _materialize(read_table(spark, sd, t))
+
+    def _warm(s):
+        for t in WARMUP_TABLES:
+            _materialize(read_table(s, sd, t))
+
+    _warm(spark)
     soak_detail: dict[str, float] = {}
     rot_detail: dict[str, float] = {}
     errors: dict[str, str] = {}
     t0 = time.perf_counter()
     skipped = 0
     rot_skipped = 0
+    recycle_every = int(os.environ.get("SPARK_GRAFT_SOAK_RECYCLE", "40"))
     cohort_ix, cohort = _rotation_cohort()
     suite_n = len(_soak_order())
     for i, name in enumerate(_soak_order() + cohort):
@@ -440,6 +455,14 @@ def _run_soak(spark, sd: str, budget: float):
             else:
                 skipped += 1
             continue
+        if recycle_every > 0 and i > 0 and i % recycle_every == 0:
+            spark.stop()
+            spark = get_spark(
+                f"bench-soak-{i}",
+                extra_conf={"spark.cleaner.periodicGC.interval": "45s"},
+            )
+            spark.sparkContext.setLogLevel("ERROR")
+            _warm(spark)
         fn, _ = REGISTRY[name]
         start = time.perf_counter()
         try:

@@ -2213,16 +2213,20 @@ def q_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     __ck = tempfile.mkdtemp(prefix="bdp_sess_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("q_session_window_stream")
-        .outputMode("complete")
-        .option("checkpointLocation", __ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    _drop_scratch(__ck)
+    from breweries_data_pipeline_spark.streaming import state_partitions
+    # small-state drain: cost is per-partition checkpoint I/O,
+    # not data (see state_partitions)
+    with state_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("q_session_window_stream")
+            .outputMode("complete")
+            .option("checkpointLocation", __ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _drop_scratch(__ck)
     return spark.table("q_session_window_stream")
 
 
@@ -2244,16 +2248,20 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type"
     )
     __ck = tempfile.mkdtemp(prefix="bdp_sdedup_")
-    q = (
-        out.writeStream.format("memory")
-        .queryName("q_streaming_dedup")
-        .outputMode("append")
-        .option("checkpointLocation", __ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    _drop_scratch(__ck)
+    from breweries_data_pipeline_spark.streaming import state_partitions
+    # small-state drain: cost is per-partition checkpoint I/O,
+    # not data (see state_partitions)
+    with state_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("q_streaming_dedup")
+            .outputMode("append")
+            .option("checkpointLocation", __ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _drop_scratch(__ck)
     return spark.table("q_streaming_dedup")
 
 
@@ -2281,17 +2289,21 @@ def q_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sdf = read_events_stream(spark, sf_dir)
     __ck = tempfile.mkdtemp(prefix="bdp_sstate_")
-    q = (
-        stateful_user_counts(sdf)
-        .writeStream.format("memory")
-        .queryName("q_stateful_counts")
-        .outputMode("update")
-        .option("checkpointLocation", __ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    _drop_scratch(__ck)
+    from breweries_data_pipeline_spark.streaming import state_partitions
+    # small-state drain: cost is per-partition checkpoint I/O,
+    # not data (see state_partitions)
+    with state_partitions(spark, 8):
+        q = (
+            stateful_user_counts(sdf)
+            .writeStream.format("memory")
+            .queryName("q_stateful_counts")
+            .outputMode("update")
+            .option("checkpointLocation", __ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _drop_scratch(__ck)
     return spark.table("q_stateful_counts")
 
 
@@ -2403,16 +2415,20 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("cust_name"),
     )
     __ck = tempfile.mkdtemp(prefix="bdp_ssd_")
-    q = (
-        enriched.writeStream.format("memory")
-        .queryName("q_stream_static_join")
-        .outputMode("append")
-        .option("checkpointLocation", __ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    _drop_scratch(__ck)
+    from breweries_data_pipeline_spark.streaming import state_partitions
+    # small-state drain: cost is per-partition checkpoint I/O,
+    # not data (see state_partitions)
+    with state_partitions(spark, 8):
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName("q_stream_static_join")
+            .outputMode("append")
+            .option("checkpointLocation", __ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _drop_scratch(__ck)
     return spark.table("q_stream_static_join")
 
 
@@ -2551,7 +2567,10 @@ def q_event_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
-    return run_available_now(shaped, "q_event_window_stream")
+    from breweries_data_pipeline_spark.streaming import state_partitions
+
+    with state_partitions(spark, 8):
+        return run_available_now(shaped, "q_event_window_stream")
 
 
 # ---------------------------------------------------------------------------
@@ -9905,7 +9924,10 @@ def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sdf = read_events_stream(spark, sf_dir)
     grid_stream = cms_build(sdf.select("user_id"), "user_id")
-    grid = run_available_now(grid_stream, "q_streaming_cms_grid")
+    from breweries_data_pipeline_spark.streaming import state_partitions
+
+    with state_partitions(spark, 8):
+        grid = run_available_now(grid_stream, "q_streaming_cms_grid")
 
     events = read_table(spark, sf_dir, "events")
     top = topk_global(
@@ -10391,7 +10413,10 @@ def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         "n_ticks",
     )
-    return run_available_now(shaped, "q_streaming_ohlc")
+    from breweries_data_pipeline_spark.streaming import state_partitions
+
+    with state_partitions(spark, 8):
+        return run_available_now(shaped, "q_streaming_ohlc")
 
 
 @register(
@@ -11880,17 +11905,21 @@ def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sdf = read_events_stream(spark, sf_dir)
     __ck = tempfile.mkdtemp(prefix="bdp_scusum_")
-    q = (
-        streaming_cusum(sdf)
-        .writeStream.format("memory")
-        .queryName("q_streaming_cusum")
-        .outputMode("append")
-        .option("checkpointLocation", __ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    _drop_scratch(__ck)
+    from breweries_data_pipeline_spark.streaming import state_partitions
+    # small-state drain: cost is per-partition checkpoint I/O,
+    # not data (see state_partitions)
+    with state_partitions(spark, 8):
+        q = (
+            streaming_cusum(sdf)
+            .writeStream.format("memory")
+            .queryName("q_streaming_cusum")
+            .outputMode("append")
+            .option("checkpointLocation", __ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _drop_scratch(__ck)
     return spark.table("q_streaming_cusum").select(
         "event_id",
         "user_id",

@@ -234,6 +234,7 @@ R7E = [
 # round-8 family — summed under "r8_total"
 R8 = [
     "q_sentence_dedup_global",
+    "q_mixture_temperature",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

@@ -14419,3 +14419,63 @@ def q_sentence_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             ". ",
         ).alias("cleaned"),
     )
+
+
+@register(
+    "q_mixture_temperature",
+    """
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS s
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(s) AS BIGINT) AS st,
+                   CAST(sum(n_docs) AS BIGINT) AS nt FROM per)
+    SELECT source, n_docs,
+           CAST((n_docs * 1000000) // (SELECT nt FROM tot) AS BIGINT)
+             AS natural_ppm,
+           CAST((s * 1000000) // (SELECT st FROM tot) AS BIGINT)
+             AS smoothed_ppm
+    FROM per ORDER BY source
+    """,
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture weights (tau = 0.5): sampling
+    weight proportional to n^tau instead of n — the standard
+    multilingual/multi-source smoothing (mBERT, XLM-R, mT5 all train
+    on n^alpha-smoothed mixtures) that upweights small sources without
+    letting them dominate. Complements q_mixture_weights (per-language
+    inverse-share weights) with the temperature form.
+
+    Exactness: n^0.5 goes through floor(sqrt(double)) — IEEE sqrt is
+    correctly rounded in both engines and every n is exactly
+    representable, so the BIGINT floor is engine-identical; weights
+    then normalize in pure integer ppm (sums of per-source BIGINTs,
+    no float accumulation). Safe from the r8 overflow class: s and
+    n_docs are bounded by corpus row count (~1e10 at 100 TB),
+    x 1e6 << 2^63.
+
+    Scale: one map-side-combined count per source (a handful of
+    groups), one broadcast scalar attach — a single cheap exchange at
+    any corpus size."""
+    docs = read_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).withColumn(
+        "s",
+        F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long"),
+    )
+    tot = per.agg(
+        F.sum("s").cast("long").alias("st"),
+        F.sum("n_docs").cast("long").alias("nt"),
+    )
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.expr("(n_docs * 1000000) div nt").alias("natural_ppm"),
+            F.expr("(s * 1000000) div st").alias("smoothed_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -489,6 +489,12 @@ def _run_soak(spark, sd: str, budget: float):
             "queries": rot_detail,
         }
         _flush_details(existing)
+    # stop the ACTIVE session before returning: recycling rebinds only
+    # this function's local, so a caller that later stops ITS reference
+    # stops a long-dead session while the last recycled SparkContext
+    # stays alive — exactly the two-heap OOM scenario the recheck-JVM
+    # sequencing guards against. Idempotent for the caller's own stop.
+    spark.stop()
     return {
         "soak_queries": soak_detail,
         "soak_errors": errors,
@@ -820,7 +826,9 @@ def main() -> None:
         if skipped:
             soak["skipped_over_budget"] = skipped
         if not fresh_jvm:
-            spark.stop()  # free the fallback heap before recheck JVMs
+            # _run_soak stops its own (possibly recycled) session; this
+            # stop of OUR original reference is a belt-and-braces no-op
+            spark.stop()
         # self-audit: isolate-and-re-measure any >10x soak ratio so the
         # shipped record carries its own contamination check (full
         # pairs land in BENCH_DETAILS; the compact line gets the ratio).

@@ -371,9 +371,16 @@ def bfs_distances(
     dst_col: str = "dst",
     max_hops: int = 3,
     canonical: bool = False,
+    plan_probe: list | None = None,
 ) -> DataFrame:
     """Single-source shortest hop-distances by frontier BFS, bounded
     at ``max_hops`` (node, dist).
+
+    ``plan_probe``, when given a list, receives each hop's executed
+    physical-plan string BEFORE the localCheckpoint erases it into an
+    ExistingRDD scan — the returned union's plan shows no joins at
+    all, so the broadcast contract is only assertable on these
+    per-hop plans (tests/test_plans.py does exactly that).
 
     Each round is one equi-join of the CURRENT frontier (new nodes
     only) against the edge table plus an anti-join against the
@@ -432,8 +439,12 @@ def bfs_distances(
             .distinct()
             .join(F.broadcast(dist.select("node")), "node", "left_anti")
             .withColumn("dist", F.lit(hop))
-            .localCheckpoint(eager=True)
         )
+        if plan_probe is not None:
+            plan_probe.append(
+                nxt._jdf.queryExecution().executedPlan().toString()
+            )
+        nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
         dist = dist.unionByName(nxt)

@@ -7068,10 +7068,13 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_cents",
         # widened like q_lorenz_curve: cents-sum x 1e6 overflows
         # BIGINT past ~9.2e12 total cents (same class the r8 rotation
-        # caught); both operands positive so floor(/) == integer div
+        # caught). Exact integral division (IntegralDivide is exact on
+        # decimals) — floor(/) would round the DECIMAL(38,6) quotient
+        # HALF_UP first, so a true quotient within ~5e-7 below an
+        # integer floors to n while the oracle's exact // yields n-1.
         F.expr(
-            "CAST(floor((CAST(__top_cents AS DECIMAL(38,0)) * 1000000)"
-            " / total_cents) AS BIGINT)"
+            "CAST((CAST(__top_cents AS DECIMAL(38,0)) * 1000000)"
+            " div total_cents AS BIGINT)"
         ).alias("top1pct_share_ppm"),
         gini.alias("gini"),
     )
@@ -7182,11 +7185,14 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             # cum_cents * 1e6 overflows BIGINT once total revenue
             # passes ~9.2e12 cents (hit at sf1 by the r8 soak
             # rotation's first run — ArithmeticException under ANSI
-            # mode). Widen to DECIMAL(38,0) for the multiply; both
-            # operands positive, so floor(/) == integer div. The
-            # oracle mirrors with HUGEINT.
+            # mode). Widen to DECIMAL(38,0) for the multiply, then
+            # exact integral division: floor(/) would see a
+            # DECIMAL(38,6) quotient already HALF_UP-rounded, so a
+            # true quotient within ~5e-7 below an integer could floor
+            # to n while the oracle's exact HUGEINT // yields n-1.
+            # The oracle mirrors with HUGEINT //.
             F.expr(
-                "CAST(floor((CAST(__cum AS DECIMAL(38,0)) * 1000000) / t)"
+                "CAST((CAST(__cum AS DECIMAL(38,0)) * 1000000) div t"
                 " AS BIGINT)"
             ).alias("cum_share_ppm"),
         )

@@ -401,7 +401,19 @@ def test_bfs_broadcasts_frontier_and_settled_set(spark, sf_dir):
         .select("src", "dst")
         .distinct()
     )
-    out = bfs_distances(edges, 1, max_hops=2, canonical=True)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" not in plan
-    assert "CartesianProduct" not in plan
+    probes: list = []
+    out = bfs_distances(edges, 1, max_hops=2, canonical=True, plan_probe=probes)
+    # the RETURNED plan is a union of checkpointed hops (no joins left
+    # in it — asserting absence there is vacuous); the contract lives
+    # in the per-hop pre-checkpoint plans the probe captured
+    union_plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in union_plan  # hops really are checkpointed
+    assert probes, "plan probe captured no hop plans"
+    for plan in probes:
+        # positive shape, not just absence: a BroadcastNestedLoopJoin
+        # (or any other shape) must not satisfy the broadcast contract
+        assert "BroadcastHashJoin" in plan
+        assert "LeftAnti" in plan  # the settled-set exclusion probe
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan

@@ -23,10 +23,16 @@ END = "<!-- STATUS:END -->"
 
 
 def newest_bench() -> tuple[int, dict]:
-    files = sorted(glob.glob(os.path.join(HERE, "BENCH_r*.json")))
+    files = glob.glob(os.path.join(HERE, "BENCH_r*.json"))
     if not files:
         raise SystemExit("no BENCH_r*.json found")
-    path = files[-1]
+    # sort by the PARSED round number, not lexicographically — a bare
+    # lexicographic files[-1] silently picks the wrong "newest" once
+    # rounds outgrow the zero-padded width (r100 < r99) or a
+    # non-padded name (BENCH_r9.json) appears beside two-digit ones
+    path = max(
+        files, key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1))
+    )
     n = int(re.search(r"BENCH_r(\d+)\.json$", path).group(1))
     with open(path) as f:
         raw = json.load(f)

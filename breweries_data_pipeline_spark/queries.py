@@ -8288,61 +8288,42 @@ def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver-panel head (round 8). The driver's CORRECTNESS gate oracles
-# exactly the FIRST 50 entries of queries() at sf0.01. Registration
-# order grouped entries by build round, so the rounds-1..7 panels
-# certified only the reference-surface operators while the LLM-pipeline
-# extension families (near-dup LSH, similarity/ANN, k-means, BPE,
-# multimodal decode, corpus funnel, streaming) rested on the repo's own
-# parity suite (green, but self-certified). This explicit head keeps at
-# least one representative per reference operator family (scans S3-S5,
-# P1-P6, F1-F4, A1-A5, U1, X1-X6, text X9, event windows X10) and
-# interleaves one FLAGSHIP per extension family so the driver's own
-# DuckDB oracle certifies them directly. Invariants — every name
-# registered, every name carries a FULL oracle (no rows-only in the
-# head), exactly 50 names — are enforced by
+# Driver-panel head (round 9: 30 pinned + 20 rotating). The driver's
+# CORRECTNESS gate oracles exactly the FIRST 50 entries of queries()
+# at sf0.01. Round 8 replaced registration order with an explicit head
+# so the LLM-pipeline flagships got driver-certified; with that panel
+# fully green, a STATIC head would re-certify the same 50 forever
+# while 200+ oracled queries stay parity-suite-only (self-certified).
+# So the head is now 30 PINNED family flagships (every reference
+# operator family + every LLM-pipeline extension family keeps a
+# permanently driver-certified representative) plus 20 ROTATING slots
+# filled, in name order, with oracled queries that have never had a
+# green row in any shipped CORRECTNESS_r*.json — each driver round
+# certifies 20 fresh queries and, because its own output file is the
+# rotation's state, automatically advances the window next round (a
+# red row re-enters the pool until it goes green). When the
+# never-certified pool dries up the slots refill from the full oracled
+# registry in name order, oldest-certification-first being irrelevant
+# at that point (everything has a green row). Invariants — 50 unique
+# registered names, every one carrying a FULL oracle, pinned
+# flagships always present — are enforced by
 # tests/test_plans.py::test_panel_head_shape.
-PANEL_HEAD: list[str] = [
-    # reference surface: scans (S3-S5)
-    "q_scan_parquet",
-    "q_scan_json_infer",
-    "q_scan_csv_infer",
-    "q_scan_xml",
-    "q_scan_corrupt",
-    "q_scan_evolved",
-    # reference surface: projections / filters / quality (P*, F*)
-    "q_count_rows",
-    "q_add_literal",
-    "q_cast_types",
-    "q_normalize_strings",
-    "q_dedup_by_key",
-    "q_dropna_required",
-    "q_quality_not_null",
-    "q_quality_gt_zero",
-    # reference surface: aggregations / union (A*, U1)
-    "q_groupby_count_2key",
-    "q_groupby_count_3key",
-    "q_gold_union",
-    "q_agg_declarative",
-    "q_count_distinct",
-    "q_rollup",
-    "q_cube",
-    "q_pivot",
-    # joins / top-k (X1-X4)
-    "q_join_broadcast",
-    "q_join_shuffle",
-    "q_join_semi",
-    "q_join_anti",
-    "q_topk_per_group",
-    "q_topk_global",
-    # text analysis (X9)
-    "q_text_stats",
-    "q_lang_id",
-    "q_quality_score",
-    # event-time windows (X10, batch)
-    "q_event_window",
-    "q_session_window",
-    # --- LLM-pipeline extension flagships (driver-certified from r8) ---
+PANEL_PINNED: list[str] = [
+    # reference surface: one representative per family
+    "q_scan_parquet",          # S5 parquet scan
+    "q_scan_corrupt",          # S3/S4 PERMISSIVE corrupt-record accounting
+    "q_dedup_by_key",          # F1
+    "q_dropna_required",       # F2
+    "q_normalize_strings",     # P4
+    "q_quality_not_null",      # F3-F4 rule family
+    "q_gold_union",            # U1 + P2/P3 + A1-A3 (the gold contract)
+    "q_agg_declarative",       # A4 declarative aggregation compiler
+    "q_rollup",                # X6 multi-dim family
+    "q_join_broadcast",        # X1
+    "q_topk_per_group",        # X3
+    "q_text_stats",            # X9
+    "q_event_window",          # X10 (batch)
+    # LLM-pipeline extension flagships (driver-certified since r8)
     "q_dedup_text",            # exact text dedup
     "q_dedup_lsh_buckets",     # verification-free bucket-star LSH dedup
     "q_minhash_lsh",           # pair-verified MinHash-LSH (md5 twin)
@@ -8362,14 +8343,77 @@ PANEL_HEAD: list[str] = [
     "q_streaming_late_drop",   # watermark late-drop (staged drain oracle)
 ]
 
+_PANEL_SIZE = 50
+
+
+def _certified_green() -> set[str]:
+    """Query names with at least one GREEN row in any shipped
+    CORRECTNESS_r*.json (driver output at the repo root). Green =
+    no error and every match flag the driver recorded is true; a red
+    or errored row does NOT count, so a query that ever fails the
+    driver's gate automatically rotates back into the panel until it
+    passes. Missing/unparseable files contribute nothing — worst case
+    the rotation re-certifies queries it already covered."""
+    import glob as _glob
+    import json as _json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: set[str] = set()
+    for path in _glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except Exception:  # noqa: BLE001 — evidence file, never fatal
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err"):
+                continue
+            flags = [
+                v for k, v in row.items()
+                if k.endswith("_match") and v is not None
+            ]
+            if flags and all(flags):
+                out.add(name)
+    return out
+
+
+def _panel_head() -> list[str]:
+    """This round's 50-name driver panel: the pinned flagships, then
+    never-green-certified oracled queries in name order until the
+    panel is full (falling back to the whole oracled registry in name
+    order once everything has a green row). Deterministic given the
+    repo's shipped CORRECTNESS files, which is exactly the state the
+    rotation should key on."""
+    pinned = [n for n in PANEL_PINNED if n in REGISTRY]
+    taken = set(pinned)
+    certified = _certified_green()
+    oracled = sorted(
+        n for n in REGISTRY
+        if REGISTRY[n][1] is not None and n not in taken
+    )
+    fresh = [n for n in oracled if n not in certified]
+    refill = [n for n in oracled if n in certified]
+    return (pinned + fresh + refill)[:_PANEL_SIZE]
+
+
+PANEL_HEAD: list[str] = []  # populated on first _panel_order() call
+
 
 def _panel_order() -> list[str]:
-    """Registry names, PANEL_HEAD first, the rest in registration
-    order. queries() and oracle_sql() MUST share this order — the
-    driver zips them positionally by key set."""
-    head = [n for n in PANEL_HEAD if n in REGISTRY]
-    head_set = set(head)
-    return head + [n for n in REGISTRY if n not in head_set]
+    """Registry names, the computed panel head first, the rest in
+    registration order. queries() and oracle_sql() MUST share this
+    order — the driver zips them positionally by key set. The head is
+    computed once per process (registration is complete by the time
+    anyone asks for the order) and cached in PANEL_HEAD for tests."""
+    if not PANEL_HEAD:
+        PANEL_HEAD.extend(_panel_head())
+    head_set = set(PANEL_HEAD)
+    return PANEL_HEAD + [n for n in REGISTRY if n not in head_set]
 
 
 def queries() -> dict[str, QueryFn]:
@@ -14485,3 +14529,12 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Registration is complete: materialize this round's driver panel so
+# `from ... import PANEL_HEAD` sees the populated list without having
+# to call queries() first. Must stay the LAST statement that touches
+# the registry — a @register below this line would silently miss the
+# panel computation.
+_panel_order()

@@ -334,14 +334,17 @@ def test_bucketed_rank_offsets_join_is_broadcast(spark, sf_dir):
 
 def test_panel_head_shape():
     """The driver's CORRECTNESS gate oracles exactly the first 50
-    entries of queries(). PANEL_HEAD must therefore be: exactly 50
-    unique names, every one registered, every one carrying a FULL
-    DuckDB oracle (no rows-only in the head), actually emitted first
-    by queries()/oracle_sql(), and include at least one flagship per
-    LLM-pipeline extension family so the driver certifies those
-    directly instead of via the repo's own parity suite."""
+    entries of queries(). PANEL_HEAD (30 pinned flagships + 20
+    rotating slots, r9) must therefore be: exactly 50 unique names,
+    every one registered, every one carrying a FULL DuckDB oracle (no
+    rows-only in the head), actually emitted first by
+    queries()/oracle_sql(), with every pinned flagship present and
+    every rotating slot drawn from queries with no green row in any
+    shipped CORRECTNESS file (until that pool dries up)."""
     from breweries_data_pipeline_spark.queries import (
         PANEL_HEAD,
+        PANEL_PINNED,
+        _certified_green,
         oracle_sql,
         queries,
     )
@@ -358,13 +361,29 @@ def test_panel_head_shape():
     # oracle_sql preserves the same relative order (driver zips by key)
     o = list(oracle_sql())
     assert o == [n for n in q if REGISTRY[n][1] is not None]
+    # the pinned flagships lead the panel, in order
+    assert PANEL_HEAD[: len(PANEL_PINNED)] == PANEL_PINNED
     flagships = {
         "q_dedup_lsh_buckets", "q_minhash_lsh", "q_similarity_topk",
         "q_semantic_dedup", "q_kmeans_lloyd2", "q_png_decode",
         "q_bpe_learn", "q_corpus_funnel_buckets", "q_streaming_late_drop",
         "q_sentence_dedup",
     }
-    assert flagships <= set(PANEL_HEAD)
+    assert flagships <= set(PANEL_PINNED)
+    # rotating slots: never-green-certified first, in name order
+    certified = _certified_green()
+    rotating = PANEL_HEAD[len(PANEL_PINNED):]
+    pool = sorted(
+        n for n in REGISTRY
+        if REGISTRY[n][1] is not None
+        and n not in set(PANEL_PINNED)
+        and n not in certified
+    )
+    expect = pool[: len(rotating)]
+    if len(expect) == len(rotating):  # pool not yet dry
+        assert rotating == expect
+    else:  # dry pool: refill comes from the certified remainder
+        assert rotating[: len(expect)] == expect
 
 
 def test_kcore_peel_is_zero_writeback_broadcast_probes(spark, sf_dir):

@@ -383,7 +383,7 @@ def _soak_order() -> list[str]:
     return HEADLINE + list(reversed(rest))
 
 
-def _rotation_cohort() -> tuple[int, list[str]]:
+def _rotation_cohort() -> tuple[int, list[str], list[str]]:
     """sf1 rotation over the COVERAGE-leg queries (registry minus the
     curated suite): a third per round, so every registry query gets an
     sf1 datum within 3 rounds instead of the curated-suite boundary
@@ -410,7 +410,17 @@ def _rotation_cohort() -> tuple[int, list[str]]:
     except Exception:  # noqa: BLE001 — ordering hint only
         cov = {}
     cohort.sort(key=lambda q: (-cov.get(q, 0.0), q))
-    return round_ix, cohort
+    # BONUS leg: the OTHER two cohorts, run on whatever budget remains
+    # after the primary cohort — when the soak is fast enough this
+    # closes the whole registry's sf1 record in ONE round instead of
+    # three. Next-round's cohort first (it has gone longest without a
+    # datum), each most-expensive-first like the primary.
+    bonus: list[str] = []
+    for k in (1, 2):
+        c = [q for i, q in enumerate(rest) if i % 3 == (round_ix + k) % 3]
+        c.sort(key=lambda q: (-cov.get(q, 0.0), q))
+        bonus.extend(c)
+    return round_ix, cohort, bonus
 
 
 def _run_soak(spark, sd: str, budget: float):
@@ -446,12 +456,18 @@ def _run_soak(spark, sd: str, budget: float):
     skipped = 0
     rot_skipped = 0
     recycle_every = int(os.environ.get("SPARK_GRAFT_SOAK_RECYCLE", "40"))
-    cohort_ix, cohort = _rotation_cohort()
+    cohort_ix, cohort, bonus = _rotation_cohort()
+    bonus_detail: dict[str, float] = {}
+    bonus_skipped = 0
     suite_n = len(_soak_order())
-    for i, name in enumerate(_soak_order() + cohort):
-        in_rotation = i >= suite_n
+    rot_n = suite_n + len(cohort)
+    for i, name in enumerate(_soak_order() + cohort + bonus):
+        in_bonus = i >= rot_n
+        in_rotation = i >= suite_n and not in_bonus
         if time.perf_counter() - t0 > budget:
-            if in_rotation:
+            if in_bonus:
+                bonus_skipped += 1
+            elif in_rotation:
                 rot_skipped += 1
             else:
                 skipped += 1
@@ -469,10 +485,17 @@ def _run_soak(spark, sd: str, budget: float):
         try:
             _materialize(fn(spark, sd))
             wall = round(time.perf_counter() - start, 3)
-            (rot_detail if in_rotation else soak_detail)[name] = wall
+            dest = (
+                bonus_detail if in_bonus
+                else rot_detail if in_rotation
+                else soak_detail
+            )
+            dest[name] = wall
         except Exception as exc:  # noqa: BLE001 — one bad query must
             # not cost the whole leg; the error is the datum
-            leg = "rotation" if in_rotation else "soak"
+            leg = (
+                "bonus" if in_bonus else "rotation" if in_rotation else "soak"
+            )
             errors[f"{leg}:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
         spark.catalog.clearCache()
         if i % 5 == 4:
@@ -487,6 +510,7 @@ def _run_soak(spark, sd: str, budget: float):
             "cohort": cohort_ix,
             "cohort_size": len(cohort),
             "queries": rot_detail,
+            "bonus_queries": bonus_detail,
         }
         _flush_details(existing)
     # stop the ACTIVE session before returning: recycling rebinds only
@@ -503,6 +527,8 @@ def _run_soak(spark, sd: str, budget: float):
         "rotation_cohort_size": len(cohort),
         "rotation_queries": rot_detail,
         "rotation_skipped": rot_skipped,
+        "rotation_bonus_queries": bonus_detail,
+        "rotation_bonus_skipped": bonus_skipped,
     }
 
 
@@ -796,6 +822,20 @@ def main() -> None:
         }
         if soak_payload.get("rotation_skipped"):
             rotation["skipped_over_budget"] = soak_payload["rotation_skipped"]
+        # bonus leg (the other two cohorts on leftover budget): covered
+        # count + wall ride the compact line; per-query walls land in
+        # BENCH_DETAILS like the primary's
+        if soak_payload.get("rotation_bonus_queries"):
+            rotation["bonus_covered"] = len(
+                soak_payload["rotation_bonus_queries"]
+            )
+            rotation["bonus_total_wall"] = round(
+                sum(soak_payload["rotation_bonus_queries"].values()), 3
+            )
+        if soak_payload.get("rotation_bonus_skipped"):
+            rotation["bonus_skipped_over_budget"] = soak_payload[
+                "rotation_bonus_skipped"
+            ]
         errors.update(soak_payload.get("soak_errors", {}))
         ratios = {
             q: round(soak_detail[q] / max(timings.get(q, 0.0), 1e-9), 1)
@@ -807,7 +847,10 @@ def main() -> None:
         # wall (single rep vs single rep) and feed the same >10x
         # self-audit as the suite — a coverage-leg query that goes
         # superlinear at sf1 deserves the identical adjudication
-        for q, w in soak_payload.get("rotation_queries", {}).items():
+        for q, w in {
+            **soak_payload.get("rotation_queries", {}),
+            **soak_payload.get("rotation_bonus_queries", {}),
+        }.items():
             if q in coverage:
                 ratios[q] = round(w / max(coverage[q], 1e-9), 1)
         worst = dict(sorted(ratios.items(), key=lambda kv: -kv[1])[:3])
@@ -872,6 +915,10 @@ def main() -> None:
                                 soak_payload.get("rotation_cohort_size", 0),
                             "queries":
                                 soak_payload.get("rotation_queries", {}),
+                            "bonus_queries":
+                                soak_payload.get(
+                                    "rotation_bonus_queries", {}
+                                ),
                         },
                         "headline_isolated_queries":
                             (isolated or {}).get("queries", {})})

@@ -780,21 +780,48 @@ class ShingleIndex:
     """
 
     def __init__(self, prefix: DataFrame, sets: DataFrame, freq: DataFrame,
-                 threshold: float, shingle_size: int):
+                 threshold: float, shingle_size: int,
+                 fingerprint: bool = False):
         self.prefix = prefix
         self.sets = sets
         self.freq = freq
         self.threshold = threshold
         self.shingle_size = shingle_size
+        # True when the index stores xxhash64 fingerprints instead of
+        # raw shingle strings (see _shingle_sets): batches queried
+        # against it MUST shingle the same way, and the string-verify
+        # hash pre-gate is skipped (the sets already ARE hash arrays)
+        self.fingerprint = fingerprint
 
 
-def _shingle_sets(df: DataFrame, text_col: str, id_col: str, shingle_size: int) -> DataFrame:
+def _shingle_sets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_size: int,
+    *,
+    fingerprint: bool = False,
+) -> DataFrame:
+    """Per-doc distinct shingle sets. ``fingerprint=True`` maps each
+    shingle through xxhash64 IN THE SAME NARROW PASS, so every
+    downstream exchange, sort, and bucketed write carries 8-byte
+    longs instead of ~25-byte shingle strings — the
+    fingerprint-before-exchange production step (the sf10 shingle
+    sort's spill was dominated by raw shingle text). Distinctness is
+    taken AFTER hashing: a collision between two distinct shingles
+    of the SAME doc merges them (set size shrinks by 1), between
+    docs it can only inflate the intersection — either way the
+    Jaccard perturbation is ≤ 1/|A∪B| per collision at ~2^-64 odds
+    per shingle pair (tests account collisions explicitly)."""
     from breweries_data_pipeline_spark.functions.text import shingles
 
+    sh = shingles(text_col, shingle_size)
+    if fingerprint:
+        sh = F.transform(sh, lambda s: F.xxhash64(s))
     return (
         df.select(
             F.col(id_col).alias("id"),
-            F.array_distinct(shingles(text_col, shingle_size)).alias("shingles"),
+            F.array_distinct(sh).alias("shingles"),
         ).withColumn("size", F.size("shingles"))
     )
 
@@ -847,21 +874,38 @@ def build_shingle_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_size: int = 3,
+    fingerprint: bool = False,
 ) -> ShingleIndex:
     """Build the :class:`ShingleIndex` for a corpus. One shingle
     explode feeds both the frequency aggregate and the prefix window;
     the sets table is the explode input persisted. All three outputs
     are plain DataFrames — write once with
     :func:`write_shingle_index`, re-read daily, and only the (small)
-    new batch is ever shingled again."""
-    sets = track_persist(_shingle_sets(history, text_col, id_col, shingle_size))
+    new batch is ever shingled again.
+
+    ``fingerprint=True`` builds the index over xxhash64 shingle
+    fingerprints instead of raw strings (see :func:`_shingle_sets`):
+    the prefix window's sort, the frequency aggregate, the bucketed
+    catalog write, and every daily candidate join then move 8-byte
+    longs — the production form for corpora whose shingle sort
+    otherwise dominates shuffle/spill bytes (the locally-measured
+    sf10 disk ceiling). The prefix-filter lemma is hash-agnostic (it
+    needs only ONE shared total order, which the fingerprint
+    frequency snapshot provides), and verification is exact Jaccard
+    over the fingerprint sets — exact over shingles up to 64-bit
+    collisions."""
+    sets = track_persist(
+        _shingle_sets(
+            history, text_col, id_col, shingle_size, fingerprint=fingerprint
+        )
+    )
     freq = (
         sets.select(F.explode("shingles").alias("shingle"))
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("n"))
     )
     prefix = _prefix_rows(sets, freq, threshold)
-    return ShingleIndex(prefix, sets, freq, threshold, shingle_size)
+    return ShingleIndex(prefix, sets, freq, threshold, shingle_size, fingerprint)
 
 
 def write_shingle_index(index: ShingleIndex, path: str) -> None:
@@ -882,8 +926,14 @@ def write_shingle_index(index: ShingleIndex, path: str) -> None:
     # a local open() would split the index across filesystems on
     # HDFS/S3 paths (parquet remote, meta local or IOError)
     spark.createDataFrame(
-        [(int(round(index.threshold * 1_000_000)), index.shingle_size, 2)],
-        "threshold_ppm bigint, shingle_size int, format_version int",
+        [(
+            int(round(index.threshold * 1_000_000)),
+            index.shingle_size,
+            2,
+            bool(index.fingerprint),
+        )],
+        "threshold_ppm bigint, shingle_size int, format_version int, "
+        "fingerprint boolean",
     ).coalesce(1).write.mode("overwrite").json(posixpath.join(path, "meta"))
 
 
@@ -914,6 +964,8 @@ def read_shingle_index(spark, path: str) -> ShingleIndex:
         spark.read.parquet(posixpath.join(path, "freq")),
         meta["threshold_ppm"] / 1_000_000,
         int(meta["shingle_size"]),
+        # absent on v2 indexes written before the fingerprint option
+        bool(meta["fingerprint"]) if "fingerprint" in meta.__fields__ else False,
     )
 
 
@@ -971,8 +1023,12 @@ def write_shingle_index_bucketed(
      .bucketBy(n_buckets, "shingle")
      .format("parquet").saveAsTable(f"{table_prefix}_freq"))
     spark.createDataFrame(
-        [(int(round(index.threshold * 1_000_000)), index.shingle_size)],
-        "threshold_ppm bigint, shingle_size int",
+        [(
+            int(round(index.threshold * 1_000_000)),
+            index.shingle_size,
+            bool(index.fingerprint),
+        )],
+        "threshold_ppm bigint, shingle_size int, fingerprint boolean",
     ).write.mode("overwrite").format("parquet").saveAsTable(f"{table_prefix}_meta")
 
 
@@ -984,6 +1040,8 @@ def read_shingle_index_bucketed(spark, table_prefix: str) -> ShingleIndex:
         spark.table(f"{table_prefix}_freq"),
         meta["threshold_ppm"] / 1_000_000,
         int(meta["shingle_size"]),
+        # absent on tables written before the fingerprint option
+        bool(meta["fingerprint"]) if "fingerprint" in meta.__fields__ else False,
     )
 
 
@@ -1036,7 +1094,12 @@ def near_dedup_against_index(
             "would lose candidates (rebuild the index at the lower threshold)"
         )
     t_ppm = _t_ppm(t)
-    sets_b = track_persist(_shingle_sets(new_batch, text_col, id_col, index.shingle_size))
+    sets_b = track_persist(
+        _shingle_sets(
+            new_batch, text_col, id_col, index.shingle_size,
+            fingerprint=index.fingerprint,
+        )
+    )
     cand = (
         _prefix_rows(sets_b, index.freq, t)
         .alias("b")
@@ -1055,13 +1118,19 @@ def near_dedup_against_index(
     # 8-byte hash arrays first costs ~an order of magnitude less than
     # shipping + comparing the shingle strings, and the gate is exact
     # (see _hash_gate_cols) — true pairs always pass, hash-inflated
-    # ones die in the string verify below.
-    gated = (
-        cand.join(_hash_gate_cols(sets_b, "__bid", "b"), "__bid")
-        .join(_hash_gate_cols(index.sets, "__hid", "h"), "__hid")
-        .where(_hash_gate_keep("b", "h", t_ppm))
-        .select("__bid", "__hid")
-    )
+    # ones die in the string verify below. A FINGERPRINTED index skips
+    # the gate: its sets already ARE 8-byte hash arrays, so the verify
+    # below is exactly the gate's intersection — running both would
+    # double the work for zero extra pruning.
+    if index.fingerprint:
+        gated = cand
+    else:
+        gated = (
+            cand.join(_hash_gate_cols(sets_b, "__bid", "b"), "__bid")
+            .join(_hash_gate_cols(index.sets, "__hid", "h"), "__hid")
+            .where(_hash_gate_keep("b", "h", t_ppm))
+            .select("__bid", "__hid")
+        )
     ppm = F.expr(
         "(cast(size(array_intersect(__s_b, __s_h)) as bigint) * 1000000) div "
         "(cast(size(__s_b) as bigint) + cast(size(__s_h) as bigint) "

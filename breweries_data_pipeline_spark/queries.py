@@ -14532,6 +14532,154 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round 9: fingerprint-before-exchange production variants
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sentence_dedup_fp",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(text,
+                      '[.!?][ \t\n\x0b\f\r]+')) AS sent,
+             generate_subscripts(regexp_split_to_array(text,
+                      '[.!?][ \t\n\x0b\f\r]+'), 1) AS pos
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, sent, pos,
+             row_number() OVER (
+               PARTITION BY ('0x' || substr(md5(sent), 1, 15))::BIGINT
+               ORDER BY doc_id, pos) AS rn
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_sents,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN sent END,
+                               '. ' ORDER BY pos), '') AS cleaned
+    FROM w GROUP BY doc_id
+    """,
+)
+def q_sentence_dedup_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FINGERPRINT-BEFORE-EXCHANGE form of the corpus-global
+    sentence scrub — the production step q_sentence_dedup_global's
+    docstring promises: hash every sentence to a 64-bit fingerprint
+    in the narrow explode pass and DROP the text before any exchange.
+    The rank shuffle then carries (fp, doc_id, pos) — ~20 bytes per
+    sentence instead of the full sentence text — and the winners
+    shuffle back as bare (doc_id, pos) keep-positions; documents are
+    rebuilt by re-splitting the ORIGINAL text column locally and
+    picking the kept positions, so sentence bytes cross at most ONE
+    exchange (the doc-side rebuild join; zero with a doc_id-bucketed
+    corpus layout) instead of two. Same first-occurrence total order
+    (doc_id, pos) as the byte-faithful twin.
+
+    The registered lane derives the fingerprint from md5's first 15
+    hex chars (60 bits) so DuckDB replays it exactly — the same
+    auditable-twin pattern as q_minhash_lsh vs the xxhash64 path;
+    production would use xxhash64 (pure JVM, no digest allocation),
+    identical plan shape. Fingerprinting changes semantics only on a
+    60-bit collision between DISTINCT sentences (~2^-60 per pair;
+    tests/test_dedup.py asserts the result matches the byte-faithful
+    twin row-for-row on the fixture corpus and accounts collisions =
+    distinct sentences minus distinct fingerprints = 0)."""
+    docs = read_table(spark, sf_dir, "documents")
+    sents = F.split("text", r"[.!?][ \t\n\x0b\f\r]+")
+    # narrow pass: explode, fingerprint, DROP the text
+    s = docs.select(
+        "doc_id", F.posexplode(sents).alias("pos0", "sent")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr(
+            "cast(conv(substr(md5(sent), 1, 15), 16, 10) as bigint)"
+        ).alias("__fp"),
+    )
+    w = Window.partitionBy("__fp").orderBy("doc_id", "pos")
+    winners = (
+        s.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("__keep"))
+    )
+    keep = F.coalesce(F.col("__keep"), F.expr("cast(array() as array<int>)"))
+    return docs.join(winners, "doc_id", "left").select(
+        "doc_id",
+        F.size(sents).cast("long").alias("n_sents"),
+        F.size(keep).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(keep, lambda p: F.element_at(sents, p)), ". "
+        ).alias("cleaned"),
+    )
+
+
+@register(
+    "q_neardup_index_fp",
+    f"""
+    WITH sh AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS s FROM documents),
+    b AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+    h AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+    p AS (
+      SELECT b.doc_id AS bid, h.doc_id AS hid,
+             (CAST(len(list_intersect(b.s, h.s)) AS BIGINT) * 1000000)
+               // (CAST(len(b.s) AS BIGINT) + CAST(len(h.s) AS BIGINT)
+                   - CAST(len(list_intersect(b.s, h.s)) AS BIGINT)) AS ppm
+      FROM b, h
+    ),
+    m AS (
+      SELECT bid, hid, ppm,
+             row_number() OVER (PARTITION BY bid ORDER BY ppm DESC, hid) AS rk,
+             count(*) OVER (PARTITION BY bid) AS n
+      FROM p WHERE ppm >= 500000
+    )
+    SELECT b.doc_id,
+           CAST(coalesce(m.n, 0) AS BIGINT) AS n_dups,
+           CAST(m.hid AS BIGINT) AS best_match_id,
+           CAST(m.ppm AS BIGINT) AS best_jaccard_ppm
+    FROM b LEFT JOIN m ON m.bid = b.doc_id AND m.rk = 1
+    """,
+)
+def q_neardup_index_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FINGERPRINTED persisted-index ingest cycle — the production
+    step q_neardup_index's scale notes promise: the index is built
+    over xxhash64 shingle fingerprints (build_shingle_index
+    fingerprint=True), so the prefix window's sort, the bucketed
+    catalog write, the daily candidate join, and the exact-Jaccard
+    verify all move 8-byte longs instead of raw shingle strings. The
+    shingle SORT is the locally-measured sf10 disk ceiling of the
+    byte-faithful twin; fingerprints cut its spill bytes by the
+    string/long width ratio (~3-4x; measured in SCALE.md r9).
+
+    Same brute-force oracle as q_neardup_index: exact Jaccard over
+    fingerprint sets equals exact Jaccard over shingle sets whenever
+    the corpus is 64-bit-collision-free, which tests/test_dedup.py
+    asserts for the fixture corpus (distinct shingles == distinct
+    fingerprints) and ~2^-64-per-pair odds make overwhelmingly
+    certain at any real corpus size. Timing it measures the whole
+    fingerprinted build + bucketed write + read-back + join cycle."""
+    from breweries_data_pipeline_spark.operators.dedup import (
+        build_shingle_index,
+        near_dedup_against_index,
+        read_shingle_index_bucketed,
+        write_shingle_index_bucketed,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    history = docs.where(F.col("doc_id") % 5 != 0)
+    tbl = "t_q_neardup_index_fp"
+    write_shingle_index_bucketed(
+        build_shingle_index(history, threshold=0.5, fingerprint=True), tbl
+    )
+    return near_dedup_against_index(
+        batch, read_shingle_index_bucketed(spark, tbl), threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registration is complete: materialize this round's driver panel so
 # `from ... import PANEL_HEAD` sees the populated list without having
 # to call queries() first. Must stay the LAST statement that touches

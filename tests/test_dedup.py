@@ -387,3 +387,94 @@ def test_bucket_star_survivors_equal_clique_survivors(spark, sf_dir):
         assert len(star) > 0
     finally:
         sigs.unpersist()
+
+
+def test_fingerprint_index_matches_byte_faithful_twin(spark, sf_dir):
+    """The fingerprint-before-exchange contract (r8 verdict #2): an
+    index built over xxhash64 shingle fingerprints must produce the
+    SAME daily-ingest annotations as the byte-faithful index, row for
+    row — plus explicit collision accounting: on the fixture corpus
+    the number of distinct shingle strings equals the number of
+    distinct fingerprints (zero collisions), which is the exactness
+    precondition the docstrings state. Also asserts the persisted
+    flag survives the bucketed round-trip so a batch queried against
+    a reloaded fingerprint index shingles the same way."""
+    from breweries_data_pipeline_spark.operators.dedup import (
+        _shingle_sets,
+        build_shingle_index,
+        near_dedup_against_index,
+        read_shingle_index_bucketed,
+        write_shingle_index_bucketed,
+    )
+    from breweries_data_pipeline_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    history = docs.where(F.col("doc_id") % 5 != 0)
+
+    # collision accounting over the WHOLE corpus (both sides)
+    sets = _shingle_sets(docs, "text", "doc_id", 3)
+    n_strings, n_fps = (
+        sets.select(F.explode("shingles").alias("s"))
+        .agg(
+            F.countDistinct("s").alias("a"),
+            F.countDistinct(F.xxhash64("s")).alias("b"),
+        )
+        .first()
+    )
+    assert n_strings == n_fps, "64-bit collision on fixture corpus"
+
+    plain = near_dedup_against_index(
+        batch, build_shingle_index(history, threshold=0.5), threshold=0.5
+    )
+    try:
+        write_shingle_index_bucketed(
+            build_shingle_index(history, threshold=0.5, fingerprint=True),
+            "t_shidx_fp_test",
+            n_buckets=8,
+        )
+        idx_fp = read_shingle_index_bucketed(spark, "t_shidx_fp_test")
+        assert idx_fp.fingerprint is True  # flag survives the round-trip
+        # the persisted sets/prefix really are longs, not strings
+        assert dict(idx_fp.sets.dtypes)["shingles"] == "array<bigint>"
+        assert dict(idx_fp.prefix.dtypes)["shingle"] == "bigint"
+        fp = near_dedup_against_index(batch, idx_fp, threshold=0.5)
+        assert sorted(map(tuple, fp.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        for t in ("prefix", "sets", "freq", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS t_shidx_fp_test_{t}")
+
+
+def test_sentence_dedup_fp_matches_byte_faithful_twin(spark, sf_dir):
+    """q_sentence_dedup_fp must reproduce q_sentence_dedup_global row
+    for row on the fixture corpus (its md5-60-bit fingerprints are
+    collision-free there — accounted explicitly), and its rank
+    exchange must be keyed by the FINGERPRINT, never the sentence
+    text (the whole point: the heavy shuffle carries 8-byte longs)."""
+    from breweries_data_pipeline_spark.queries import (
+        q_sentence_dedup_fp,
+        q_sentence_dedup_global,
+    )
+    from breweries_data_pipeline_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    sents = docs.select(
+        F.explode(F.split("text", r"[.!?][ \t\n\x0b\f\r]+")).alias("sent")
+    )
+    n_sents, n_fps = sents.agg(
+        F.countDistinct("sent").alias("a"),
+        F.countDistinct(
+            F.expr("cast(conv(substr(md5(sent), 1, 15), 16, 10) as bigint)")
+        ).alias("b"),
+    ).first()
+    assert n_sents == n_fps, "60-bit collision on fixture corpus"
+
+    fp = q_sentence_dedup_fp(spark, sf_dir)
+    plan = fp._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__fp" in plan  # rank shuffle keyed by fp
+    raw = q_sentence_dedup_global(spark, sf_dir)
+    assert sorted(map(tuple, fp.collect())) == sorted(
+        map(tuple, raw.collect())
+    )

@@ -1206,3 +1206,36 @@ def test_sentence_dedup_global_keeps_first_occurrence_across_docs(spark):
     # doc 3: pure boilerplate -> empty
     assert rows[3].n_sents == 2 and rows[3].n_kept == 0
     assert rows[3].cleaned == ""
+
+
+def test_chunk_kernel_matches_duckdb_oracle_on_leading_whitespace():
+    """kernel == oracle on leading/trailing NON-SPACE whitespace (the
+    r7 ADVICE class: bare .strip() would eat '\\tdoc' / '\\ndoc'
+    edges that DuckDB's space-only trim() keeps): replay the
+    q_udtf_chunks oracle's token pipeline in DuckDB on adversarial
+    inputs and assert the Python kernel yields the identical
+    (chunk_ix, chunk_text, chunk_tokens) rows."""
+    import duckdb
+
+    from breweries_data_pipeline_spark.operators.text import chunk_tokens_py
+
+    inputs = ["\tdoc", "\ndoc", "doc\n", "\t", "\n x\ty \n", "  \tdoc  "]
+    con = duckdb.connect()
+    for text in inputs:
+        oracle = con.execute(
+            r"""
+            WITH toks AS (
+              SELECT regexp_split_to_array(trim(?), '[ \t\n\x0b\f\r]+') AS tk
+            ), ix AS (
+              SELECT tk, unnest(range(0, CAST(ceil(len(tk)/2.0) AS BIGINT))) AS i
+              FROM toks WHERE trim(?) <> ''
+            )
+            SELECT CAST(i AS INT),
+                   array_to_string(tk[(i*2+1):(i*2+2)], ' '),
+                   CAST(len(tk[(i*2+1):(i*2+2)]) AS INT)
+            FROM ix ORDER BY i
+            """,
+            [text, text],
+        ).fetchall()
+        kernel = list(chunk_tokens_py(text, 2))
+        assert kernel == [tuple(r) for r in oracle], repr(text)

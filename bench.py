@@ -237,6 +237,12 @@ R8 = [
     "q_mixture_temperature",
 ]
 
+# round-9 family — the fingerprint-before-exchange production forms
+R9 = [
+    "q_sentence_dedup_fp",
+    "q_neardup_index_fp",
+]
+
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",
                  "documents", "embeddings")
 
@@ -379,7 +385,7 @@ def _soak_order() -> list[str]:
     the budget expires, the queries that lose their sf1 datum are the
     oldest, best-proven ones, never the newest (r6 skipped exactly its
     10 newest)."""
-    rest = [q for q in EXTENDED + CORPUS + R5 + R6 + R6B + R6C + R7 + R7E + R8 if q in REGISTRY]
+    rest = [q for q in EXTENDED + CORPUS + R5 + R6 + R6B + R6C + R7 + R7E + R8 + R9 if q in REGISTRY]
     return HEADLINE + list(reversed(rest))
 
 
@@ -679,7 +685,7 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     suite = HEADLINE if headline_only else (
-        HEADLINE + [q for q in EXTENDED + CORPUS + R5 + R6 + R6B + R6C + R7 + R7E + R8 if q in REGISTRY]
+        HEADLINE + [q for q in EXTENDED + CORPUS + R5 + R6 + R6B + R6C + R7 + R7E + R8 + R9 if q in REGISTRY]
     )
     for name in suite:
         fn, _ = REGISTRY[name]
@@ -750,6 +756,7 @@ def main() -> None:
     r6c_total = round(sum(timings[q] for q in R6C if q in timings), 3)
     r7_total = round(sum(timings[q] for q in R7 if q in timings), 3)
     r8_total = round(sum(timings[q] for q in R8 if q in timings), 3)
+    r9_total = round(sum(timings[q] for q in R9 if q in timings), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     payload = {
         "metric": "headline_queries_total_wall",
@@ -765,6 +772,7 @@ def main() -> None:
         "r6c_total": r6c_total,
         "r7_total": r7_total,
         "r8_total": r8_total,
+        "r9_total": r9_total,
         "sf": float(sf) if sf else None,
     }
     if coverage or cov_skipped:

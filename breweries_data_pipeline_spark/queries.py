@@ -8982,15 +8982,19 @@ def _sql_minhash_cols(n: int = 16) -> str:
     )
 
 
-def _minhash_sig(sh, n: int = 16):
+def _minhash_sig(sh, n: int = 16, carry: tuple = ()):
     """(doc_id, h0..h{n-1}) min-hash signature from an exploded
     (doc_id, s) shingle stream. n/4 md5 digests are projected ONCE per
     shingle row and each digest is split into four 32-bit lanes
     (mirrors _sql_minhash_cols exactly), then one hash aggregate takes
     all n mins with map-side combine — cutting the md5 count 4x vs a
-    digest per lane (measured 9.1 s -> ~4 s on the sf0.1 corpus)."""
+    digest per lane (measured 9.1 s -> ~4 s on the sf0.1 corpus).
+    ``carry`` names extra per-doc columns to keep (constant within a
+    doc_id — they join the grouping key, which costs nothing since
+    doc_id already determines them)."""
     digs = sh.select(
         "doc_id",
+        *carry,
         *[
             F.md5(F.concat(F.col("s"), F.lit(f":mh{g}"))).alias(f"__d{g}")
             for g in range((n + 3) // 4)
@@ -9002,19 +9006,22 @@ def _minhash_sig(sh, n: int = 16):
         ).cast("long")
         for r in range(n)
     ]
-    return digs.groupBy("doc_id").agg(
+    return digs.groupBy("doc_id", *carry).agg(
         *[F.min(lanes[r]).alias(f"h{r}") for r in range(n)]
     )
 
 
-def _minhash_band_rows(sig, n_bands: int = 4, rows: int = 4):
+def _minhash_band_rows(sig, n_bands: int = 4, rows: int = 4,
+                       carry: tuple = ()):
     """(doc_id, band, v0..v3) from a signature table via ONE explode of
     an array of band structs — a single pass over sig. (The 4-way
     union-of-projections spelling recomputes the signature aggregate
     once per band: Catalyst does not reuse non-cached exchanges across
-    union branches.)"""
+    union branches.) ``carry`` names extra sig columns to ride along
+    (e.g. an exact-dup multiplicity weight)."""
     return sig.select(
         "doc_id",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -9031,6 +9038,7 @@ def _minhash_band_rows(sig, n_bands: int = 4, rows: int = 4):
         ).alias("__b"),
     ).select(
         "doc_id",
+        *carry,
         F.col("__b.band").alias("band"),
         *[F.col(f"__b.v{i}").alias(f"v{i}") for i in range(rows)],
     )
@@ -11159,20 +11167,39 @@ def q_lsh_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     that picks bits-per-band at a new corpus scale (SCALE.md's
     bits ~ log2(N/target) rule, made measurable): if predicted_pairs
     blows up, re-band before paying for the join. One aggregate over
-    the signature table; no pairs materialize."""
+    the signature table; no pairs materialize.
+
+    EXACT-COLLAPSE pre-pass (r9): signatures are a pure function of
+    the text, so byte-identical docs are collapsed FIRST (group by
+    text -> multiplicity w, smallest doc_id as the rep) and every md5
+    runs once per DISTINCT document; bucket sizes then weight by w
+    (k = sum of multiplicities), so n_buckets / max_bucket /
+    predicted_pairs are IDENTICAL to the uncollapsed form — the
+    oracle keeps the direct spelling as proof. On real web corpora
+    (30-50% exact-dup mass) this cuts the dominant hash cost by the
+    dup factor; on the 10x replicated soak corpus it is ~10x
+    (measured: 17.7s -> ~4s sf1)."""
     from breweries_data_pipeline_spark.operators.dedup import (
         _ensure_parallelism,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    shs = _ensure_parallelism(docs.select("doc_id", "text")).select(
-        "doc_id", F.array_distinct(shingles("text", 3)).alias("s")
+    uniq = (
+        _ensure_parallelism(docs.select("doc_id", "text"))
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("long").alias("w"),
+        )
     )
-    sh = shs.select("doc_id", F.explode("s").alias("s"))
-    sig = _minhash_sig(sh)
-    bands = _minhash_band_rows(sig)
+    shs = uniq.select(
+        "doc_id", "w", F.array_distinct(shingles("text", 3)).alias("s")
+    )
+    sh = shs.select("doc_id", "w", F.explode("s").alias("s"))
+    sig = _minhash_sig(sh, carry=("w",))
+    bands = _minhash_band_rows(sig, carry=("w",))
     buckets = bands.groupBy("band", "v0", "v1", "v2", "v3").agg(
-        F.count("*").alias("k")
+        F.sum("w").alias("k")
     )
     return buckets.groupBy("band").agg(
         F.count("*").cast("long").alias("n_buckets"),

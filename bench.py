@@ -238,9 +238,11 @@ R8 = [
 ]
 
 # round-9 family — the fingerprint-before-exchange production forms
+# plus the stdlib JPEG real-codec round-trip
 R9 = [
     "q_sentence_dedup_fp",
     "q_neardup_index_fp",
+    "q_jpeg_decode",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

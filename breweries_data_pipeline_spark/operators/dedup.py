@@ -801,6 +801,7 @@ def _shingle_sets(
     shingle_size: int,
     *,
     fingerprint: bool = False,
+    carry: tuple = (),
 ) -> DataFrame:
     """Per-doc distinct shingle sets. ``fingerprint=True`` maps each
     shingle through xxhash64 IN THE SAME NARROW PASS, so every
@@ -821,6 +822,7 @@ def _shingle_sets(
     return (
         df.select(
             F.col(id_col).alias("id"),
+            *carry,
             F.array_distinct(sh).alias("shingles"),
         ).withColumn("size", F.size("shingles"))
     )
@@ -875,6 +877,7 @@ def build_shingle_index(
     id_col: str = "doc_id",
     shingle_size: int = 3,
     fingerprint: bool = False,
+    collapse_exact: bool = False,
 ) -> ShingleIndex:
     """Build the :class:`ShingleIndex` for a corpus. One shingle
     explode feeds both the frequency aggregate and the prefix window;
@@ -893,10 +896,39 @@ def build_shingle_index(
     needs only ONE shared total order, which the fingerprint
     frequency snapshot provides), and verification is exact Jaccard
     over the fingerprint sets — exact over shingles up to 64-bit
-    collisions."""
+    collisions.
+
+    ``collapse_exact=True`` collapses byte-identical history docs
+    FIRST (one rep per distinct text = the group's smallest id, with
+    the copy count carried as a ``w`` column on ``sets``) — the
+    standard exact-dedup-before-near-dup funnel order, applied inside
+    the index so daily queries inherit it. Semantics-preserving by
+    construction: every copy has the SAME Jaccard to any batch doc,
+    so match counts weight by ``w`` and the best-match id is the best
+    group's min id — exactly what the uncollapsed form returns
+    (tests assert row-for-row equality; the brute-force oracle stays
+    valid). This is the lever that collapses candidate volume on
+    dup-dense corpora: candidates scale with DISTINCT text pairs, not
+    copy-count-squared (the measured sf10 disk ceiling — ~10^9
+    candidate rows from 100-copy cliques — drops ~10^4x)."""
+    carry: tuple = ()
+    if collapse_exact:
+        history = (
+            history.groupBy(F.md5(F.col(text_col)).alias("__g"))
+            .agg(
+                F.min(id_col).alias(id_col),
+                F.first(text_col).alias(text_col),
+                F.count(F.lit(1)).cast("long").alias("w"),
+            )
+            .drop("__g")
+        )
+        # the multiplicity rides the sets table (persisted with it);
+        # near_dedup_against_index weights match counts by it
+        carry = ("w",)
     sets = track_persist(
         _shingle_sets(
-            history, text_col, id_col, shingle_size, fingerprint=fingerprint
+            history, text_col, id_col, shingle_size,
+            fingerprint=fingerprint, carry=carry,
         )
     )
     freq = (
@@ -1052,6 +1084,7 @@ def near_dedup_against_index(
     threshold: float | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Annotate every new-batch doc with its exact-Jaccard (>= t)
     near-duplicates in an indexed corpus — the daily-crawl ingest
@@ -1084,8 +1117,38 @@ def near_dedup_against_index(
     integer fixed-point ppm, bit-exact cross-engine. Compose with
     :func:`prefix_filtered_similarity_join` on the survivors
     (``n_dups == 0``) for within-batch collapse.
+
+    ``collapse_exact=True`` annotates one representative per distinct
+    batch TEXT and fans the (identical) annotation back out to every
+    copy — semantics-preserving (byte-identical docs have identical
+    match sets) and the batch-side half of the exact-dedup-before-
+    near-dup funnel; pair it with an index built with
+    ``collapse_exact=True`` (whose ``w`` multiplicities this function
+    weights match counts by, whether or not the batch collapses).
+    On dup-dense corpora this is what keeps candidate volume
+    proportional to DISTINCT-text pairs instead of copy² (the
+    measured sf10 ceiling).
     """
     from pyspark.sql import Window
+
+    if collapse_exact:
+        key = F.md5(F.col(text_col))
+        members = new_batch.select(F.col(id_col), key.alias("__g"))
+        reps = new_batch.groupBy(key.alias("__g")).agg(
+            F.min(id_col).alias(id_col), F.first(text_col).alias(text_col)
+        )
+        ann = near_dedup_against_index(
+            reps.drop("__g"), index,
+            threshold=threshold, text_col=text_col, id_col=id_col,
+        )
+        rep_ann = (
+            reps.select("__g", F.col(id_col).alias("__rep"))
+            .join(ann.withColumnRenamed(id_col, "__rep"), "__rep")
+            .drop("__rep")
+        )
+        return members.join(rep_ann, "__g").select(
+            id_col, "n_dups", "best_match_id", "best_jaccard_ppm"
+        )
 
     t = index.threshold if threshold is None else threshold
     if t < index.threshold:
@@ -1136,16 +1199,24 @@ def near_dedup_against_index(
         "(cast(size(__s_b) as bigint) + cast(size(__s_h) as bigint) "
         " - cast(size(array_intersect(__s_b, __s_h)) as bigint))"
     )
+    # a collapsed index carries per-rep multiplicities: each match row
+    # stands for w byte-identical corpus docs, so counts weight by w
+    # (best_match_id stays the group's min id — the rep IS that id)
+    h_w = (
+        F.col("w").cast("long") if "w" in index.sets.columns else F.lit(1)
+    ).alias("__w")
     verified = (
         gated.join(
             sets_b.select(F.col("id").alias("__bid"), F.col("shingles").alias("__s_b")),
             "__bid",
         )
         .join(
-            index.sets.select(F.col("id").alias("__hid"), F.col("shingles").alias("__s_h")),
+            index.sets.select(
+                F.col("id").alias("__hid"), F.col("shingles").alias("__s_h"), h_w
+            ),
             "__hid",
         )
-        .select("__bid", "__hid", ppm.alias("__ppm"))
+        .select("__bid", "__hid", "__w", ppm.alias("__ppm"))
         .where(F.col("__ppm") >= t_ppm)
     )
     wb = Window.partitionBy("__bid")
@@ -1153,7 +1224,7 @@ def near_dedup_against_index(
         verified.withColumn(
             "__rk", F.row_number().over(wb.orderBy(F.desc("__ppm"), F.asc("__hid")))
         )
-        .withColumn("__n", F.count(F.lit(1)).over(wb))
+        .withColumn("__n", F.sum("__w").over(wb))
         .where(F.col("__rk") == 1)
     )
     return (

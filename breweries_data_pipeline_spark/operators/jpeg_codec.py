@@ -1,0 +1,416 @@
+"""Dependency-free baseline JPEG (JFIF / ITU T.81) codec — the
+non-PNG analog of the stdlib PNG path in operators.multimodal, so the
+real-codec branch executes for JPEG bytes even in containers without
+pillow (this one). Retires the PIL-absent xfail the r7/r8 records
+carried.
+
+Scope (the shapes a data pipeline's thumbnails and fixtures use):
+- **decode**: baseline sequential (SOF0), 8-bit, grayscale or 4:4:4
+  YCbCr (no chroma subsampling), huffman tables read from the blob's
+  own DHT segments (the honest spec path — nothing assumes the
+  encoder below). Progressive (SOF2), subsampled, arithmetic-coded,
+  and restart-interval streams raise NotImplementedError with the
+  pillow pointer, mirroring decode_png's depth/interlace guard.
+- **encode**: the matching writer (SOI/APP0/DQT/SOF0/DHT/SOS/EOI,
+  canonical huffman, edge-replicated block padding, byte stuffing)
+  for generating fixtures executor-side, like encode_png.
+
+Exactness lane: with an all-ones quantization table a FLAT grayscale
+image round-trips bit-exactly — the block has only a DC coefficient
+(8*(v-128), an exact float64 integer), AC terms quantize to exact
+zeros, and the inverse DCT reproduces v identically. q_jpeg_decode
+builds its closed-form value-hash oracle on that invariant while the
+unit tests exercise the lossy textured/RGB paths with tolerances.
+
+Reference tie-in: the reference pipeline has no binary columns at all
+(SURVEY.md §1 — no nested/array/binary types anywhere); this module
+is part of the multimodal extension surface (BASELINE.json north
+star), same citation basis as operators/multimodal.py.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+# zigzag order: ZIGZAG[k] = row-major index of the k-th coefficient
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# flat (all-ones) table: the bit-exact lane for flat images
+Q_FLAT = np.ones(64, dtype=np.int64)
+
+# a mild real table for the lossy tests (Annex-K-style magnitudes,
+# luma top-left emphasis; exact values are encoder's choice — the
+# decoder always reads DQT from the stream)
+Q_STD = np.array([
+    8, 6, 6, 7, 6, 5, 8, 7, 7, 7, 9, 9, 8, 10, 12, 20,
+    13, 12, 11, 11, 12, 25, 18, 19, 15, 20, 29, 26, 31, 30, 29, 26,
+    28, 28, 32, 36, 46, 39, 32, 34, 44, 35, 28, 28, 40, 55, 41, 44,
+    48, 49, 52, 52, 52, 31, 39, 57, 61, 56, 50, 60, 46, 51, 52, 50,
+], dtype=np.int64)
+
+
+def _dct_matrix() -> np.ndarray:
+    m = np.zeros((8, 8))
+    for k in range(8):
+        c = math.sqrt(1.0 / 8.0) if k == 0 else math.sqrt(2.0 / 8.0)
+        for i in range(8):
+            m[k, i] = c * math.cos((2 * i + 1) * k * math.pi / 16.0)
+    return m
+
+
+_DCT = _dct_matrix()
+
+# canonical huffman specs (bits[1..16] counts + symbol order). Any
+# valid prefix code is legal — the tables travel in DHT and the
+# decoder builds its map from the stream, never from these constants.
+_DC_BITS = [0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, bit length), per T.81's canonical generation."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            b = (self._acc >> self._n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:  # un-stuff
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker inside entropy data")
+                self.pos += 1
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _mag_size(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 EXTEND: sign-recover a magnitude-coded value."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(px: np.ndarray) -> np.ndarray:
+    y, cb, cr = px[..., 0], px[..., 1] - 128.0, px[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+def _blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Edge-replicate a plane to 8-multiples and cut 8x8 blocks in
+    raster order. Returns (blocks[n,8,8], blocks_h, blocks_w)."""
+    h, w = plane.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    blocks = (
+        padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    return blocks, bh, bw
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    *,
+    qtable: np.ndarray | None = None,
+) -> bytes:
+    """Baseline JFIF writer: grayscale (1) or RGB (3, written as
+    non-subsampled YCbCr). ``qtable`` is the zigzag-ordered 64-entry
+    quantization table for every component (default Q_STD; pass
+    Q_FLAT for the bit-exact flat-image lane)."""
+    if channels not in (1, 3):
+        raise ValueError("encode_jpeg writes 1- or 3-channel images")
+    q = (Q_STD if qtable is None else qtable).astype(np.int64)
+    px = (
+        np.frombuffer(pixels, dtype=np.uint8)
+        .reshape(height, width, channels)
+        .astype(np.float64)
+    )
+    planes = (
+        [px[..., 0]] if channels == 1
+        else [p for p in np.moveaxis(_rgb_to_ycbcr(px), -1, 0)]
+    )
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    qmat = np.empty(64, dtype=np.int64)
+    qmat[ZIGZAG] = q  # zigzag table -> row-major matrix
+    qmat = qmat.reshape(8, 8)
+
+    # quantized zigzag coefficients per component, blocks raster-order
+    comp_coefs = []
+    n_mcus = None
+    for plane in planes:
+        blocks, bh, bw = _blocks(plane)
+        n_mcus = bh * bw
+        shifted = blocks - 128.0
+        coefs = np.einsum("ki,nij,lj->nkl", _DCT, shifted, _DCT)
+        qd = np.round(coefs / qmat).astype(np.int64)
+        comp_coefs.append(qd.reshape(-1, 64)[:, ZIGZAG])
+
+    bw_ = _BitWriter()
+    preds = [0] * len(planes)
+    for m in range(n_mcus):
+        for c, zz in enumerate(comp_coefs):
+            blk = zz[m]
+            diff = int(blk[0]) - preds[c]
+            preds[c] = int(blk[0])
+            size = _mag_size(diff)
+            code, ln = dc_codes[size]
+            bw_.write(code, ln)
+            if size:
+                bw_.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+            run = 0
+            last_nz = int(np.max(np.nonzero(blk)[0])) if np.any(blk[1:]) else 0
+            for k in range(1, 64):
+                v = int(blk[k])
+                if v == 0:
+                    if k > last_nz:
+                        code, ln = ac_codes[0x00]  # EOB
+                        bw_.write(code, ln)
+                        break
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    bw_.write(code, ln)
+                    run -= 16
+                size = _mag_size(v)
+                code, ln = ac_codes[(run << 4) | size]
+                bw_.write(code, ln)
+                bw_.write(v if v > 0 else v + (1 << size) - 1, size)
+                run = 0
+    bw_.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0x00]) + bytes(int(x) for x in q))  # DQT 0
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0])  # id, h=v=1, qtable 0
+    out += seg(0xFFC0, sof)  # SOF0 baseline
+    dc_bits = bytes(_DC_BITS)
+    ac_bits = bytes(_AC_BITS)
+    out += seg(0xFFC4, bytes([0x00]) + dc_bits + bytes(_DC_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + ac_bits + bytes(_AC_VALS))
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])  # dc table 0 / ac table 0
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    out += bw_.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Baseline JFIF reader; see module docstring for scope. Returns
+    (width, height, channels, pixel bytes) like decode_png."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG byte stream")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[tuple[int, int, int, int]] = []  # id, h, v, tq
+    width = height = 0
+    scan: bytes | None = None
+    scan_tables: dict[int, tuple[int, int]] = {}
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = struct.unpack(">H", blob[pos:pos + 2])[0]
+        if marker == 0xFFD9:  # EOI
+            break
+        (length,) = struct.unpack(">H", blob[pos + 2:pos + 4])
+        payload = blob[pos + 4:pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xFFDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError(
+                        "16-bit quantization tables need pillow"
+                    )
+                qtables[tq] = np.frombuffer(
+                    payload[p + 1:p + 65], dtype=np.uint8
+                ).astype(np.int64)
+                p += 65
+        elif marker == 0xFFC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1:p + 17])
+                nvals = sum(bits)
+                vals = list(payload[p + 17:p + 17 + nvals])
+                codes = _canonical_codes(bits, vals)
+                huff[(tc, th)] = {
+                    (ln, code): sym for sym, (code, ln) in codes.items()
+                }
+                p += 17 + nvals
+        elif marker == 0xFFC0:  # SOF0 baseline
+            _prec, height, width, ncomp = struct.unpack(
+                ">BHHB", payload[:6]
+            )
+            for c in range(ncomp):
+                cid, hv, tq = payload[6 + 3 * c:9 + 3 * c]
+                h, v = hv >> 4, hv & 0x0F
+                if (h, v) != (1, 1):
+                    raise NotImplementedError(
+                        "chroma-subsampled JPEG needs pillow "
+                        "(this decoder handles 4:4:4 / grayscale)"
+                    )
+                comps.append((cid, h, v, tq))
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC9, 0xFFCA, 0xFFCB):
+            raise NotImplementedError(
+                "only baseline sequential (SOF0) JPEG decodes without "
+                "pillow (progressive/arithmetic streams need it)"
+            )
+        elif marker == 0xFFDD:  # DRI
+            if struct.unpack(">H", payload[:2])[0] != 0:
+                raise NotImplementedError(
+                    "restart-interval JPEG needs pillow"
+                )
+        elif marker == 0xFFDA:  # SOS — entropy data follows
+            ns = payload[0]
+            for c in range(ns):
+                cid, tabs = payload[1 + 2 * c], payload[2 + 2 * c]
+                scan_tables[cid] = (tabs >> 4, tabs & 0x0F)
+            # entropy-coded data runs to the next real marker (EOI)
+            end = len(blob) - 2
+            scan = blob[pos:end]
+            break
+    if scan is None or not comps:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    reader = _BitReader(scan)
+    bh, bw_ = -(-height // 8), -(-width // 8)
+    planes = [
+        np.empty((bh * 8, bw_ * 8), dtype=np.float64) for _ in comps
+    ]
+    preds = [0] * len(comps)
+
+    def read_symbol(table: dict[tuple[int, int], int]) -> int:
+        code, ln = 0, 0
+        while ln <= 16:
+            code = (code << 1) | reader.read_bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code in JPEG stream")
+
+    for by in range(bh):
+        for bx in range(bw_):
+            for ci, (cid, _h, _v, tq) in enumerate(comps):
+                dc_t = huff[(0, scan_tables[cid][0])]
+                ac_t = huff[(1, scan_tables[cid][1])]
+                zz = np.zeros(64, dtype=np.int64)
+                size = read_symbol(dc_t)
+                diff = _extend(reader.read_bits(size), size) if size else 0
+                preds[ci] += diff
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    sym = read_symbol(ac_t)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC coefficient index overflow")
+                    zz[k] = _extend(reader.read_bits(size), size)
+                    k += 1
+                mat = np.zeros(64, dtype=np.float64)
+                mat[ZIGZAG] = zz * qtables[tq]
+                blk = _DCT.T @ mat.reshape(8, 8) @ _DCT + 128.0
+                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
+
+    cropped = [p[:height, :width] for p in planes]
+    if len(cropped) == 1:
+        px = cropped[0]
+    else:
+        px = _ycbcr_to_rgb(np.stack(cropped, axis=-1))
+    out = np.clip(np.round(px), 0, 255).astype(np.uint8)
+    return width, height, len(cropped), out.tobytes()

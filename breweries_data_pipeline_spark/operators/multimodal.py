@@ -9,12 +9,12 @@ the JVM<->Python boundary once, not row-at-a-time pickling.
 
 Two codecs behind one dispatcher (``decode_image``): a deterministic
 fake (``FAKEIMG1`` header + seeded payload) that needs no libraries,
-and a real PIL path (``decode_real_image``) for PNG/JPEG/... bytes
-when pillow is present. The CI container ships neither PIL nor
-opencv, so the real path's test is env-gated (skips cleanly) while
-every piece of Spark plumbing — schemas, binary transport, batch
-iteration, partition-preserving narrow execution — runs on the fake
-codec either way.
+and a real path (``decode_real_image``) for PNG/JPEG/WebP/... bytes —
+PIL when pillow is present, with dependency-free fallbacks for PNG
+(stdlib zlib, below) and baseline JPEG (operators.jpeg_codec), so
+both real-codec branches execute and are oracle-tested
+(q_png_decode / q_jpeg_decode) even in this PIL-less container.
+Only formats neither fallback covers still need pillow.
 
 Scale notes: all operators here are narrow (no shuffle); throughput is
 bounded by Arrow serialization + Python. Size partitions so a batch of
@@ -192,19 +192,28 @@ def decode_real_image(blob: bytes) -> tuple[int, int, int, bytes]:
     """Real-codec path: decode PNG/JPEG/WebP/... bytes into the same
     (width, height, channels, pixels) shape as the fake codec, so the
     downstream operators are codec-agnostic. PIL when available; PNG
-    bytes additionally decode through the dependency-free
-    :func:`decode_png` fallback, so the real-codec branch executes
-    (and is tested, tests/test_multimodal.py) even in containers
-    without pillow. Raises NotImplementedError only for non-PNG bytes
-    in a PIL-less runtime."""
+    and baseline JPEG additionally decode through the dependency-free
+    fallbacks (:func:`decode_png`; operators.jpeg_codec.decode_jpeg),
+    so both real-codec branches execute (and are tested,
+    tests/test_multimodal.py) even in containers without pillow.
+    Raises NotImplementedError only for formats neither fallback
+    covers (WebP/TIFF/...; progressive or subsampled JPEG) in a
+    PIL-less runtime."""
     try:
         import PIL.Image
     except ImportError as exc:
         if blob[:8] == _PNG_SIG:
             return decode_png(blob)
+        if blob[:2] == b"\xff\xd8":
+            from breweries_data_pipeline_spark.operators.jpeg_codec import (
+                decode_jpeg,
+            )
+
+            return decode_jpeg(blob)
         raise NotImplementedError(
-            "decoding non-PNG image bytes needs PIL (pillow), not present "
-            "in this container; PNG decodes via the stdlib fallback"
+            "decoding non-PNG/JPEG image bytes needs PIL (pillow), not "
+            "present in this container; PNG and baseline JPEG decode via "
+            "the stdlib fallbacks"
         ) from exc
     import io
 
@@ -327,6 +336,43 @@ def png_media_from_ids(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _spread(ids_df.select(id_col)).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def jpeg_media_from_ids(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Materialize a table of REAL baseline-JPEG blobs (media_id,
+    kind, blob) from an id column — the JPEG twin of
+    :func:`png_media_from_ids`, through operators.jpeg_codec. The
+    bit-exact lane: flat GRAYSCALE images under the all-ones
+    quantization table round-trip exactly (DC-only blocks, integer
+    DC, zero ACs — see the codec docstring), so dimensions AND pixel
+    sums stay closed-form oracle-checkable while the bytes crossing
+    the Arrow boundary are genuine entropy-coded JFIF streams."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from breweries_data_pipeline_spark.operators.jpeg_codec import (
+            Q_FLAT,
+            encode_jpeg,
+        )
+
+        def jpeg_for(i: int) -> bytes:
+            w, h = 8 + i % 9, 8 + i % 7
+            return encode_jpeg(
+                w, h, 1, bytes([i % 251]) * (w * h), qtable=Q_FLAT
+            )
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "jpeg",
+                    "blob": [jpeg_for(int(i)) for i in ids],
+                }
+            )
+
+    return _spread(ids_df.select(id_col)).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 PNG_DECODED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -360,6 +406,11 @@ def decode_png_pixels(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "blob").mapInPandas(dec, PNG_DECODED_SCHEMA)
+
+
+# codec-agnostic name: the kernel dispatches on the blob's own magic
+# (decode_real_image), so the same operator decodes the JPEG fixtures
+decode_media_pixels = decode_png_pixels
 
 
 def image_features(media: DataFrame, dim: int = 8) -> DataFrame:

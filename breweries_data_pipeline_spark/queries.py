@@ -14670,23 +14670,33 @@ def q_sentence_dedup_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_neardup_index_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FINGERPRINTED persisted-index ingest cycle — the production
-    step q_neardup_index's scale notes promise: the index is built
-    over xxhash64 shingle fingerprints (build_shingle_index
-    fingerprint=True), so the prefix window's sort, the bucketed
-    catalog write, the daily candidate join, and the exact-Jaccard
-    verify all move 8-byte longs instead of raw shingle strings. The
-    shingle SORT is the locally-measured sf10 disk ceiling of the
-    byte-faithful twin; fingerprints cut its spill bytes by the
-    string/long width ratio (~3-4x; measured in SCALE.md r9).
+    """The PRODUCTION persisted-index ingest cycle — both steps
+    q_neardup_index's scale notes promise, composed:
 
-    Same brute-force oracle as q_neardup_index: exact Jaccard over
-    fingerprint sets equals exact Jaccard over shingle sets whenever
-    the corpus is 64-bit-collision-free, which tests/test_dedup.py
-    asserts for the fixture corpus (distinct shingles == distinct
-    fingerprints) and ~2^-64-per-pair odds make overwhelmingly
-    certain at any real corpus size. Timing it measures the whole
-    fingerprinted build + bucketed write + read-back + join cycle."""
+    - **fingerprint**: the index is built over xxhash64 shingle
+      fingerprints (build_shingle_index fingerprint=True), so the
+      prefix window's sort, the bucketed catalog write, the daily
+      candidate join, and the exact-Jaccard verify all move 8-byte
+      longs instead of raw shingle strings (measured at sf3: memory
+      spill 27.1->14.0 GB, disk spill 10.0->5.3 GB, wall
+      149.8->107.7s vs the byte-faithful twin);
+    - **exact-collapse** (collapse_exact=True on both sides): one rep
+      per distinct text with w multiplicities, the funnel's
+      exact-dedup-before-near-dup order applied inside the operator —
+      candidate volume scales with DISTINCT-text pairs, not copy²
+      (the byte-faithful twin's sf10 run dies on this box with ~10^9
+      candidate rows from the replica's 100-copy cliques spilling
+      past free disk; the collapsed form cuts that ~10^4x and
+      completes).
+
+    Same brute-force oracle as q_neardup_index: both steps are
+    semantics-preserving — collapse provably (byte-identical docs
+    have identical match sets; n_dups weights by w, best_match_id is
+    the best group's min id = its rep; equality tested on a tripled
+    corpus in tests/test_dedup.py), fingerprints up to 64-bit
+    collisions (~2^-64/pair; collision accounting in the same test
+    file). Timing it measures the whole collapsed fingerprinted
+    build + bucketed write + read-back + join cycle."""
     from breweries_data_pipeline_spark.operators.dedup import (
         build_shingle_index,
         near_dedup_against_index,
@@ -14699,11 +14709,53 @@ def q_neardup_index_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     history = docs.where(F.col("doc_id") % 5 != 0)
     tbl = "t_q_neardup_index_fp"
     write_shingle_index_bucketed(
-        build_shingle_index(history, threshold=0.5, fingerprint=True), tbl
+        build_shingle_index(
+            history, threshold=0.5, fingerprint=True, collapse_exact=True
+        ),
+        tbl,
     )
     return near_dedup_against_index(
-        batch, read_shingle_index_bucketed(spark, tbl), threshold=0.5
+        batch,
+        read_shingle_index_bucketed(spark, tbl),
+        threshold=0.5,
+        collapse_exact=True,
     )
+
+
+@register(
+    "q_jpeg_decode",
+    """
+    SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 9 AS BIGINT) AS width,
+           CAST(8 + doc_id % 7 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS channels,
+           CAST((8 + doc_id % 9) * (8 + doc_id % 7) * (doc_id % 251)
+                AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+)
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal real-codec round-trip, JPEG edition: genuine
+    entropy-coded baseline JFIF blobs born executor-side
+    (operators.multimodal.jpeg_media_from_ids) and fully decoded back
+    — marker parse, DHT canonical-huffman decode, dequantize, inverse
+    DCT, level shift, pixel sum — via decode_real_image (PIL when
+    present, the dependency-free operators.jpeg_codec otherwise; the
+    codec that retired the r7/r8 PIL-absent xfail). The oracle is
+    closed-form because the fixtures ride the codec's bit-exact lane:
+    flat grayscale images under the all-ones quantization table have
+    DC-only blocks with an exactly-representable integer DC, so the
+    lossy-format round-trip is lossless by construction (and libjpeg's
+    DC-only shortcut reproduces the same pixels when PIL is present).
+    Only 5 longs per image ever cross an exchange; the plan is the
+    same zero-shuffle Arrow pass as q_png_decode."""
+    from breweries_data_pipeline_spark.operators.multimodal import (
+        decode_media_pixels,
+        jpeg_media_from_ids,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return decode_media_pixels(jpeg_media_from_ids(docs))
 
 
 # ---------------------------------------------------------------------------

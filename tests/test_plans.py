@@ -436,3 +436,65 @@ def test_bfs_broadcasts_frontier_and_settled_set(spark, sf_dir):
         assert "SortMergeJoin" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+def _formatted_plan(df) -> str:
+    jq = df._jdf.queryExecution()
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jq.explainString(mode)
+
+
+def test_sentence_dedup_fp_rank_exchange_carries_no_text(spark, sf_dir):
+    """The fingerprint-before-exchange contract, asserted on the
+    physical plan: q_sentence_dedup_fp's rank shuffle (the exchange
+    hash-partitioned on the sentence fingerprint) must carry ONLY
+    (fp, doc_id, pos) — if a future edit lets the sentence string (or
+    the document text) ride through, the 100 TB shuffle quietly grows
+    ~10x and nothing else fails. Formatted explain lists each node's
+    Input columns, so the assertion reads the exchange's actual
+    payload, not the query's intent. Also locks WindowGroupLimit:
+    Spark's rank-limit pushdown keeps only rn=1 candidates per
+    partition BEFORE the full window materializes — losing it would
+    buffer every duplicate sentence group in the sort."""
+    from breweries_data_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["q_sentence_dedup_fp"][0](spark, sf_dir)
+    fmt = _formatted_plan(df)
+    # node blocks are separated by blank lines; find every Exchange
+    blocks = [
+        b
+        for b in fmt.split("\n\n")
+        if any(") Exchange" in ln for ln in b.splitlines()[:1])
+    ]
+    rank_ex = [b for b in blocks if "hashpartitioning(__fp" in b]
+    assert rank_ex, f"no fingerprint-keyed exchange found:\n{fmt[:2000]}"
+    for b in rank_ex:
+        inp = next(ln for ln in b.splitlines() if ln.startswith("Input"))
+        assert "sent" not in inp and "text" not in inp, (
+            "sentence/text bytes crossing the rank exchange:\n" + b
+        )
+    assert "WindowGroupLimit" in fmt
+
+
+def test_fingerprint_index_prefix_moves_longs_not_strings(spark, sf_dir):
+    """build_shingle_index(fingerprint=True): every table the index
+    persists and every exchange the prefix window pays must carry the
+    shingle as an 8-byte LONG — the production step that halved sf3
+    spill. Schema-asserted on all three index surfaces (prefix, sets,
+    freq) so a regression to raw strings fails here, not in a 100 TB
+    shuffle bill."""
+    from pyspark.sql import types as T
+
+    from breweries_data_pipeline_spark.operators.dedup import (
+        build_shingle_index,
+    )
+    from breweries_data_pipeline_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(200)
+    idx = build_shingle_index(docs, threshold=0.5, fingerprint=True)
+    assert isinstance(idx.prefix.schema["shingle"].dataType, T.LongType)
+    assert isinstance(idx.freq.schema["shingle"].dataType, T.LongType)
+    assert isinstance(idx.sets.schema["shingles"].dataType.elementType, T.LongType)

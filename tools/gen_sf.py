@@ -50,6 +50,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 FIXED_DIMS = ("region", "nation")
+DOC_TEXT_MODE = "neardup"  # set from --doc-text in main()
 # table -> columns shifted by that table's own primary-key span
 PRIMARY = {
     "customer": "c_custkey",
@@ -113,9 +114,25 @@ def replicate(src: str, dst: str, copies: int) -> None:
                 for col, (st, sk) in FOREIGN.get(t, {}).items():
                     tbl = _shift(tbl, col, i * spans[(st, sk)])
                 if t == "documents":
-                    text = pc.binary_join_element_wise(
-                        tbl["text"], pa.scalar(f" rep{i}"), ""
-                    )
+                    if DOC_TEXT_MODE == "distinct":
+                        # suffix EVERY token with the copy index: no
+                        # shingle survives across copies, so copies
+                        # are fully DISTINCT documents and the corpus
+                        # keeps the ORIGINAL near-dup density (k x
+                        # more docs, not k x denser cliques). This is
+                        # the realistic ingest-scale workload; the
+                        # default " rep{i}" doc-suffix mode is the
+                        # adversarial one (every doc gains k-1 TRUE
+                        # near-dup siblings -> true-pair volume grows
+                        # k^2 and any pairwise-verify stage is
+                        # output-bound by construction).
+                        text = pc.replace_substring_regex(
+                            tbl["text"], r"(\S+)", rf"\1{i}"
+                        )
+                    else:
+                        text = pc.binary_join_element_wise(
+                            tbl["text"], pa.scalar(f" rep{i}"), ""
+                        )
                     ti = tbl.schema.get_field_index("text")
                     tbl = tbl.set_column(ti, tbl.schema.field(ti), text)
                     ni = tbl.schema.get_field_index("n_chars")
@@ -159,7 +176,20 @@ def main() -> None:
             os.path.abspath(__file__))), ".localdata", "sf1"),
     )
     ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument(
+        "--doc-text",
+        choices=("neardup", "distinct"),
+        default="neardup",
+        help="per-copy documents.text perturbation: 'neardup' (default)"
+        " appends one ' rep{i}' token so every doc gains copies-1 TRUE"
+        " near-dup siblings (adversarial dup density); 'distinct'"
+        " suffixes every token so copies share no shingles (realistic"
+        " ingest density: k x more docs at the source corpus's own"
+        " dup rate)",
+    )
     args = ap.parse_args()
+    global DOC_TEXT_MODE
+    DOC_TEXT_MODE = args.doc_text
     replicate(args.src, args.dst, args.copies)
 
 

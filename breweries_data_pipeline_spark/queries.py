@@ -14683,11 +14683,16 @@ def q_neardup_index_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     - **exact-collapse** (collapse_exact=True on both sides): one rep
       per distinct text with w multiplicities, the funnel's
       exact-dedup-before-near-dup order applied inside the operator —
-      candidate volume scales with DISTINCT-text pairs, not copy²
-      (the byte-faithful twin's sf10 run dies on this box with ~10^9
-      candidate rows from the replica's 100-copy cliques spilling
-      past free disk; the collapsed form cuts that ~10^4x and
-      completes).
+      candidate volume scales with DISTINCT-text pairs, not copy².
+      NOTE (r9 re-measurement): on gen_sf's DEFAULT adversarial
+      replica this does NOT rescue sf10 on a single box — the
+      per-copy suffix defeats exact collapse by design and the
+      100-copy cliques are TRUE near-dup pairs, so the verify stage
+      is output-bound (~k² real pairs) and still exhausts local
+      disk. On the density-controlled replica (gen_sf --doc-text
+      distinct: k× more docs at the source corpus's own dup rate)
+      the full sf10 cycle completes in 36s vs the byte-faithful
+      twin's 42.5s — see SCALE.md round 9.
 
     Same brute-force oracle as q_neardup_index: both steps are
     semantics-preserving — collapse provably (byte-identical docs

@@ -14763,6 +14763,277 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_pixels(jpeg_media_from_ids(docs))
 
 
+@register(
+    "q_bitext_mine",
+    f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    s AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 8),
+    d AS (
+      SELECT e.vec_id, e.v, s.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_sum(list_transform(range(1, len(e.v) + 1),
+                 i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i]))), s.cell
+             ) AS rn
+      FROM e CROSS JOIN s
+    ),
+    m AS (
+      SELECT vec_id, v, cell,
+             sqrt({_SQL_DOT_V.format(a="v", b="v")}) AS nrm
+      FROM d WHERE rn = 1
+    ),
+    p AS (
+      SELECT x.vec_id AS x_id, y.vec_id AS y_id,
+             CAST(round({_SQL_DOT_V.format(a="x.v", b="y.v")}
+                        / (x.nrm * y.nrm) * 1000000.0) AS BIGINT)
+               AS cos_micro
+      FROM m x JOIN m y ON x.cell = y.cell
+      WHERE x.vec_id % 2 = 0 AND y.vec_id % 2 = 1
+    ),
+    rx AS (
+      SELECT *, row_number() OVER (PARTITION BY x_id
+                                   ORDER BY cos_micro DESC, y_id) AS r
+      FROM p
+    ),
+    ax AS (
+      SELECT x_id, CAST(sum(cos_micro) // count(*) AS BIGINT) AS ax_micro
+      FROM rx WHERE r <= 4 GROUP BY x_id
+    ),
+    ry AS (
+      SELECT *, row_number() OVER (PARTITION BY y_id
+                                   ORDER BY cos_micro DESC, x_id) AS r
+      FROM p
+    ),
+    ay AS (
+      SELECT y_id, CAST(sum(cos_micro) // count(*) AS BIGINT) AS ay_micro
+      FROM ry WHERE r <= 4 GROUP BY y_id
+    ),
+    g AS (
+      SELECT p.x_id, p.y_id, p.cos_micro,
+             CASE WHEN ax.ax_micro + ay.ay_micro > 0
+                  THEN p.cos_micro * 2000000 // (ax.ax_micro + ay.ay_micro)
+                  ELSE 0 END AS margin_ppm
+      FROM p
+      JOIN ax ON ax.x_id = p.x_id
+      JOIN ay ON ay.y_id = p.y_id
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY x_id
+                                   ORDER BY margin_ppm DESC, y_id) AS rn
+      FROM g
+    )
+    SELECT x_id, y_id AS best_y_id, cos_micro,
+           CAST(margin_ppm AS BIGINT) AS margin_ppm,
+           CAST(CASE WHEN margin_ppm >= 1050000 THEN 1 ELSE 0 END AS BIGINT)
+             AS mined
+    FROM best WHERE rn = 1
+    """,
+)
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (the CCMatrix / LASER parallel-pair
+    miner, ratio-margin variant): split the embedding store into two
+    'language' sides (vec_id parity), generate candidates by IVF cell
+    (shared deterministic seed centroids — the oracle lane's k=8
+    lowest-id seeds, exactly q_kmeans_assign's discipline), score
+    each candidate by cosine, and normalize by the neighborhood:
+    margin(x,y) = 2*cos(x,y) / (avg_top4(x) + avg_top4(y)). Each x
+    emits its best y with the margin and a mined flag at the standard
+    1.05 cutoff — the pair-harvesting pass a multilingual pretraining
+    pipeline runs over billions of sentences.
+
+    Exactness: cell assignment is an argmin over pinned-order exact-
+    fold L2 distances computed as a ZERO-SHUFFLE array_min over the
+    broadcast seed literal (same doubles as DuckDB's CROSS JOIN +
+    row_number replay); cosines are pinned-order fold doubles rounded
+    to integer micro-units once, and every downstream step (top-4
+    sums, averages, the margin itself) is signed integer arithmetic —
+    Spark `div` and DuckDB `//` both truncate toward zero (verified),
+    and a non-positive neighborhood denominator pins margin to the 0
+    sentinel in both engines.
+
+    Scale: the seeds are bounded model state (k x d floats, the
+    documented bounded-collect class); assignment is codegen'd narrow
+    map; the candidate join is an EQUI-join on cell (never x-corpus
+    crossJoin — candidate volume is sum over cells of |X_c| x |Y_c|,
+    controlled in production by growing k with N and probing n_probe
+    cells, exactly q_similarity_ivf's knob); the two neighborhood
+    windows and the final best-pair rank each reuse one hash exchange
+    on their key. Margin scoring is output-bound in the candidate
+    volume — the same contract as the LSH dedup family."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    # k ~ N / target_cell_size, the IVF knob that keeps candidate
+    # volume (sum over cells of |X_c| x |Y_c|) LINEAR-ish as the
+    # corpus grows; the floor of 8 is the oracle regime (all driver /
+    # parity SFs land there; same discipline as q_semantic_dedup)
+    k = max(8, emb.count() // 250)
+    # bounded collect: k seed vectors (k x 64 floats) — model state
+    seeds = (
+        e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    )
+
+    def _fold_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    if k <= 16:
+        # oracle path: zero-shuffle argmin by (dist, cell) via
+        # array_min over the broadcast seed literal — exact-fold L2,
+        # the same doubles DuckDB's CROSS JOIN + row_number replays
+        cands = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["vec_id"])).cast("long").alias("cell"),
+                    F.array(*[F.lit(float(v)) for v in r["v"]]).alias("c"),
+                )
+                for r in seeds
+            ]
+        )
+        cell = F.array_min(
+            F.transform(
+                cands,
+                lambda s: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"),
+                            s["c"],
+                            lambda xx, c: (xx - c) * (xx - c),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, val: acc + val,
+                    ).alias("dist"),
+                    s["cell"].alias("cell"),
+                ),
+            )
+        )["cell"].alias("cell")
+    else:
+        # scale path: one numpy matmul per Arrow batch (one pass for
+        # ALL centroids; argmin ties to the lowest cell id — numpy
+        # takes the first minimum). Not oracle-replayed: parity runs
+        # in the k=8 regime; same small-k/large-k split as
+        # semantic_dedup's assignment kernel.
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        frozen = [[float(v) for v in r["v"]] for r in seeds]
+
+        def _cell(vs):
+            import numpy as np
+
+            if len(vs) == 0:
+                return pd.Series([], dtype="int64")
+            C = np.asarray(frozen, dtype=np.float64)
+            V = np.vstack(vs.to_numpy()).astype(np.float64)
+            d2 = -2.0 * (V @ C.T) + (C * C).sum(axis=1)[None, :]
+            return pd.Series(np.argmin(d2, axis=1).astype("int64"))
+
+        _cell.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+        cell = pandas_udf("long")(_cell)(F.col("v")).alias("cell")
+
+    assigned = e.select("vec_id", "v", cell).withColumn(
+        "nrm", F.sqrt(_fold_dot(F.col("v"), F.col("v")))
+    )
+    x = assigned.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("x_id"),
+        F.col("v").alias("xv"),
+        "cell",
+        F.col("nrm").alias("xn"),
+    )
+    y = assigned.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("y_id"),
+        F.col("v").alias("yv"),
+        "cell",
+        F.col("nrm").alias("yn"),
+    )
+    from breweries_data_pipeline_spark.cache import track_persist
+    from breweries_data_pipeline_spark.operators.similarity import (
+        _exact_dot_udf,
+    )
+
+    # per-PAIR dot via the Arrow exact-fold kernel (bit-identical IEEE
+    # sequence to the interpreted HOF fold and DuckDB's list fold, see
+    # _exact_dot_udf) — the candidate volume makes interpreted
+    # per-element folds the bottleneck here. Persisted because THREE
+    # consumers read it (both neighborhood windows + the margin join).
+    dot = _exact_dot_udf()
+    p = track_persist(
+        x.join(y, "cell").select(
+            "x_id",
+            "y_id",
+            F.round(
+                dot(F.col("xv"), F.col("yv"))
+                / (F.col("xn") * F.col("yn"))
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("cos_micro"),
+        )
+    )
+    wx = Window.partitionBy("x_id").orderBy(
+        F.col("cos_micro").desc(), F.col("y_id")
+    )
+    wy = Window.partitionBy("y_id").orderBy(
+        F.col("cos_micro").desc(), F.col("x_id")
+    )
+    ax = (
+        p.withColumn("r", F.row_number().over(wx))
+        .where(F.col("r") <= 4)
+        .groupBy("x_id")
+        .agg(
+            F.expr("sum(cos_micro) div count(*)").cast("long").alias("ax_micro")
+        )
+    )
+    ay = (
+        p.withColumn("r", F.row_number().over(wy))
+        .where(F.col("r") <= 4)
+        .groupBy("y_id")
+        .agg(
+            F.expr("sum(cos_micro) div count(*)").cast("long").alias("ay_micro")
+        )
+    )
+    g = (
+        p.join(ax, "x_id")
+        .join(ay, "y_id")
+        .select(
+            "x_id",
+            "y_id",
+            "cos_micro",
+            F.when(
+                F.col("ax_micro") + F.col("ay_micro") > 0,
+                F.expr("cos_micro * 2000000L div (ax_micro + ay_micro)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("margin_ppm"),
+        )
+    )
+    wbest = Window.partitionBy("x_id").orderBy(
+        F.col("margin_ppm").desc(), F.col("y_id")
+    )
+    return (
+        g.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select(
+            "x_id",
+            F.col("y_id").alias("best_y_id"),
+            "cos_micro",
+            "margin_ppm",
+            (F.col("margin_ppm") >= 1050000)
+            .cast("long")
+            .alias("mined"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration is complete: materialize this round's driver panel so
 # `from ... import PANEL_HEAD` sees the populated list without having

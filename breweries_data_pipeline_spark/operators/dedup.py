@@ -961,7 +961,11 @@ def write_shingle_index(index: ShingleIndex, path: str) -> None:
         [(
             int(round(index.threshold * 1_000_000)),
             index.shingle_size,
-            2,
+            # fingerprinted layouts are a DIFFERENT on-disk format
+            # (bigint shingle column): version 3, so readers that
+            # enforce the version set fail loudly instead of silently
+            # null-joining string shingles against fingerprints
+            3 if index.fingerprint else 2,
             bool(index.fingerprint),
         )],
         "threshold_ppm bigint, shingle_size int, format_version int, "
@@ -983,6 +987,18 @@ def read_shingle_index(spark, path: str) -> ShingleIndex:
             "no positional prefix column). Rebuild it with "
             "build_shingle_index + write_shingle_index."
         ) from exc
+    ver = (
+        int(meta["format_version"])
+        if "format_version" in meta.__fields__
+        and meta["format_version"] is not None
+        else 2
+    )
+    if ver not in (2, 3):
+        raise ValueError(
+            f"shingle index at {path!r} has format_version={ver}, newer "
+            "than this reader understands (2-3). Upgrade the library or "
+            "rebuild the index with this version's write_shingle_index."
+        )
     prefix = spark.read.parquet(posixpath.join(path, "prefix"))
     if "pos" not in prefix.columns:
         raise ValueError(
@@ -1058,14 +1074,28 @@ def write_shingle_index_bucketed(
         [(
             int(round(index.threshold * 1_000_000)),
             index.shingle_size,
+            3 if index.fingerprint else 2,  # see write_shingle_index
             bool(index.fingerprint),
         )],
-        "threshold_ppm bigint, shingle_size int, fingerprint boolean",
+        "threshold_ppm bigint, shingle_size int, format_version int, "
+        "fingerprint boolean",
     ).write.mode("overwrite").format("parquet").saveAsTable(f"{table_prefix}_meta")
 
 
 def read_shingle_index_bucketed(spark, table_prefix: str) -> ShingleIndex:
     meta = spark.table(f"{table_prefix}_meta").first()
+    ver = (
+        int(meta["format_version"])
+        if "format_version" in meta.__fields__
+        and meta["format_version"] is not None
+        else 2  # pre-versioning bucketed layouts are all string-shingle
+    )
+    if ver not in (2, 3):
+        raise ValueError(
+            f"shingle index tables {table_prefix!r} have "
+            f"format_version={ver}, newer than this reader understands "
+            "(2-3). Upgrade the library or rebuild the index."
+        )
     return ShingleIndex(
         spark.table(f"{table_prefix}_prefix"),
         spark.table(f"{table_prefix}_sets"),

@@ -354,8 +354,15 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
             for c in range(ns):
                 cid, tabs = payload[1 + 2 * c], payload[2 + 2 * c]
                 scan_tables[cid] = (tabs >> 4, tabs & 0x0F)
-            # entropy-coded data runs to the next real marker (EOI)
-            end = len(blob) - 2
+            # entropy-coded data runs to EOI. Byte stuffing guarantees
+            # FF D9 can NEVER occur inside valid entropy data (every
+            # entropy FF is followed by 00 or an RST D0-D7), so the
+            # FIRST FF D9 after SOS is the true EOI — anchoring on
+            # len(blob)-2 instead would break on real-world files with
+            # trailing bytes after EOI (camera padding, appended meta)
+            end = blob.find(b"\xff\xd9", pos)
+            if end < 0:
+                end = len(blob)
             scan = blob[pos:end]
             break
     if scan is None or not comps:

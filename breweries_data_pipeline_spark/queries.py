@@ -14633,12 +14633,24 @@ def q_sentence_dedup_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("pos")).alias("__keep"))
     )
     keep = F.coalesce(F.col("__keep"), F.expr("cast(array() as array<int>)"))
+    # rebuild by FILTERING the split array on keep-position membership:
+    # the split is the higher-order function's input, so it evaluates
+    # ONCE per row by construction — transform(keep, p ->
+    # element_at(sents, p)) would re-split the whole text per kept
+    # sentence (O(s^2) regex work on long documents, and CollapseProject
+    # re-inlines any precomputed column back into the lambda). filter
+    # preserves array order = position order, identical to the sorted
+    # element_at rebuild.
     return docs.join(winners, "doc_id", "left").select(
         "doc_id",
         F.size(sents).cast("long").alias("n_sents"),
         F.size(keep).cast("long").alias("n_kept"),
         F.array_join(
-            F.transform(keep, lambda p: F.element_at(sents, p)), ". "
+            F.filter(
+                sents,
+                lambda s, i: F.array_contains(keep, (i + 1).cast("int")),
+            ),
+            ". ",
         ).alias("cleaned"),
     )
 

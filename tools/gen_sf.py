@@ -126,8 +126,14 @@ def replicate(src: str, dst: str, copies: int) -> None:
                         # near-dup siblings -> true-pair volume grows
                         # k^2 and any pairwise-verify stage is
                         # output-bound by construction).
+                        # '~' separates token from copy index: a bare
+                        # decimal suffix collides across copies>10
+                        # ('x'+'11' == 'x1'+'1'); with the separator
+                        # the text after the LAST '~' is always the
+                        # copy index, so suffixed tokens are injective
+                        # per copy at any copy count
                         text = pc.replace_substring_regex(
-                            tbl["text"], r"(\S+)", rf"\1{i}"
+                            tbl["text"], r"(\S+)", rf"\1~{i}"
                         )
                     else:
                         text = pc.binary_join_element_wise(

@@ -24,7 +24,10 @@ def _spill_bytes(spark) -> tuple[int, int]:
     default args py4j can't call across Spark versions)."""
     import urllib.request
 
-    base = f"http://localhost:{spark.conf.get('spark.ui.port')}/api/v1"
+    # use the port the UI actually BOUND (uiWebUrl), not the
+    # configured one — on a port conflict Spark binds port+1 and a
+    # probe of the configured port would read a stale app's numbers
+    base = f"{spark.sparkContext.uiWebUrl}/api/v1"
     with urllib.request.urlopen(f"{base}/applications") as r:
         app_id = json.load(r)[0]["id"]
     with urllib.request.urlopen(f"{base}/applications/{app_id}/stages") as r:

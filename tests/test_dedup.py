@@ -339,6 +339,27 @@ def test_shingle_index_path_roundtrip_and_format_guard(spark, tmp_path):
     with _pytest.raises(ValueError, match="pos"):
         read_shingle_index(spark, str(legacy))
 
+    # version enforcement both ways: a fingerprinted index writes
+    # format_version 3 (different on-disk shingle type) and reads
+    # back; an UNKNOWN future version is rejected loudly instead of
+    # silently mis-joining a layout this reader does not understand
+    fp_path = str(tmp_path / "fpidx")
+    write_shingle_index(
+        build_shingle_index(history, threshold=0.5, fingerprint=True), fp_path
+    )
+    meta = spark.read.json(fp_path + "/meta").first()
+    assert int(meta["format_version"]) == 3 and bool(meta["fingerprint"])
+    assert read_shingle_index(spark, fp_path).fingerprint is True
+    future = tmp_path / "futureidx"
+    spark.createDataFrame(
+        [(500000, 3, 4, False)],
+        "threshold_ppm bigint, shingle_size int, format_version int, "
+        "fingerprint boolean",
+    ).coalesce(1).write.mode("overwrite").json(str(future / "meta"))
+    idx.prefix.write.mode("overwrite").parquet(str(future / "prefix"))
+    with _pytest.raises(ValueError, match="format_version=4"):
+        read_shingle_index(spark, str(future))
+
 
 def test_bucket_star_survivors_equal_clique_survivors(spark, sf_dir):
     """Star-vs-clique CC equivalence EXECUTED, not argued: on the real

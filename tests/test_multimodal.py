@@ -293,3 +293,24 @@ def test_png_decoder_inverts_every_filter_type(w, h, ch, data):
     got_w, got_h, got_ch, got_pixels = decode_png(blob)
     assert (got_w, got_h, got_ch) == (w, h, ch)
     assert got_pixels == pixels, f"filters {ftypes} not inverted"
+
+
+def test_jpeg_decode_tolerates_trailing_bytes_after_eoi():
+    """Real-world baseline JPEGs often carry bytes AFTER the EOI
+    marker (camera firmware padding, appended metadata). The decoder
+    anchors the entropy slice at the first FF D9 after SOS (byte
+    stuffing guarantees EOI cannot occur inside entropy data), so
+    trailing garbage — including garbage that itself contains FF D9 —
+    must not change the decoded pixels."""
+    from breweries_data_pipeline_spark.operators.jpeg_codec import (
+        Q_FLAT,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w, h, v = 13, 10, 77
+    flat = bytes([v]) * (w * h)
+    blob = encode_jpeg(w, h, 1, flat, qtable=Q_FLAT)
+    for tail in (b"\x00" * 16, b"garbage\xff\xd9junk", b"\xff"):
+        ww, hh, cc, out = decode_jpeg(blob + tail)
+        assert (ww, hh, cc, out) == (w, h, 1, flat)

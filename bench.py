@@ -237,12 +237,13 @@ R8 = [
     "q_mixture_temperature",
 ]
 
-# round-9 family — the fingerprint-before-exchange production forms
-# plus the stdlib JPEG real-codec round-trip
+# round-9 family — the fingerprint-before-exchange production forms,
+# the stdlib JPEG real-codec round-trip, and margin-based bitext mining
 R9 = [
     "q_sentence_dedup_fp",
     "q_neardup_index_fp",
     "q_jpeg_decode",
+    "q_bitext_mine",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

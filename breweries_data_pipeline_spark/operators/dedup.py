@@ -973,6 +973,27 @@ def write_shingle_index(index: ShingleIndex, path: str) -> None:
     ).coalesce(1).write.mode("overwrite").json(posixpath.join(path, "meta"))
 
 
+def _meta_format_version(meta, where: str) -> int:
+    """Validated shingle-index format_version from a meta row: absent
+    (pre-versioning layouts, all string-shingle) reads as 2; anything
+    outside the understood set fails loudly — the guard that keeps a
+    version-unaware reader from silently null-joining string shingles
+    against a fingerprinted (v3, bigint-shingle) layout."""
+    ver = (
+        int(meta["format_version"])
+        if "format_version" in meta.__fields__
+        and meta["format_version"] is not None
+        else 2
+    )
+    if ver not in (2, 3):
+        raise ValueError(
+            f"shingle index {where} has format_version={ver}, newer than "
+            "this reader understands (2-3). Upgrade the library or "
+            "rebuild the index with this version's writer."
+        )
+    return ver
+
+
 def read_shingle_index(spark, path: str) -> ShingleIndex:
     import posixpath
 
@@ -987,18 +1008,7 @@ def read_shingle_index(spark, path: str) -> ShingleIndex:
             "no positional prefix column). Rebuild it with "
             "build_shingle_index + write_shingle_index."
         ) from exc
-    ver = (
-        int(meta["format_version"])
-        if "format_version" in meta.__fields__
-        and meta["format_version"] is not None
-        else 2
-    )
-    if ver not in (2, 3):
-        raise ValueError(
-            f"shingle index at {path!r} has format_version={ver}, newer "
-            "than this reader understands (2-3). Upgrade the library or "
-            "rebuild the index with this version's write_shingle_index."
-        )
+    _meta_format_version(meta, f"at {path!r}")
     prefix = spark.read.parquet(posixpath.join(path, "prefix"))
     if "pos" not in prefix.columns:
         raise ValueError(
@@ -1084,18 +1094,7 @@ def write_shingle_index_bucketed(
 
 def read_shingle_index_bucketed(spark, table_prefix: str) -> ShingleIndex:
     meta = spark.table(f"{table_prefix}_meta").first()
-    ver = (
-        int(meta["format_version"])
-        if "format_version" in meta.__fields__
-        and meta["format_version"] is not None
-        else 2  # pre-versioning bucketed layouts are all string-shingle
-    )
-    if ver not in (2, 3):
-        raise ValueError(
-            f"shingle index tables {table_prefix!r} have "
-            f"format_version={ver}, newer than this reader understands "
-            "(2-3). Upgrade the library or rebuild the index."
-        )
+    _meta_format_version(meta, f"tables {table_prefix!r}")
     return ShingleIndex(
         spark.table(f"{table_prefix}_prefix"),
         spark.table(f"{table_prefix}_sets"),

@@ -498,3 +498,16 @@ def test_fingerprint_index_prefix_moves_longs_not_strings(spark, sf_dir):
     assert isinstance(idx.prefix.schema["shingle"].dataType, T.LongType)
     assert isinstance(idx.freq.schema["shingle"].dataType, T.LongType)
     assert isinstance(idx.sets.schema["shingles"].dataType.elementType, T.LongType)
+
+
+def test_bitext_mine_reuses_persisted_candidates(spark, sf_dir):
+    """q_bitext_mine's scale contract: the candidate/cosine table is
+    computed ONCE and read by its three consumers (both neighborhood
+    windows and the margin join) — the executed plan must show the
+    in-memory relation at all three read sites, and candidate
+    generation must stay an equi-join (no cartesian, no
+    nested-loop)."""
+    plan = _plan(spark, sf_dir, "q_bitext_mine")
+    assert plan.count("InMemoryTableScan") >= 3, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

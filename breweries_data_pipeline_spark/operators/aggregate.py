@@ -145,12 +145,20 @@ def mode_agg_grouped(
     counts = df.groupBy(*keys, value_col).agg(F.count("*").alias("__mode_n"))
 
     def _argmax(v, n):
-        mask = v.notna()
-        v, n = v[mask], n[mask]
-        if v.empty:
+        # numpy, not pandas, inside the per-GROUP kernel: this runs
+        # once per key, so fixed per-call pandas overhead (mask
+        # Series, boolean indexing, .max() dispatch) dominates wall
+        # time at high key cardinality — the structural per-group
+        # Arrow round-trip is the cost this surface demonstrates; the
+        # kernel shouldn't add to it
+        vv = v.to_numpy()
+        nn = n.to_numpy()
+        mask = ~pd.isna(vv)
+        vv, nn = vv[mask], nn[mask]
+        if vv.size == 0:
             return None
-        top = v[n == n.max()]
-        return sorted(top)[0]
+        top = vv[nn == nn.max()]
+        return min(top)
 
     _argmax.__annotations__ = {"v": pd.Series, "n": pd.Series, "return": str}
     return counts.groupBy(*keys).agg(

@@ -873,6 +873,76 @@ def pq_topk(
 
 
 
+def ivf_l2_cell_column(
+    seed_cells: list[tuple[int, list[float]]],
+    vec_col: str | Column = "v",
+    use_matmul: bool = False,
+) -> Column:
+    """long Column: nearest seed by L2 (IVF cell assignment), ties to
+    the LOWEST cell id. Two kernels, one contract:
+
+    - exact-fold lane (default): one zero-shuffle ``array_min`` over
+      (dist, cell) structs against the broadcast seed literal, each
+      distance a pinned-order ``aggregate`` fold — the IEEE sequence a
+      DuckDB CROSS JOIN + row_number replay reproduces bit-for-bit.
+      Codegen cost grows with k, so callers switch lanes around k~16.
+    - matmul lane (``use_matmul``): one numpy matmul per Arrow batch
+      (``-2 V@C.T + ||c||^2``; the ``||v||^2`` term is argmin-
+      invariant and dropped), argmin ties to the first = lowest cell
+      id. One pass for ALL seeds; not an IEEE-order oracle replay —
+      equivalence to the exact lane is pinned by
+      tests/test_similarity.py's cross-lane fixtures.
+
+    ``seed_cells`` is bounded model state (k x d floats) — the
+    documented bounded-collect class."""
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    if not use_matmul:
+        cands = F.array(
+            *[
+                F.struct(
+                    F.lit(int(cid)).cast("long").alias("cell"),
+                    F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+                )
+                for cid, c in seed_cells
+            ]
+        )
+        return F.array_min(
+            F.transform(
+                cands,
+                lambda s: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            col, s["c"], lambda xx, c: (xx - c) * (xx - c)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, val: acc + val,
+                    ).alias("dist"),
+                    s["cell"].alias("cell"),
+                ),
+            )
+        )["cell"]
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    frozen = [[float(x) for x in c] for _, c in seed_cells]
+    ids = [int(cid) for cid, _ in seed_cells]
+
+    def _cell(vs):
+        import numpy as np
+
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        C = np.asarray(frozen, dtype=np.float64)
+        cid = np.asarray(ids, dtype=np.int64)
+        V = np.vstack(vs.to_numpy()).astype(np.float64)
+        d2 = -2.0 * (V @ C.T) + (C * C).sum(axis=1)[None, :]
+        return pd.Series(cid[np.argmin(d2, axis=1)])
+
+    _cell.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return pandas_udf("long")(_cell)(col)
+
+
 def _assign_with_cos_udf(centroids: list[list[float]]) -> Column:
     """struct<cluster:int, cos:double>: nearest centroid by cosine via
     one numpy matmul per Arrow batch — the large-k assignment kernel
@@ -913,6 +983,7 @@ def semantic_dedup(
     n_iter: int = 0,
     collapse_exact: bool = True,
     force_scale_path: bool = False,
+    force_exact_path: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus, then inside each cluster
@@ -965,7 +1036,10 @@ def semantic_dedup(
     cents = kmeans_centroids(
         work, vec_col=vec_col, id_col=id_col, k=k, n_iter=n_iter
     )
-    exact_path = k <= 16 and not force_scale_path
+    # force_exact_path exists for the cross-lane equivalence tests
+    # (run the fold lane at k > 16 against the matmul lane) — the
+    # k-fold-columns codegen cost makes it a test-only setting
+    exact_path = force_exact_path or (k <= 16 and not force_scale_path)
     dot = _exact_dot_udf()
     pair_dot = dot if exact_path else _pairwise_dot_udf()
 

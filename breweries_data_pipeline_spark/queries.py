@@ -8450,7 +8450,9 @@ _SQL_DOT_V = (
     seeds AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cid,
              v AS c
-      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+      FROM e
+      QUALIFY row_number() OVER (ORDER BY vec_id)
+              <= GREATEST(8, (SELECT count(*) FROM e) // 250)
     ),
     sims AS (
       SELECT e.vec_id, s.cid,
@@ -14784,7 +14786,8 @@ _SQL_BITEXT_CTES = f"""
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ),
-    s AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 8),
+    s AS (SELECT vec_id AS cell, v AS c FROM e
+          WHERE vec_id < GREATEST(8, (SELECT count(*) FROM e) // 250)),
     d AS (
       SELECT e.vec_id, e.v, s.cell,
              row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -14890,8 +14893,10 @@ def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # k ~ N / target_cell_size, the IVF knob that keeps candidate
     # volume (sum over cells of |X_c| x |Y_c|) LINEAR-ish as the
-    # corpus grows; the floor of 8 is the oracle regime (all driver /
-    # parity SFs land there; same discipline as q_semantic_dedup)
+    # corpus grows; the oracle SQL computes k with the SAME formula,
+    # so the whole exact-fold regime (k <= 16, i.e. stores up to
+    # ~4,250 rows) is oracle-true, not just the k=8 floor (same
+    # discipline as q_semantic_dedup)
     k = max(8, emb.count() // 250)
     # bounded collect: k seed vectors (k x 64 floats) — model state
     seeds = (
@@ -14905,59 +14910,22 @@ def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
 
-    if k <= 16:
-        # oracle path: zero-shuffle argmin by (dist, cell) via
-        # array_min over the broadcast seed literal — exact-fold L2,
-        # the same doubles DuckDB's CROSS JOIN + row_number replays
-        cands = F.array(
-            *[
-                F.struct(
-                    F.lit(int(r["vec_id"])).cast("long").alias("cell"),
-                    F.array(*[F.lit(float(v)) for v in r["v"]]).alias("c"),
-                )
-                for r in seeds
-            ]
-        )
-        cell = F.array_min(
-            F.transform(
-                cands,
-                lambda s: F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("v"),
-                            s["c"],
-                            lambda xx, c: (xx - c) * (xx - c),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, val: acc + val,
-                    ).alias("dist"),
-                    s["cell"].alias("cell"),
-                ),
-            )
-        )["cell"].alias("cell")
-    else:
-        # scale path: one numpy matmul per Arrow batch (one pass for
-        # ALL centroids; argmin ties to the lowest cell id — numpy
-        # takes the first minimum). Not oracle-replayed: parity runs
-        # in the k=8 regime; same small-k/large-k split as
-        # semantic_dedup's assignment kernel.
-        import pandas as pd
-        from pyspark.sql.functions import pandas_udf
+    # Two assignment lanes, one contract (ivf_l2_cell_column): the
+    # exact-fold array_min lane (k <= 16 — the oracle regime, same
+    # doubles DuckDB's CROSS JOIN + row_number replays; the SQL
+    # computes k with the SAME max(8, N//250) formula, so the 9-16
+    # window is oracle-true too) and the numpy-matmul lane (k > 16 —
+    # one pass for all centroids; argmin ties to the lowest cell id;
+    # not an IEEE-order replay — cross-lane equivalence pinned by
+    # tests/test_similarity.py).
+    from breweries_data_pipeline_spark.operators.similarity import (
+        ivf_l2_cell_column,
+    )
 
-        frozen = [[float(v) for v in r["v"]] for r in seeds]
-
-        def _cell(vs):
-            import numpy as np
-
-            if len(vs) == 0:
-                return pd.Series([], dtype="int64")
-            C = np.asarray(frozen, dtype=np.float64)
-            V = np.vstack(vs.to_numpy()).astype(np.float64)
-            d2 = -2.0 * (V @ C.T) + (C * C).sum(axis=1)[None, :]
-            return pd.Series(np.argmin(d2, axis=1).astype("int64"))
-
-        _cell.__annotations__ = {"vs": pd.Series, "return": pd.Series}
-        cell = pandas_udf("long")(_cell)(F.col("v")).alias("cell")
+    seed_cells = [(int(r["vec_id"]), list(r["v"])) for r in seeds]
+    cell = ivf_l2_cell_column(
+        seed_cells, F.col("v"), use_matmul=k > 16
+    ).alias("cell")
 
     assigned = e.select("vec_id", "v", cell).withColumn(
         "nrm", F.sqrt(_fold_dot(F.col("v"), F.col("v")))

@@ -228,8 +228,21 @@ def _update_session_timeout(key, pdfs, state: GroupState, gap_ms: int):
         vals = pdf["ts"].to_numpy()
         if vals.dtype.kind == "M":  # datetime64[*] -> int ns
             iv = vals.astype("datetime64[ns]").view("i8")
-        else:  # already integer ns (defensive)
+        elif vals.dtype.kind in "iu":  # already integer ns
             iv = vals.astype("i8", copy=False)
+        else:
+            # object dtype (e.g. tz-aware Timestamps arrive as an
+            # object array) — normalize through pandas first; a bare
+            # astype('i8') raises here rather than defending
+            import pandas as pd
+
+            iv = (
+                pd.to_datetime(pdf["ts"], utc=True)
+                .dt.tz_localize(None)
+                .to_numpy()
+                .astype("datetime64[ns]")
+                .view("i8")
+            )
         n += iv.size
         mn, mx = int(iv.min()) // 1000, int(iv.max()) // 1000
         f = mn if f is None else min(f, mn)

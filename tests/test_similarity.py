@@ -243,3 +243,93 @@ def test_pq_recall_and_exact_rerank_scores(spark, sf_dir):
     for r in pq:
         if (r.probe_id, r.vec_id) in exact:
             assert r.cosine == exact[(r.probe_id, r.vec_id)]
+
+
+# ---------------------------------------------------------------------------
+# Cross-lane equivalence for the large-k matmul assignment kernels.
+# The k <= 16 exact-fold lanes are what parity and the driver oracle
+# exercise; the k > 16 matmul lanes carry the measured scale claims
+# (bitext's 5x-at-one-decade IVF knob, semantic_dedup's cluster-count
+# scaling) — these fixtures pin the two lanes to the SAME assignments
+# across the boundary, including the ties-to-lowest-cell-id contract.
+
+
+def _doubled(emb):
+    return emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "v"
+        ),
+    )
+
+
+def test_ivf_cell_lanes_agree_across_k16_boundary(spark, sf_dir):
+    from breweries_data_pipeline_spark.operators.similarity import (
+        ivf_l2_cell_column,
+    )
+
+    e = _doubled(read_table(spark, sf_dir, "embeddings"))
+    for k in (8, 16, 20, 33):  # both sides of the lane switch
+        seeds = [
+            (int(r["vec_id"]), list(r["v"]))
+            for r in e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+        ]
+        fold = {
+            r["vec_id"]: r["cell"]
+            for r in e.select(
+                "vec_id",
+                ivf_l2_cell_column(seeds, F.col("v")).alias("cell"),
+            ).collect()
+        }
+        matmul = {
+            r["vec_id"]: r["cell"]
+            for r in e.select(
+                "vec_id",
+                ivf_l2_cell_column(
+                    seeds, F.col("v"), use_matmul=True
+                ).alias("cell"),
+            ).collect()
+        }
+        assert fold == matmul, f"lane mismatch at k={k}"
+
+
+def test_ivf_cell_both_lanes_tie_to_lowest_cell_id(spark):
+    from breweries_data_pipeline_spark.operators.similarity import (
+        ivf_l2_cell_column,
+    )
+
+    # seeds 3 and 7 are IDENTICAL: every vector equidistant to both
+    # must land in cell 3 on BOTH lanes (array_min orders by (dist,
+    # cell); numpy argmin takes the first minimum in seed order)
+    dup = [1.0, 2.0]
+    seeds = [(3, dup), (7, dup), (9, [100.0, 100.0])]
+    rows = [(0, [1.0, 2.0]), (1, [0.0, 0.0]), (2, [100.0, 99.0])]
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    for use_matmul in (False, True):
+        got = {
+            r["vec_id"]: r["cell"]
+            for r in e.select(
+                "vec_id",
+                ivf_l2_cell_column(
+                    seeds, F.col("v"), use_matmul=use_matmul
+                ).alias("cell"),
+            ).collect()
+        }
+        assert got == {0: 3, 1: 3, 2: 9}, f"use_matmul={use_matmul}: {got}"
+
+
+def test_semantic_dedup_lanes_agree_above_k16(spark, sf_dir):
+    # the k=8 twin lives in test_round6b; this one crosses the lane
+    # switch: default path at k=20 IS the matmul/grouped-prune scale
+    # lane, force_exact_path replays it with fold columns + pair join
+    from breweries_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    kw = dict(k=20, tau=0.25, n_iter=0)
+    exact = semantic_dedup(emb, force_exact_path=True, **kw)
+    scale = semantic_dedup(emb, **kw)
+    ex = {(r["vec_id"], r["cluster_id"], r["rnk"]) for r in exact.collect()}
+    sc = {(r["vec_id"], r["cluster_id"], r["rnk"]) for r in scale.collect()}
+    assert ex == sc

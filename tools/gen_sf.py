@@ -105,6 +105,24 @@ def replicate(src: str, dst: str, copies: int) -> None:
             print(f"{t}: fixed dim, {base[t].num_rows} rows")
             continue
         parts = []
+        if t == "documents" and DOC_TEXT_MODE == "distinct":
+            # pre-sanitize ONCE, before any copy (incl. the verbatim
+            # copy 0): the '~{i}' suffix injectivity argument below
+            # assumes no source token contains '~' — a source token
+            # literally ending '~<digit>' in copy 0 could otherwise
+            # collide with a suffixed token from another copy. Strip
+            # '~' from the source and the assumption holds by
+            # construction; n_chars is recomputed to stay consistent.
+            b = base[t]
+            clean = pc.replace_substring(b["text"], "~", "")
+            ti = b.schema.get_field_index("text")
+            b = b.set_column(ti, b.schema.field(ti), clean)
+            ni = b.schema.get_field_index("n_chars")
+            base[t] = b.set_column(
+                ni,
+                b.schema.field(ni),
+                pc.cast(pc.utf8_length(clean), pa.int64()),
+            )
         for i in range(copies):
             tbl = base[t]
             if i > 0:
@@ -131,7 +149,9 @@ def replicate(src: str, dst: str, copies: int) -> None:
                         # ('x'+'11' == 'x1'+'1'); with the separator
                         # the text after the LAST '~' is always the
                         # copy index, so suffixed tokens are injective
-                        # per copy at any copy count
+                        # per copy at any copy count (source tokens
+                        # are pre-stripped of '~' above, so the
+                        # separator is unambiguous by construction)
                         text = pc.replace_substring_regex(
                             tbl["text"], r"(\S+)", rf"\1~{i}"
                         )

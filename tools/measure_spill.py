@@ -27,7 +27,14 @@ def _spill_bytes(spark) -> tuple[int, int]:
     # use the port the UI actually BOUND (uiWebUrl), not the
     # configured one — on a port conflict Spark binds port+1 and a
     # probe of the configured port would read a stale app's numbers
-    base = f"{spark.sparkContext.uiWebUrl}/api/v1"
+    ui = spark.sparkContext.uiWebUrl
+    if ui is None:
+        raise RuntimeError(
+            "Spark UI disabled (spark.ui.enabled=false); the spill "
+            "probe reads /api/v1 off the live UI — re-run with "
+            "spark.ui.enabled=true"
+        )
+    base = f"{ui}/api/v1"
     with urllib.request.urlopen(f"{base}/applications") as r:
         app_id = json.load(r)[0]["id"]
     with urllib.request.urlopen(f"{base}/applications/{app_id}/stages") as r:

@@ -5,15 +5,20 @@ pillow (this one). Retires the PIL-absent xfail the r7/r8 records
 carried.
 
 Scope (the shapes a data pipeline's thumbnails and fixtures use):
-- **decode**: baseline sequential (SOF0), 8-bit, grayscale or 4:4:4
-  YCbCr (no chroma subsampling), huffman tables read from the blob's
-  own DHT segments (the honest spec path — nothing assumes the
-  encoder below). Progressive (SOF2), subsampled, arithmetic-coded,
-  and restart-interval streams raise NotImplementedError with the
+- **decode**: baseline sequential (SOF0), 8-bit, grayscale or YCbCr
+  with sampling factors up to 2 — 4:4:4, 4:2:2, 4:4:0, and 4:2:0
+  (the common real-thumbnail shape; chroma upsampled by
+  replication), huffman tables read from the blob's own DHT segments
+  (the honest spec path — nothing assumes the encoder below).
+  Progressive (SOF2), arithmetic-coded, restart-interval, and
+  factor>2 (4:1:1-style) streams raise NotImplementedError with the
   pillow pointer, mirroring decode_png's depth/interlace guard.
 - **encode**: the matching writer (SOI/APP0/DQT/SOF0/DHT/SOS/EOI,
-  canonical huffman, edge-replicated block padding, byte stuffing)
-  for generating fixtures executor-side, like encode_png.
+  canonical huffman, edge-replicated block padding, byte stuffing,
+  box-averaged chroma downsampling for the subsampled modes) for
+  generating fixtures executor-side, like encode_png. The 4:4:4
+  writer is byte-identical to the pre-sampling round-9 writer, so
+  the q_jpeg_decode oracle lane is untouched.
 
 Exactness lane: with an all-ones quantization table a FLAT grayscale
 image round-trips bit-exactly — the block has only a DC coefficient
@@ -180,6 +185,27 @@ def _blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
     return blocks, bh, bw
 
 
+_SAMPLING = {
+    # name -> (h, v) per YCbCr component; grayscale is always (1,1)
+    "4:4:4": [(1, 1), (1, 1), (1, 1)],
+    "4:2:2": [(2, 1), (1, 1), (1, 1)],
+    "4:4:0": [(1, 2), (1, 1), (1, 1)],
+    "4:2:0": [(2, 2), (1, 1), (1, 1)],
+}
+
+
+def _downsample(plane: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """Box-average a plane by (fy, fx); edge-replicate odd tails so
+    the average never reads past the image (the encoder's choice —
+    decoders upsample by replication, see decode_jpeg)."""
+    if fx == 1 and fy == 1:
+        return plane
+    h, w = plane.shape
+    ph, pw = -(-h // fy) * fy, -(-w // fx) * fx
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+
+
 def encode_jpeg(
     width: int,
     height: int,
@@ -187,23 +213,37 @@ def encode_jpeg(
     pixels: bytes,
     *,
     qtable: np.ndarray | None = None,
+    sampling: str = "4:4:4",
 ) -> bytes:
     """Baseline JFIF writer: grayscale (1) or RGB (3, written as
-    non-subsampled YCbCr). ``qtable`` is the zigzag-ordered 64-entry
-    quantization table for every component (default Q_STD; pass
-    Q_FLAT for the bit-exact flat-image lane)."""
+    YCbCr). ``qtable`` is the zigzag-ordered 64-entry quantization
+    table for every component (default Q_STD; pass Q_FLAT for the
+    bit-exact flat-image lane). ``sampling`` picks the chroma layout
+    for 3-channel images: 4:4:4 (default — one block per component
+    per MCU, byte-identical to the pre-sampling writer), 4:2:2,
+    4:4:0, or 4:2:0 (2x2 box-averaged chroma, the common
+    real-thumbnail shape)."""
     if channels not in (1, 3):
         raise ValueError("encode_jpeg writes 1- or 3-channel images")
+    if sampling not in _SAMPLING:
+        raise ValueError(f"sampling must be one of {sorted(_SAMPLING)}")
+    factors = [(1, 1)] if channels == 1 else _SAMPLING[sampling]
+    hmax = max(h for h, _ in factors)
+    vmax = max(v for _, v in factors)
     q = (Q_STD if qtable is None else qtable).astype(np.int64)
     px = (
         np.frombuffer(pixels, dtype=np.uint8)
         .reshape(height, width, channels)
         .astype(np.float64)
     )
-    planes = (
+    full = (
         [px[..., 0]] if channels == 1
         else [p for p in np.moveaxis(_rgb_to_ycbcr(px), -1, 0)]
     )
+    planes = [
+        _downsample(p, hmax // h, vmax // v)
+        for p, (h, v) in zip(full, factors)
+    ]
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
@@ -211,49 +251,79 @@ def encode_jpeg(
     qmat[ZIGZAG] = q  # zigzag table -> row-major matrix
     qmat = qmat.reshape(8, 8)
 
-    # quantized zigzag coefficients per component, blocks raster-order
-    comp_coefs = []
-    n_mcus = None
-    for plane in planes:
-        blocks, bh, bw = _blocks(plane)
-        n_mcus = bh * bw
+    # MCU grid is sized by the MAX factors; each component's plane is
+    # padded to its own (mcuy*v*8, mcux*h*8) so every MCU owns exactly
+    # h*v of its blocks
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    comp_coefs = []  # per comp: zigzag coefs, blocks raster over plane
+    comp_bw = []  # per comp: blocks-per-row of that plane
+    for plane, (h, v) in zip(planes, factors):
+        ph, pw = plane.shape
+        tgt_h, tgt_w = mcuy * v * 8, mcux * h * 8
+        plane = np.pad(
+            plane, ((0, tgt_h - ph), (0, tgt_w - pw)), mode="edge"
+        )
+        blocks = (
+            plane.reshape(tgt_h // 8, 8, tgt_w // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
         shifted = blocks - 128.0
         coefs = np.einsum("ki,nij,lj->nkl", _DCT, shifted, _DCT)
         qd = np.round(coefs / qmat).astype(np.int64)
         comp_coefs.append(qd.reshape(-1, 64)[:, ZIGZAG])
+        comp_bw.append(tgt_w // 8)
 
     bw_ = _BitWriter()
     preds = [0] * len(planes)
-    for m in range(n_mcus):
-        for c, zz in enumerate(comp_coefs):
-            blk = zz[m]
-            diff = int(blk[0]) - preds[c]
-            preds[c] = int(blk[0])
-            size = _mag_size(diff)
-            code, ln = dc_codes[size]
-            bw_.write(code, ln)
-            if size:
-                bw_.write(diff if diff > 0 else diff + (1 << size) - 1, size)
-            run = 0
-            last_nz = int(np.max(np.nonzero(blk)[0])) if np.any(blk[1:]) else 0
-            for k in range(1, 64):
-                v = int(blk[k])
-                if v == 0:
-                    if k > last_nz:
-                        code, ln = ac_codes[0x00]  # EOB
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c, zz in enumerate(comp_coefs):
+                h, v = factors[c]
+                for by in range(v):
+                    for bx in range(h):
+                        blk = zz[
+                            (my * v + by) * comp_bw[c] + (mx * h + bx)
+                        ]
+                        diff = int(blk[0]) - preds[c]
+                        preds[c] = int(blk[0])
+                        size = _mag_size(diff)
+                        code, ln = dc_codes[size]
                         bw_.write(code, ln)
-                        break
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    bw_.write(code, ln)
-                    run -= 16
-                size = _mag_size(v)
-                code, ln = ac_codes[(run << 4) | size]
-                bw_.write(code, ln)
-                bw_.write(v if v > 0 else v + (1 << size) - 1, size)
-                run = 0
+                        if size:
+                            bw_.write(
+                                diff if diff > 0
+                                else diff + (1 << size) - 1,
+                                size,
+                            )
+                        run = 0
+                        last_nz = (
+                            int(np.max(np.nonzero(blk)[0]))
+                            if np.any(blk[1:]) else 0
+                        )
+                        for k in range(1, 64):
+                            val = int(blk[k])
+                            if val == 0:
+                                if k > last_nz:
+                                    code, ln = ac_codes[0x00]  # EOB
+                                    bw_.write(code, ln)
+                                    break
+                                run += 1
+                                continue
+                            while run >= 16:
+                                code, ln = ac_codes[0xF0]  # ZRL
+                                bw_.write(code, ln)
+                                run -= 16
+                            size = _mag_size(val)
+                            code, ln = ac_codes[(run << 4) | size]
+                            bw_.write(code, ln)
+                            bw_.write(
+                                val if val > 0
+                                else val + (1 << size) - 1,
+                                size,
+                            )
+                            run = 0
     bw_.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -265,7 +335,8 @@ def encode_jpeg(
     ncomp = len(planes)
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
     for c in range(ncomp):
-        sof += bytes([c + 1, 0x11, 0])  # id, h=v=1, qtable 0
+        h, v = factors[c]
+        sof += bytes([c + 1, (h << 4) | v, 0])  # id, sampling, qtable 0
     out += seg(0xFFC0, sof)  # SOF0 baseline
     dc_bits = bytes(_DC_BITS)
     ac_bits = bytes(_AC_BITS)
@@ -333,10 +404,11 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
             for c in range(ncomp):
                 cid, hv, tq = payload[6 + 3 * c:9 + 3 * c]
                 h, v = hv >> 4, hv & 0x0F
-                if (h, v) != (1, 1):
+                if h not in (1, 2) or v not in (1, 2):
                     raise NotImplementedError(
-                        "chroma-subsampled JPEG needs pillow "
-                        "(this decoder handles 4:4:4 / grayscale)"
+                        "sampling factors beyond 2 (4:1:1-style "
+                        "JPEG) need pillow (this decoder handles "
+                        "grayscale / 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0)"
                     )
                 comps.append((cid, h, v, tq))
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC9, 0xFFCA, 0xFFCB):
@@ -369,9 +441,13 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("JPEG missing SOF/SOS")
 
     reader = _BitReader(scan)
-    bh, bw_ = -(-height // 8), -(-width // 8)
+    hmax = max(h for _, h, _v, _ in comps)
+    vmax = max(v for _, _h, v, _ in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
     planes = [
-        np.empty((bh * 8, bw_ * 8), dtype=np.float64) for _ in comps
+        np.empty((mcuy * v * 8, mcux * h * 8), dtype=np.float64)
+        for _, h, v, _ in comps
     ]
     preds = [0] * len(comps)
 
@@ -385,36 +461,53 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                 return sym
         raise ValueError("invalid huffman code in JPEG stream")
 
-    for by in range(bh):
-        for bx in range(bw_):
-            for ci, (cid, _h, _v, tq) in enumerate(comps):
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (cid, h, v, tq) in enumerate(comps):
                 dc_t = huff[(0, scan_tables[cid][0])]
                 ac_t = huff[(1, scan_tables[cid][1])]
-                zz = np.zeros(64, dtype=np.int64)
-                size = read_symbol(dc_t)
-                diff = _extend(reader.read_bits(size), size) if size else 0
-                preds[ci] += diff
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    sym = read_symbol(ac_t)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC coefficient index overflow")
-                    zz[k] = _extend(reader.read_bits(size), size)
-                    k += 1
-                mat = np.zeros(64, dtype=np.float64)
-                mat[ZIGZAG] = zz * qtables[tq]
-                blk = _DCT.T @ mat.reshape(8, 8) @ _DCT + 128.0
-                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
+                for iby in range(v):
+                    for ibx in range(h):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = read_symbol(dc_t)
+                        diff = (
+                            _extend(reader.read_bits(size), size)
+                            if size else 0
+                        )
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = read_symbol(ac_t)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0x0F
+                            k += run
+                            if k > 63:
+                                raise ValueError(
+                                    "AC coefficient index overflow"
+                                )
+                            zz[k] = _extend(reader.read_bits(size), size)
+                            k += 1
+                        mat = np.zeros(64, dtype=np.float64)
+                        mat[ZIGZAG] = zz * qtables[tq]
+                        blk = _DCT.T @ mat.reshape(8, 8) @ _DCT + 128.0
+                        py, pxx = (my * v + iby) * 8, (mx * h + ibx) * 8
+                        planes[ci][py:py + 8, pxx:pxx + 8] = blk
 
-    cropped = [p[:height, :width] for p in planes]
+    # upsample subsampled components by replication (the nearest-
+    # neighbor decoder lane; pairs with encode's box-average), then
+    # crop everything to the image rectangle
+    cropped = []
+    for p, (_, h, v, _) in zip(planes, comps):
+        if h != hmax:
+            p = np.repeat(p, hmax // h, axis=1)
+        if v != vmax:
+            p = np.repeat(p, vmax // v, axis=0)
+        cropped.append(p[:height, :width])
     if len(cropped) == 1:
         px = cropped[0]
     else:

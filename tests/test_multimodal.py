@@ -314,3 +314,60 @@ def test_jpeg_decode_tolerates_trailing_bytes_after_eoi():
     for tail in (b"\x00" * 16, b"garbage\xff\xd9junk", b"\xff"):
         ww, hh, cc, out = decode_jpeg(blob + tail)
         assert (ww, hh, cc, out) == (w, h, 1, flat)
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """Round 10 codec breadth: the 4:2:0 / 4:2:2 / 4:4:0 encoder+
+    decoder pair round-trips a smooth gradient within a few levels
+    (box-average down, replicate up — lossy by design), a FLAT RGB
+    image with the all-ones table round-trips 4:2:0 exactly (constant
+    chroma survives both resamples), and the 4:4:4 writer stays the
+    byte-level oracle lane (its output changes only if the entropy
+    coder does — pinned by the flat-gray bit-exact test above)."""
+    import numpy as np
+
+    from breweries_data_pipeline_spark.operators.jpeg_codec import (
+        Q_FLAT,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:37, 0:45]
+    img = np.stack(
+        [(xx * 3) % 256, (yy * 2 + 30) % 256, ((xx + yy) * 2) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    img = (img // 4 + 96).astype(np.uint8)  # compression-friendly
+    for mode in ("4:2:0", "4:2:2", "4:4:0"):
+        ww, hh, cc, out = decode_jpeg(
+            encode_jpeg(45, 37, 3, img.tobytes(), sampling=mode)
+        )
+        assert (ww, hh, cc) == (45, 37, 3)
+        got = np.frombuffer(out, dtype=np.uint8).reshape(37, 45, 3)
+        err = np.abs(got.astype(np.int64) - img.astype(np.int64))
+        assert err.max() <= 8 and err.mean() < 2, (mode, err.max())
+
+    flat = np.full((24, 16, 3), (90, 140, 200), dtype=np.uint8)
+    ww, hh, cc, out = decode_jpeg(
+        encode_jpeg(16, 24, 3, flat.tobytes(), sampling="4:2:0",
+                    qtable=Q_FLAT)
+    )
+    assert out == flat.tobytes()
+
+
+def test_jpeg_sampling_factor_guard():
+    """Factors beyond 2 (4:1:1-style) still raise loudly."""
+    import pytest as _pytest
+
+    from breweries_data_pipeline_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    blob = bytearray(encode_jpeg(9, 9, 3, bytes(243), sampling="4:2:0"))
+    sof = blob.find(b"\xff\xc0")
+    # component 1's sampling byte sits at SOF payload offset 7
+    assert blob[sof + 4 + 7] == 0x22
+    blob[sof + 4 + 7] = 0x41  # h=4, v=1
+    with _pytest.raises(NotImplementedError, match="sampling factors"):
+        decode_jpeg(bytes(blob))

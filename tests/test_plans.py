@@ -334,8 +334,8 @@ def test_bucketed_rank_offsets_join_is_broadcast(spark, sf_dir):
 
 def test_panel_head_shape():
     """The driver's CORRECTNESS gate oracles exactly the first 50
-    entries of queries(). PANEL_HEAD (30 pinned flagships + 20
-    rotating slots, r9) must therefore be: exactly 50 unique names,
+    entries of queries(). PANEL_HEAD (10 pinned flagships + 40
+    rotating slots, r10) must therefore be: exactly 50 unique names,
     every one registered, every one carrying a FULL DuckDB oracle (no
     rows-only in the head), actually emitted first by
     queries()/oracle_sql(), with every pinned flagship present and
@@ -364,12 +364,26 @@ def test_panel_head_shape():
     # the pinned flagships lead the panel, in order
     assert PANEL_HEAD[: len(PANEL_PINNED)] == PANEL_PINNED
     flagships = {
-        "q_dedup_lsh_buckets", "q_minhash_lsh", "q_similarity_topk",
-        "q_semantic_dedup", "q_kmeans_lloyd2", "q_png_decode",
-        "q_bpe_learn", "q_corpus_funnel_buckets", "q_streaming_late_drop",
-        "q_sentence_dedup",
+        "q_dedup_text", "q_minhash_lsh", "q_similarity_topk",
+        "q_png_decode", "q_corpus_funnel_buckets",
+        "q_streaming_late_drop",
     }
     assert flagships <= set(PANEL_PINNED)
+    # the r10 pinned shrink (30 -> 10) must never drop a flagship that
+    # lacks a shipped green row: every demoted name stays certified
+    demoted = {
+        "q_scan_corrupt", "q_dedup_by_key", "q_dropna_required",
+        "q_normalize_strings", "q_quality_not_null",
+        "q_agg_declarative", "q_rollup", "q_topk_per_group",
+        "q_text_stats", "q_dedup_lsh_buckets", "q_dedup_neardup",
+        "q_sentence_dedup", "q_similarity_join_exact",
+        "q_semantic_dedup", "q_dedup_embedding", "q_kmeans_lloyd2",
+        "q_bpe_learn", "q_bpe_encode", "q_decontaminate",
+        "q_pii_redact",
+    }
+    assert demoted <= _certified_green(), sorted(
+        demoted - _certified_green()
+    )
     # rotating slots: never-green-certified first, in name order
     certified = _certified_green()
     rotating = PANEL_HEAD[len(PANEL_PINNED):]

@@ -392,6 +392,38 @@ def _soak_order() -> list[str]:
     return HEADLINE + list(reversed(rest))
 
 
+def _sf1_walls_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SF1_WALLS.json"
+    )
+
+
+def _load_sf1_walls() -> dict:
+    """Cumulative, COMMITTED record of per-query sf1 walls: every
+    soak/rotation/bonus measurement merges here (newest wins), so
+    'which registry queries have a shipped at-scale datum' is a file,
+    not an archaeology exercise over per-round BENCH summaries. The
+    r9 round shipped count-level rotation evidence only — 46 bonus
+    queries were skipped over budget and nobody could say WHICH from
+    the shipped artifacts; this file is the fix, and the bonus leg
+    orders never-recorded queries first off the same record."""
+    try:
+        with open(_sf1_walls_path()) as f:
+            return json.load(f)
+    except Exception:  # noqa: BLE001 — absent on first run
+        return {}
+
+
+def _merge_sf1_walls(new: dict[str, float], leg: str) -> None:
+    data = _load_sf1_walls()
+    for q, w in new.items():
+        data[q] = {"sec": w, "leg": leg}
+    tmp = _sf1_walls_path() + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(dict(sorted(data.items())), f, indent=1)
+    os.replace(tmp, _sf1_walls_path())
+
+
 def _rotation_cohort() -> tuple[int, list[str], list[str]]:
     """sf1 rotation over the COVERAGE-leg queries (registry minus the
     curated suite): a third per round, so every registry query gets an
@@ -429,6 +461,19 @@ def _rotation_cohort() -> tuple[int, list[str], list[str]]:
         c = [q for i, q in enumerate(rest) if i % 3 == (round_ix + k) % 3]
         c.sort(key=lambda q: (-cov.get(q, 0.0), q))
         bonus.extend(c)
+    # never-recorded-FIRST (stable partition, preserving the cohort +
+    # most-expensive-first order within each half): a budget expiry
+    # must cost re-measurements of queries that already have a shipped
+    # sf1 wall in SF1_WALLS.json, never a query's first-ever at-scale
+    # datum. In r9 the two output-bound audit twins (q_dedup_neardup
+    # 43.9s + q_lsh_recall_audit 37.9s, both already recorded) ate 50%
+    # of the bonus wall while 46 queries went unrecorded — this
+    # ordering retires that failure mode without special-casing any
+    # query.
+    recorded = _load_sf1_walls()
+    bonus = [q for q in bonus if q not in recorded] + [
+        q for q in bonus if q in recorded
+    ]
     return round_ix, cohort, bonus
 
 
@@ -500,6 +545,14 @@ def _run_soak(spark, sd: str, budget: float):
                 else soak_detail
             )
             dest[name] = wall
+            # cumulative at-scale record (committed file): merged per
+            # query, not per leg, so a crash or budget expiry keeps
+            # every wall measured so far
+            _merge_sf1_walls(
+                {name: wall},
+                "bonus" if in_bonus else "rotation" if in_rotation
+                else "soak",
+            )
         except Exception as exc:  # noqa: BLE001 — one bad query must
             # not cost the whole leg; the error is the datum
             leg = (
@@ -876,6 +929,9 @@ def main() -> None:
             "fresh_jvm": fresh_jvm,
             "worst_scaling_x": worst,
             "rotation": rotation,
+            # cumulative committed sf1 record (SF1_WALLS.json): how
+            # many registry queries have at least one shipped wall
+            "sf1_record_total": len(_load_sf1_walls()),
         }
         if skipped:
             soak["skipped_over_budget"] = skipped

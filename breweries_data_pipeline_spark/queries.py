@@ -14601,7 +14601,15 @@ def q_sentence_dedup_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     60-bit collision between DISTINCT sentences (~2^-60 per pair;
     tests/test_dedup.py asserts the result matches the byte-faithful
     twin row-for-row on the fixture corpus and accounts collisions =
-    distinct sentences minus distinct fingerprints = 0)."""
+    distinct sentences minus distinct fingerprints = 0).
+
+    When to use which twin (measured, SCALE.md round 10): at sf10 the
+    fp form moves 47% fewer bytes through the rank exchange (95.4 vs
+    179.5 MB) but runs ~40% slower — the extra hash pass costs more
+    CPU than the saved in-memory I/O while the shuffle fits executor
+    memory. Run the byte-faithful twin until shuffle bandwidth or
+    sort memory binds; switch to this form in the exchange-bound
+    regime (the index family measured fp halving spill there)."""
     docs = read_table(spark, sf_dir, "documents")
     sents = F.split("text", r"[.!?][ \t\n\x0b\f\r]+")
     # narrow pass: explode, fingerprint, DROP the text

@@ -41,7 +41,12 @@ def _spill_bytes(spark) -> tuple[int, int]:
         stages = json.load(r)
     mem = sum(s.get("memoryBytesSpilled", 0) for s in stages)
     disk = sum(s.get("diskBytesSpilled", 0) for s in stages)
-    return mem, disk
+    # bytes THROUGH the exchanges — the number that stays meaningful
+    # when the heap absorbs the sort (spill 0 does not mean the
+    # fingerprint/byte-faithful forms moved the same data)
+    sw = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    sr = sum(s.get("shuffleReadBytes", 0) for s in stages)
+    return mem, disk, sw, sr
 
 
 def main() -> None:
@@ -63,11 +68,13 @@ def main() -> None:
     df = fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     wall = round(time.perf_counter() - t0, 3)
-    mem, disk = _spill_bytes(spark)
+    mem, disk, sw, sr = _spill_bytes(spark)
     print(json.dumps({
         "query": name, "sf_dir": sf_dir, "wall_s": wall,
         "memory_spill_mb": round(mem / 1e6, 1),
         "disk_spill_mb": round(disk / 1e6, 1),
+        "shuffle_write_mb": round(sw / 1e6, 1),
+        "shuffle_read_mb": round(sr / 1e6, 1),
     }, separators=(",", ":")))
 
 

@@ -90,6 +90,19 @@ def main() -> None:
         f.write(text[:i] + block + text[j:])
     print(f"README status block regenerated from BENCH_r{n:02d}.json "
           f"({value:.3f}s / {ratio:.2f}x)")
+    # round-open hygiene companion: the driver's round-end bench
+    # refreshes the committed SF1_WALLS.json AFTER the round's last
+    # commit — surface it so the new walls get committed alongside
+    # this regeneration instead of sitting dirty all round
+    import subprocess
+
+    r = subprocess.run(
+        ["git", "-C", HERE, "status", "--porcelain", "SF1_WALLS.json"],
+        capture_output=True, text=True,
+    )
+    if r.stdout.strip():
+        print("SF1_WALLS.json has uncommitted driver-run updates — "
+              "commit them with the status regeneration")
 
 
 if __name__ == "__main__":

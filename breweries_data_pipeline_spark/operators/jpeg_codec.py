@@ -5,20 +5,26 @@ pillow (this one). Retires the PIL-absent xfail the r7/r8 records
 carried.
 
 Scope (the shapes a data pipeline's thumbnails and fixtures use):
-- **decode**: baseline sequential (SOF0), 8-bit, grayscale or YCbCr
-  with sampling factors up to 2 — 4:4:4, 4:2:2, 4:4:0, and 4:2:0
-  (the common real-thumbnail shape; chroma upsampled by
-  replication), huffman tables read from the blob's own DHT segments
-  (the honest spec path — nothing assumes the encoder below).
-  Progressive (SOF2), arithmetic-coded, restart-interval, and
-  factor>2 (4:1:1-style) streams raise NotImplementedError with the
-  pillow pointer, mirroring decode_png's depth/interlace guard.
+- **decode**: baseline sequential (SOF0) AND progressive huffman
+  (SOF2 — spectral selection, successive approximation, EOB runs,
+  the full T.81 G.2 scan algebra), 8-bit, grayscale or YCbCr with
+  sampling factors up to 2 — 4:4:4, 4:2:2, 4:4:0, and 4:2:0 (the
+  common real-thumbnail shapes; chroma upsampled by replication),
+  huffman tables read from the blob's own DHT segments (the honest
+  spec path — nothing assumes the encoder below). Arithmetic-coded,
+  lossless, restart-interval, and factor>2 (4:1:1-style) streams
+  raise NotImplementedError with the pillow pointer, mirroring
+  decode_png's depth/interlace guard.
 - **encode**: the matching writer (SOI/APP0/DQT/SOF0/DHT/SOS/EOI,
   canonical huffman, edge-replicated block padding, byte stuffing,
-  box-averaged chroma downsampling for the subsampled modes) for
-  generating fixtures executor-side, like encode_png. The 4:4:4
-  writer is byte-identical to the pre-sampling round-9 writer, so
-  the q_jpeg_decode oracle lane is untouched.
+  box-averaged chroma downsampling for the subsampled modes), plus a
+  progressive (SOF2) mode whose 4-phase scan script (DC first/refine
+  interleaved + per-component AC first/refine) exercises every
+  decoder branch — the round-trip invariant is strong: progressive
+  and baseline code the SAME quantized coefficients, so their
+  decodes must match byte-for-byte. The 4:4:4 baseline writer is
+  byte-identical to the pre-sampling round-9 writer, so the
+  q_jpeg_decode oracle lane is untouched.
 
 Exactness lane: with an all-ones quantization table a FLAT grayscale
 image round-trips bit-exactly — the block has only a DC coefficient
@@ -82,6 +88,20 @@ _AC_VALS = [0x00, 0xF0] + [
     (run << 4) | size for run in range(16) for size in range(1, 11)
 ]
 _AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+# progressive AC table: adds the EOBn symbols ((n<<4)|0, n=1..14) the
+# spectral/successive scans use for EOB runs; a SEPARATE table so the
+# baseline writer's bytes stay untouched (its oracle lane is pinned
+# byte-for-byte)
+_AC_VALS_PROG = (
+    [0x00]
+    + [(n << 4) for n in range(1, 15)]
+    + [0xF0]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+_AC_BITS_PROG = [
+    0, 0, 0, 0, 0, 0, 0, len(_AC_VALS_PROG), 0, 0, 0, 0, 0, 0, 0, 0,
+]
 
 
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -206,6 +226,108 @@ def _downsample(plane: np.ndarray, fx: int, fy: int) -> np.ndarray:
     return p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
 
 
+class _EobRun:
+    """Progressive EOB-run accumulator: counts blocks whose remaining
+    band is all-zero and (in refinement scans) buffers the correction
+    bits the decoder reads while walking those blocks."""
+
+    def __init__(self, bw: _BitWriter, ac_codes: dict) -> None:
+        self.bw = bw
+        self.ac = ac_codes
+        self.n = 0
+        self.bits: list[int] = []
+
+    def flush(self) -> None:
+        if self.n == 0:
+            if self.bits:  # refinement bits with no pending EOB run
+                for b in self.bits:
+                    self.bw.write(b, 1)
+                self.bits = []
+            return
+        r = self.n.bit_length() - 1
+        code, ln = self.ac[r << 4]
+        self.bw.write(code, ln)
+        if r:
+            self.bw.write(self.n - (1 << r), r)
+        for b in self.bits:
+            self.bw.write(b, 1)
+        self.n = 0
+        self.bits = []
+
+
+def _enc_ac_first(bw, ac_codes, eob: _EobRun, band: np.ndarray, al: int):
+    """One block of a progressive AC FIRST scan (Ah=0): band is the
+    63-entry zigzag tail; values point-transformed by truncation
+    toward zero (T.81 AC point transform)."""
+    va = np.fix(band / float(1 << al)).astype(np.int64) if al else band
+    nz = np.nonzero(va)[0]
+    if len(nz) == 0:
+        eob.n += 1
+        if eob.n == 32767:
+            eob.flush()
+        return
+    eob.flush()
+    last = nz[-1]
+    run = 0
+    for k in range(0, last + 1):
+        v = int(va[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        size = _mag_size(v)
+        code, ln = ac_codes[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last < len(va) - 1:  # trailing zeros -> this block opens an EOB run
+        eob.n += 1
+
+
+def _enc_ac_refine(bw, ac_codes, eob: _EobRun, band: np.ndarray, al: int):
+    """One block of a progressive AC REFINEMENT scan (Ah=Al+1): emits
+    ±1-at-this-scale coefficients as (run|1)+sign and appends one
+    correction bit per already-nonzero coefficient, buffered through
+    EOB runs exactly as the decoder consumes them (jcphuff-style)."""
+    absv = (np.abs(band) >> al).astype(np.int64)
+    newly = np.nonzero(absv == 1)[0]
+    last_new = int(newly[-1]) if len(newly) else -1
+    r = 0
+    pend: list[int] = []
+    for k in range(len(band)):
+        a = int(absv[k])
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and k <= last_new:
+            eob.flush()
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for b in pend:
+                bw.write(b, 1)
+            pend = []
+        if a > 1:  # already nonzero at coarser scale: correction bit
+            pend.append(a & 1)
+            continue
+        eob.flush()
+        code, ln = ac_codes[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(band[k]) > 0 else 0, 1)
+        for b in pend:
+            bw.write(b, 1)
+        pend = []
+        r = 0
+    if r > 0 or pend:
+        eob.n += 1
+        eob.bits.extend(pend)
+        if eob.n == 32767:
+            eob.flush()
+
+
 def encode_jpeg(
     width: int,
     height: int,
@@ -214,6 +336,7 @@ def encode_jpeg(
     *,
     qtable: np.ndarray | None = None,
     sampling: str = "4:4:4",
+    progressive: bool = False,
 ) -> bytes:
     """Baseline JFIF writer: grayscale (1) or RGB (3, written as
     YCbCr). ``qtable`` is the zigzag-ordered 64-entry quantization
@@ -275,86 +398,199 @@ def encode_jpeg(
         comp_coefs.append(qd.reshape(-1, 64)[:, ZIGZAG])
         comp_bw.append(tgt_w // 8)
 
-    bw_ = _BitWriter()
-    preds = [0] * len(planes)
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for c, zz in enumerate(comp_coefs):
-                h, v = factors[c]
-                for by in range(v):
-                    for bx in range(h):
-                        blk = zz[
-                            (my * v + by) * comp_bw[c] + (mx * h + bx)
-                        ]
-                        diff = int(blk[0]) - preds[c]
-                        preds[c] = int(blk[0])
-                        size = _mag_size(diff)
-                        code, ln = dc_codes[size]
-                        bw_.write(code, ln)
-                        if size:
-                            bw_.write(
-                                diff if diff > 0
-                                else diff + (1 << size) - 1,
-                                size,
-                            )
-                        run = 0
-                        last_nz = (
-                            int(np.max(np.nonzero(blk)[0]))
-                            if np.any(blk[1:]) else 0
-                        )
-                        for k in range(1, 64):
-                            val = int(blk[k])
-                            if val == 0:
-                                if k > last_nz:
-                                    code, ln = ac_codes[0x00]  # EOB
-                                    bw_.write(code, ln)
-                                    break
-                                run += 1
-                                continue
-                            while run >= 16:
-                                code, ln = ac_codes[0xF0]  # ZRL
-                                bw_.write(code, ln)
-                                run -= 16
-                            size = _mag_size(val)
-                            code, ln = ac_codes[(run << 4) | size]
-                            bw_.write(code, ln)
-                            bw_.write(
-                                val if val > 0
-                                else val + (1 << size) - 1,
-                                size,
-                            )
-                            run = 0
-    bw_.flush()
-
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
+    ncomp = len(planes)
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xFFDB, bytes([0x00]) + bytes(int(x) for x in q))  # DQT 0
-    ncomp = len(planes)
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
     for c in range(ncomp):
         h, v = factors[c]
         sof += bytes([c + 1, (h << 4) | v, 0])  # id, sampling, qtable 0
-    out += seg(0xFFC0, sof)  # SOF0 baseline
-    dc_bits = bytes(_DC_BITS)
-    ac_bits = bytes(_AC_BITS)
-    out += seg(0xFFC4, bytes([0x00]) + dc_bits + bytes(_DC_VALS))
-    out += seg(0xFFC4, bytes([0x10]) + ac_bits + bytes(_AC_VALS))
-    sos = bytes([ncomp])
-    for c in range(ncomp):
-        sos += bytes([c + 1, 0x00])  # dc table 0 / ac table 0
-    sos += b"\x00\x3f\x00"
-    out += seg(0xFFDA, sos)
-    out += bw_.out
+    out += seg(0xFFC0 if not progressive else 0xFFC2, sof)
+    out += seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    if progressive:
+        ac_codes = _canonical_codes(_AC_BITS_PROG, _AC_VALS_PROG)
+        out += seg(
+            0xFFC4,
+            bytes([0x10]) + bytes(_AC_BITS_PROG) + bytes(_AC_VALS_PROG),
+        )
+    else:
+        out += seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+
+    def sos_seg(scomps: list[int], ss: int, se: int, ah: int, al: int,
+                data: bytes) -> bytes:
+        payload = bytes([len(scomps)])
+        for c in scomps:
+            payload += bytes([c + 1, 0x00])
+        payload += bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, payload) + data
+
+    # per-component NON-PADDED block grid (the traversal of every
+    # non-interleaved scan): ceil(comp dims / 8); the interleaved MCU
+    # grid may be larger by padding blocks
+    nb = []
+    for h, v in factors:
+        cw = -(-(width * h) // hmax)
+        ch = -(-(height * v) // vmax)
+        nb.append((-(-ch // 8), -(-cw // 8)))
+
+    if not progressive:
+        bw_ = _BitWriter()
+        preds = [0] * ncomp
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c, zz in enumerate(comp_coefs):
+                    h, v = factors[c]
+                    for by in range(v):
+                        for bx in range(h):
+                            blk = zz[
+                                (my * v + by) * comp_bw[c] + (mx * h + bx)
+                            ]
+                            diff = int(blk[0]) - preds[c]
+                            preds[c] = int(blk[0])
+                            size = _mag_size(diff)
+                            code, ln = dc_codes[size]
+                            bw_.write(code, ln)
+                            if size:
+                                bw_.write(
+                                    diff if diff > 0
+                                    else diff + (1 << size) - 1,
+                                    size,
+                                )
+                            run = 0
+                            last_nz = (
+                                int(np.max(np.nonzero(blk)[0]))
+                                if np.any(blk[1:]) else 0
+                            )
+                            for k in range(1, 64):
+                                val = int(blk[k])
+                                if val == 0:
+                                    if k > last_nz:
+                                        code, ln = ac_codes[0x00]  # EOB
+                                        bw_.write(code, ln)
+                                        break
+                                    run += 1
+                                    continue
+                                while run >= 16:
+                                    code, ln = ac_codes[0xF0]  # ZRL
+                                    bw_.write(code, ln)
+                                    run -= 16
+                                size = _mag_size(val)
+                                code, ln = ac_codes[(run << 4) | size]
+                                bw_.write(code, ln)
+                                bw_.write(
+                                    val if val > 0
+                                    else val + (1 << size) - 1,
+                                    size,
+                                )
+                                run = 0
+        bw_.flush()
+        out += sos_seg(list(range(ncomp)), 0, 63, 0, 0, bytes(bw_.out))
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    # progressive scan script (exercises every decoder branch):
+    # DC first (Al=1, interleaved) -> AC first per comp (Al=1, EOB
+    # runs) -> DC refine -> AC refine per comp (correction bits)
+    def dc_traverse(fn) -> None:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c in range(ncomp):
+                    h, v = factors[c]
+                    for by in range(v):
+                        for bx in range(h):
+                            fn(c, (my * v + by) * comp_bw[c]
+                               + (mx * h + bx))
+
+    bw_ = _BitWriter()
+    preds = [0] * ncomp
+
+    def _dc_first(c: int, idx: int) -> None:
+        dc = int(comp_coefs[c][idx][0]) >> 1  # Al=1, arithmetic shift
+        diff = dc - preds[c]
+        preds[c] = dc
+        size = _mag_size(diff)
+        code, ln = dc_codes[size]
+        bw_.write(code, ln)
+        if size:
+            bw_.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+
+    dc_traverse(_dc_first)
+    bw_.flush()
+    out += sos_seg(list(range(ncomp)), 0, 0, 0, 1, bytes(bw_.out))
+
+    for c in range(ncomp):  # AC first, one comp per scan (spec rule)
+        bw_ = _BitWriter()
+        eob = _EobRun(bw_, ac_codes)
+        nby, nbx = nb[c]
+        for by in range(nby):
+            for bx in range(nbx):
+                band = comp_coefs[c][by * comp_bw[c] + bx][1:]
+                _enc_ac_first(bw_, ac_codes, eob, band, 1)
+        eob.flush()
+        bw_.flush()
+        out += sos_seg([c], 1, 63, 0, 1, bytes(bw_.out))
+
+    bw_ = _BitWriter()
+    dc_traverse(
+        lambda c, idx: bw_.write(int(comp_coefs[c][idx][0]) & 1, 1)
+    )
+    bw_.flush()
+    out += sos_seg(list(range(ncomp)), 0, 0, 1, 0, bytes(bw_.out))
+
+    for c in range(ncomp):  # AC refine
+        bw_ = _BitWriter()
+        eob = _EobRun(bw_, ac_codes)
+        nby, nbx = nb[c]
+        for by in range(nby):
+            for bx in range(nbx):
+                band = comp_coefs[c][by * comp_bw[c] + bx][1:]
+                _enc_ac_refine(bw_, ac_codes, eob, band, 0)
+        eob.flush()
+        bw_.flush()
+        out += sos_seg([c], 1, 63, 1, 0, bytes(bw_.out))
+
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
+def _read_symbol(reader: _BitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln <= 16:
+        code = (code << 1) | reader.read_bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code in JPEG stream")
+
+
+def _entropy_end(blob: bytes, pos: int) -> int:
+    """First byte position after ``pos`` holding a real marker: inside
+    entropy data every 0xFF is stuffed (FF 00), so the first FF
+    followed by non-00 terminates the scan. Anchoring on len(blob)
+    instead would break on multi-scan (progressive) streams and on
+    real-world files with trailing bytes after EOI."""
+    p = pos
+    while True:
+        i = blob.find(b"\xff", p)
+        if i < 0 or i + 1 >= len(blob):
+            return len(blob)
+        if blob[i + 1] == 0x00:
+            p = i + 2
+            continue
+        return i
+
+
 def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
-    """Baseline JFIF reader; see module docstring for scope. Returns
-    (width, height, channels, pixel bytes) like decode_png."""
+    """Baseline + progressive JFIF reader; see module docstring for
+    scope. Returns (width, height, channels, pixel bytes) like
+    decode_png. Scans decode into per-component coefficient state
+    (T.81 spectral selection + successive approximation, EOB runs);
+    dequantization + IDCT run once at EOI over all blocks."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG byte stream")
     pos = 2
@@ -362,9 +598,14 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     comps: list[tuple[int, int, int, int]] = []  # id, h, v, tq
     width = height = 0
-    scan: bytes | None = None
-    scan_tables: dict[int, tuple[int, int]] = {}
-    while pos + 4 <= len(blob):
+    progressive = False
+    coef: list[np.ndarray] | None = None
+    grids: list[tuple[int, int]] = []  # per comp: padded (rows, cols)
+    nb: list[tuple[int, int]] = []  # per comp: non-padded (rows, cols)
+    hmax = vmax = mcux = mcuy = 0
+    got_scan = False
+
+    while pos + 2 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
         marker = struct.unpack(">H", blob[pos:pos + 2])[0]
@@ -397,7 +638,8 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                     (ln, code): sym for sym, (code, ln) in codes.items()
                 }
                 p += 17 + nvals
-        elif marker == 0xFFC0:  # SOF0 baseline
+        elif marker in (0xFFC0, 0xFFC2):  # SOF0 baseline / SOF2 prog
+            progressive = marker == 0xFFC2
             _prec, height, width, ncomp = struct.unpack(
                 ">BHHB", payload[:6]
             )
@@ -411,10 +653,23 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                         "grayscale / 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0)"
                     )
                 comps.append((cid, h, v, tq))
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC9, 0xFFCA, 0xFFCB):
+            hmax = max(h for _, h, _v, _ in comps)
+            vmax = max(v for _, _h, v, _ in comps)
+            mcux = -(-width // (8 * hmax))
+            mcuy = -(-height // (8 * vmax))
+            coef = []
+            for _, h, v, _ in comps:
+                rows, cols = mcuy * v, mcux * h
+                grids.append((rows, cols))
+                cw = -(-(width * h) // hmax)
+                ch = -(-(height * v) // vmax)
+                nb.append((-(-ch // 8), -(-cw // 8)))
+                coef.append(np.zeros((rows * cols, 64), dtype=np.int64))
+        elif marker in (0xFFC1, 0xFFC3, 0xFFC9, 0xFFCA, 0xFFCB):
             raise NotImplementedError(
-                "only baseline sequential (SOF0) JPEG decodes without "
-                "pillow (progressive/arithmetic streams need it)"
+                "only baseline (SOF0) and progressive huffman (SOF2) "
+                "JPEG decode without pillow (extended/lossless/"
+                "arithmetic streams need it)"
             )
         elif marker == 0xFFDD:  # DRI
             if struct.unpack(">H", payload[:2])[0] != 0:
@@ -422,81 +677,46 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                     "restart-interval JPEG needs pillow"
                 )
         elif marker == 0xFFDA:  # SOS — entropy data follows
+            if coef is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = payload[0]
+            if len(payload) < 4 + 2 * ns:
+                raise ValueError("JPEG SOS header truncated")
+            scomps = []
             for c in range(ns):
                 cid, tabs = payload[1 + 2 * c], payload[2 + 2 * c]
-                scan_tables[cid] = (tabs >> 4, tabs & 0x0F)
-            # entropy-coded data runs to EOI. Byte stuffing guarantees
-            # FF D9 can NEVER occur inside valid entropy data (every
-            # entropy FF is followed by 00 or an RST D0-D7), so the
-            # FIRST FF D9 after SOS is the true EOI — anchoring on
-            # len(blob)-2 instead would break on real-world files with
-            # trailing bytes after EOI (camera padding, appended meta)
-            end = blob.find(b"\xff\xd9", pos)
-            if end < 0:
-                end = len(blob)
-            scan = blob[pos:end]
-            break
-    if scan is None or not comps:
+                scomps.append((cid, tabs >> 4, tabs & 0x0F))
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            end = _entropy_end(blob, pos)
+            _decode_scan(
+                _BitReader(blob[pos:end]), huff, comps, coef, grids,
+                nb, mcux, mcuy, scomps, ss, se, ah, al, progressive,
+            )
+            got_scan = True
+            pos = end
+    if not got_scan or not comps:
         raise ValueError("JPEG missing SOF/SOS")
 
-    reader = _BitReader(scan)
-    hmax = max(h for _, h, _v, _ in comps)
-    vmax = max(v for _, _h, v, _ in comps)
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
-    planes = [
-        np.empty((mcuy * v * 8, mcux * h * 8), dtype=np.float64)
-        for _, h, v, _ in comps
-    ]
-    preds = [0] * len(comps)
-
-    def read_symbol(table: dict[tuple[int, int], int]) -> int:
-        code, ln = 0, 0
-        while ln <= 16:
-            code = (code << 1) | reader.read_bit()
-            ln += 1
-            sym = table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid huffman code in JPEG stream")
-
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci, (cid, h, v, tq) in enumerate(comps):
-                dc_t = huff[(0, scan_tables[cid][0])]
-                ac_t = huff[(1, scan_tables[cid][1])]
-                for iby in range(v):
-                    for ibx in range(h):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = read_symbol(dc_t)
-                        diff = (
-                            _extend(reader.read_bits(size), size)
-                            if size else 0
-                        )
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            sym = read_symbol(ac_t)
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            run, size = sym >> 4, sym & 0x0F
-                            k += run
-                            if k > 63:
-                                raise ValueError(
-                                    "AC coefficient index overflow"
-                                )
-                            zz[k] = _extend(reader.read_bits(size), size)
-                            k += 1
-                        mat = np.zeros(64, dtype=np.float64)
-                        mat[ZIGZAG] = zz * qtables[tq]
-                        blk = _DCT.T @ mat.reshape(8, 8) @ _DCT + 128.0
-                        py, pxx = (my * v + iby) * 8, (mx * h + ibx) * 8
-                        planes[ci][py:py + 8, pxx:pxx + 8] = blk
+    # reconstruct: dequantize + IDCT every block of every component in
+    # one einsum pass, then stitch planes from the block grid
+    planes = []
+    for ci, (_, h, v, tq) in enumerate(comps):
+        rows, cols = grids[ci]
+        mat = np.zeros((rows * cols, 64), dtype=np.float64)
+        mat[:, ZIGZAG] = coef[ci] * qtables[tq][None, :]
+        blocks = (
+            np.einsum(
+                "ki,nkl,lj->nij", _DCT, mat.reshape(-1, 8, 8), _DCT
+            )
+            + 128.0
+        )
+        planes.append(
+            blocks.reshape(rows, cols, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(rows * 8, cols * 8)
+        )
 
     # upsample subsampled components by replication (the nearest-
     # neighbor decoder lane; pairs with encode's box-average), then
@@ -514,3 +734,178 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
         px = _ycbcr_to_rgb(np.stack(cropped, axis=-1))
     out = np.clip(np.round(px), 0, 255).astype(np.uint8)
     return width, height, len(cropped), out.tobytes()
+
+
+def _decode_scan(
+    reader: _BitReader,
+    huff: dict,
+    comps: list,
+    coef: list,
+    grids: list,
+    nb: list,
+    mcux: int,
+    mcuy: int,
+    scomps: list,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    progressive: bool,
+) -> None:
+    """Decode ONE entropy-coded scan into the coefficient state."""
+    comp_ix = {cid: i for i, (cid, _h, _v, _t) in enumerate(comps)}
+    preds = {cid: 0 for cid, _d, _a in scomps}
+
+    def mcu_traverse(fn) -> None:
+        # interleaved order: per MCU, each scan component contributes
+        # its h*v blocks (raster within the MCU)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for cid, dct, act in scomps:
+                    ci = comp_ix[cid]
+                    _, h, v, _ = comps[ci]
+                    _, cols = grids[ci]
+                    for iby in range(v):
+                        for ibx in range(h):
+                            idx = (my * v + iby) * cols + (mx * h + ibx)
+                            fn(ci, cid, dct, act, idx)
+
+    if not progressive:
+        if len(scomps) != len(comps):
+            raise NotImplementedError(
+                "non-interleaved multi-scan baseline JPEG needs pillow"
+            )
+
+        # baseline: one interleaved scan, full blocks
+        def _block(ci, cid, dct, act, idx):
+            dc_t = huff[(0, dct)]
+            ac_t = huff[(1, act)]
+            zz = coef[ci][idx]
+            size = _read_symbol(reader, dc_t)
+            diff = _extend(reader.read_bits(size), size) if size else 0
+            preds[cid] += diff
+            zz[0] = preds[cid]
+            k = 1
+            while k < 64:
+                sym = _read_symbol(reader, ac_t)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                k += run
+                if k > 63:
+                    raise ValueError("AC coefficient index overflow")
+                zz[k] = _extend(reader.read_bits(size), size)
+                k += 1
+
+        mcu_traverse(_block)
+        return
+
+    if ss == 0:  # DC scan (first or refinement); Se must be 0
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+
+        if ah == 0:
+            def _dc(ci, cid, dct, _act, idx):
+                size = _read_symbol(reader, huff[(0, dct)])
+                diff = (
+                    _extend(reader.read_bits(size), size) if size else 0
+                )
+                preds[cid] += diff
+                coef[ci][idx][0] = preds[cid] << al
+        else:
+            def _dc(ci, _cid, _dct, _act, idx):
+                if reader.read_bit():
+                    coef[ci][idx][0] |= 1 << al
+
+        if len(scomps) > 1:
+            mcu_traverse(_dc)
+        else:
+            cid, dct, act = scomps[0]
+            ci = comp_ix[cid]
+            nby, nbx = nb[ci]
+            _, cols = grids[ci]
+            for by in range(nby):
+                for bx in range(nbx):
+                    _dc(ci, cid, dct, act, by * cols + bx)
+        return
+
+    # AC scan: always single-component (T.81 rule)
+    if len(scomps) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    cid, _dct, act = scomps[0]
+    ci = comp_ix[cid]
+    ac_t = huff[(1, act)]
+    nby, nbx = nb[ci]
+    _, cols = grids[ci]
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = coef[ci][by * cols + bx]
+            if ah == 0:  # AC first scan
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = _read_symbol(reader, ac_t)
+                    r, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError(
+                            "AC coefficient index overflow"
+                        )
+                    zz[k] = _extend(reader.read_bits(s), s) << al
+                    k += 1
+                continue
+            # AC refinement scan (jdphuff-style correction pass)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = _read_symbol(reader, ac_t)
+                    r, s = sym >> 4, sym & 0x0F
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break  # remaining band handled below
+                        # r == 15: skip 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "refinement scan coded size != 1"
+                            )
+                        newval = p1 if reader.read_bit() else m1
+                    while k <= se:
+                        if zz[k] != 0:
+                            if reader.read_bit() and not zz[k] & p1:
+                                zz[k] += p1 if zz[k] >= 0 else m1
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if newval:
+                        zz[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if zz[k] != 0:
+                        if reader.read_bit() and not zz[k] & p1:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1

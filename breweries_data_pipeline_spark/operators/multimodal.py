@@ -197,7 +197,7 @@ def decode_real_image(blob: bytes) -> tuple[int, int, int, bytes]:
     so both real-codec branches execute (and are tested,
     tests/test_multimodal.py) even in containers without pillow.
     Raises NotImplementedError only for formats neither fallback
-    covers (WebP/TIFF/...; progressive JPEG) in a
+    covers (WebP/TIFF/...; arithmetic-coded JPEG) in a
     PIL-less runtime."""
     try:
         import PIL.Image

@@ -120,19 +120,21 @@ def test_jpeg_decodes_through_real_codec_everywhere():
 
 def test_jpeg_decoder_scope_guards():
     """The stdlib JPEG decoder's documented limits raise loudly, never
-    decode silently wrong: progressive SOF2 streams and truncated
+    decode silently wrong: arithmetic-coded streams and truncated
     entropy data are rejected; non-PNG/JPEG magic still raises the
-    NotImplementedError pillow pointer when PIL is absent."""
+    NotImplementedError pillow pointer when PIL is absent.
+    (Progressive SOF2 decodes for real since round 10 — covered by
+    test_jpeg_progressive_roundtrip below.)"""
     from breweries_data_pipeline_spark.operators.jpeg_codec import (
         decode_jpeg,
         encode_jpeg,
     )
 
     blob = encode_jpeg(9, 9, 1, bytes(81))
-    # flip SOF0 -> SOF2 (progressive): marker byte 0xC0 -> 0xC2
+    # flip SOF0 -> SOF9 (arithmetic sequential): still guarded
     sof = blob.index(b"\xff\xc0")
     with pytest.raises(NotImplementedError):
-        decode_jpeg(blob[:sof] + b"\xff\xc2" + blob[sof + 2:])
+        decode_jpeg(blob[:sof] + b"\xff\xc9" + blob[sof + 2:])
     with pytest.raises(ValueError):
         decode_jpeg(blob[:-12])  # truncated entropy stream
     try:
@@ -371,3 +373,58 @@ def test_jpeg_sampling_factor_guard():
     blob[sof + 4 + 7] = 0x41  # h=4, v=1
     with _pytest.raises(NotImplementedError, match="sampling factors"):
         decode_jpeg(bytes(blob))
+
+
+def test_jpeg_progressive_roundtrip():
+    """Round 10: progressive (SOF2) decode is real — spectral
+    selection, successive approximation (DC+AC first/refine scans),
+    EOB runs, ZRL-in-refinement, correction bits. The invariant is
+    strong: the progressive writer codes the SAME quantized
+    coefficients as the baseline writer through a completely
+    different entropy path, so progressive decode must equal baseline
+    decode BYTE-FOR-BYTE on every image — any slip in either the
+    refinement encoder or decoder breaks the equality."""
+    import numpy as np
+
+    from breweries_data_pipeline_spark.operators.jpeg_codec import (
+        Q_FLAT,
+        Q_STD,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        # (w, h, ch, sampling, qtable) — shapes chosen to hit long EOB
+        # runs (flat), dense coefficients (flat table + noise), intra-
+        # block zero runs > 16 (sparse spikes), and subsampled color
+        (10, 12, 1, "4:4:4", Q_FLAT),
+        (96, 64, 1, "4:4:4", Q_FLAT),
+        (40, 40, 1, "4:4:4", Q_STD),
+        (45, 37, 3, "4:2:0", Q_STD),
+        (33, 17, 3, "4:2:2", Q_STD),
+        (64, 48, 3, "4:4:0", Q_STD),
+        (1, 1, 1, "4:4:4", Q_STD),
+    ]
+    for w, h, c, samp, qt in cases:
+        px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8).tobytes()
+        prog = encode_jpeg(
+            w, h, c, px, sampling=samp, qtable=qt, progressive=True
+        )
+        base = encode_jpeg(w, h, c, px, sampling=samp, qtable=qt)
+        assert decode_jpeg(prog) == decode_jpeg(base), (w, h, c, samp)
+
+    # flat grayscale stays bit-exact through the progressive path too
+    flat = bytes([77]) * (12 * 10)
+    ww, hh, cc, out = decode_jpeg(
+        encode_jpeg(10, 12, 1, flat, qtable=Q_FLAT, progressive=True)
+    )
+    assert (ww, hh, cc, out) == (10, 12, 1, flat)
+
+    # long cross-block EOB runs: big flat field with one busy block
+    img = np.full((240, 320), 128, dtype=np.uint8)
+    img[100:108, 100:108] = 255
+    prog = encode_jpeg(320, 240, 1, img.tobytes(), progressive=True)
+    assert decode_jpeg(prog) == decode_jpeg(
+        encode_jpeg(320, 240, 1, img.tobytes())
+    )

@@ -336,7 +336,11 @@ def png_media_from_ids(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _spread(ids_df.select(id_col)).mapInPandas(gen, MEDIA_SCHEMA)
 
 
-def jpeg_media_from_ids(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def jpeg_media_from_ids(
+    ids_df: DataFrame,
+    id_col: str = "doc_id",
+    progressive: bool = False,
+) -> DataFrame:
     """Materialize a table of REAL baseline-JPEG blobs (media_id,
     kind, blob) from an id column — the JPEG twin of
     :func:`png_media_from_ids`, through operators.jpeg_codec. The
@@ -344,7 +348,10 @@ def jpeg_media_from_ids(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     quantization table round-trip exactly (DC-only blocks, integer
     DC, zero ACs — see the codec docstring), so dimensions AND pixel
     sums stay closed-form oracle-checkable while the bytes crossing
-    the Arrow boundary are genuine entropy-coded JFIF streams."""
+    the Arrow boundary are genuine entropy-coded JFIF streams.
+    ``progressive=True`` emits SOF2 multi-scan streams instead —
+    the flat lane is lossless through that path too (progressive and
+    baseline code identical quantized coefficients)."""
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -357,7 +364,8 @@ def jpeg_media_from_ids(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         def jpeg_for(i: int) -> bytes:
             w, h = 8 + i % 9, 8 + i % 7
             return encode_jpeg(
-                w, h, 1, bytes([i % 251]) * (w * h), qtable=Q_FLAT
+                w, h, 1, bytes([i % 251]) * (w * h), qtable=Q_FLAT,
+                progressive=progressive,
             )
 
         for pdf in batches:

@@ -14772,6 +14772,38 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_pixels(jpeg_media_from_ids(docs))
 
 
+@register(
+    "q_jpeg_decode_prog",
+    """
+    SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 9 AS BIGINT) AS width,
+           CAST(8 + doc_id % 7 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS channels,
+           CAST((8 + doc_id % 9) * (8 + doc_id % 7) * (doc_id % 251)
+                AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+)
+def q_jpeg_decode_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_jpeg_decode's PROGRESSIVE twin (round 10): the blobs are
+    genuine multi-scan SOF2 streams (DC first/refine + per-component
+    AC first/refine, successive approximation, EOB runs) and the
+    decoder walks the full T.81 G.2 scan algebra — the common
+    web-thumbnail encoding, previously a PIL-gated guard. The oracle
+    stays the SAME closed form as the baseline twin because
+    progressive and baseline encode identical quantized coefficients;
+    on the flat-grayscale all-ones-DQT lane both round-trip the exact
+    pixels (tests/test_multimodal.py pins the byte-for-byte decode
+    equality). Same zero-shuffle Arrow plan as q_jpeg_decode."""
+    from breweries_data_pipeline_spark.operators.multimodal import (
+        decode_media_pixels,
+        jpeg_media_from_ids,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return decode_media_pixels(jpeg_media_from_ids(docs, progressive=True))
+
+
 # shared CTE chain for the bitext miner and its audit twin: cells ->
 # candidates -> integer-micro cosines -> neighborhood averages ->
 # margin -> best pair per x (see q_bitext_mine for the discipline)

@@ -10,11 +10,12 @@ Scope (the shapes a data pipeline's thumbnails and fixtures use):
   the full T.81 G.2 scan algebra), 8-bit, grayscale or YCbCr with
   sampling factors up to 2 — 4:4:4, 4:2:2, 4:4:0, and 4:2:0 (the
   common real-thumbnail shapes; chroma upsampled by replication),
-  huffman tables read from the blob's own DHT segments (the honest
-  spec path — nothing assumes the encoder below). Arithmetic-coded,
-  lossless, restart-interval, and factor>2 (4:1:1-style) streams
-  raise NotImplementedError with the pillow pointer, mirroring
-  decode_png's depth/interlace guard.
+  restart intervals (DRI/RSTm re-sync + predictor/EOB-run reset),
+  8- and 16-bit quantization tables, huffman tables read from the
+  blob's own DHT segments (the honest spec path — nothing assumes
+  the encoder below). Arithmetic-coded, lossless, and factor>2
+  (4:1:1-style) streams raise NotImplementedError with the pillow
+  pointer, mirroring decode_png's depth/interlace guard.
 - **encode**: the matching writer (SOI/APP0/DQT/SOF0/DHT/SOS/EOI,
   canonical huffman, edge-replicated block padding, byte stuffing,
   box-averaged chroma downsampling for the subsampled modes), plus a
@@ -226,12 +227,49 @@ def _downsample(plane: np.ndarray, fx: int, fy: int) -> np.ndarray:
     return p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
 
 
+class _EntropyStream:
+    """Entropy-byte accumulator with optional restart markers: call
+    ``before_unit()`` at the start of every restart unit (an MCU in
+    interleaved scans, a block in non-interleaved ones) — every
+    ``ri`` units it runs ``on_restart`` (flush EOB runs / reset DC
+    predictors), byte-aligns, and emits RSTm (m cycling 0-7). With
+    ri=0 it degenerates to a plain _BitWriter, byte-identical to the
+    restart-free writer."""
+
+    def __init__(self, ri: int, on_restart=None) -> None:
+        self.ri = ri
+        self.on_restart = on_restart or (lambda: None)
+        self.outb = bytearray()
+        self.bw = _BitWriter()
+        self.n = 0
+        self.m = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.bw.write(code, length)
+
+    def before_unit(self) -> None:
+        if self.ri and self.n and self.n % self.ri == 0:
+            self.on_restart()
+            self.bw.flush()
+            self.outb += self.bw.out
+            self.outb += bytes([0xFF, 0xD0 + self.m])
+            self.m = (self.m + 1) & 7
+            self.bw = _BitWriter()
+        self.n += 1
+
+    def finish(self) -> bytes:
+        self.bw.flush()
+        self.outb += self.bw.out
+        return bytes(self.outb)
+
+
 class _EobRun:
     """Progressive EOB-run accumulator: counts blocks whose remaining
     band is all-zero and (in refinement scans) buffers the correction
-    bits the decoder reads while walking those blocks."""
+    bits the decoder reads while walking those blocks. ``bw`` may be
+    a _BitWriter or an _EntropyStream (both expose write)."""
 
-    def __init__(self, bw: _BitWriter, ac_codes: dict) -> None:
+    def __init__(self, bw, ac_codes: dict) -> None:
         self.bw = bw
         self.ac = ac_codes
         self.n = 0
@@ -337,6 +375,7 @@ def encode_jpeg(
     qtable: np.ndarray | None = None,
     sampling: str = "4:4:4",
     progressive: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline JFIF writer: grayscale (1) or RGB (3, written as
     YCbCr). ``qtable`` is the zigzag-ordered 64-entry quantization
@@ -345,7 +384,11 @@ def encode_jpeg(
     for 3-channel images: 4:4:4 (default — one block per component
     per MCU, byte-identical to the pre-sampling writer), 4:2:2,
     4:4:0, or 4:2:0 (2x2 box-averaged chroma, the common
-    real-thumbnail shape)."""
+    real-thumbnail shape). ``restart_interval`` > 0 writes a DRI
+    segment and RSTm markers every that many restart units (MCUs in
+    interleaved scans, blocks in non-interleaved progressive AC
+    scans), resetting DC predictors / EOB runs at each — the
+    error-resilience layout camera firmware commonly emits."""
     if channels not in (1, 3):
         raise ValueError("encode_jpeg writes 1- or 3-channel images")
     if sampling not in _SAMPLING:
@@ -419,6 +462,9 @@ def encode_jpeg(
         )
     else:
         out += seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    ri = int(restart_interval)
+    if ri:
+        out += seg(0xFFDD, struct.pack(">H", ri))
 
     def sos_seg(scomps: list[int], ss: int, se: int, ah: int, al: int,
                 data: bytes) -> bytes:
@@ -438,10 +484,15 @@ def encode_jpeg(
         nb.append((-(-ch // 8), -(-cw // 8)))
 
     if not progressive:
-        bw_ = _BitWriter()
         preds = [0] * ncomp
+
+        def _reset_preds() -> None:
+            preds[:] = [0] * ncomp
+
+        bw_ = _EntropyStream(ri, _reset_preds)
         for my in range(mcuy):
             for mx in range(mcux):
+                bw_.before_unit()
                 for c, zz in enumerate(comp_coefs):
                     h, v = factors[c]
                     for by in range(v):
@@ -487,17 +538,20 @@ def encode_jpeg(
                                     size,
                                 )
                                 run = 0
-        bw_.flush()
-        out += sos_seg(list(range(ncomp)), 0, 63, 0, 0, bytes(bw_.out))
+        out += sos_seg(list(range(ncomp)), 0, 63, 0, 0, bw_.finish())
         out += b"\xff\xd9"  # EOI
         return bytes(out)
 
     # progressive scan script (exercises every decoder branch):
     # DC first (Al=1, interleaved) -> AC first per comp (Al=1, EOB
-    # runs) -> DC refine -> AC refine per comp (correction bits)
-    def dc_traverse(fn) -> None:
+    # runs) -> DC refine -> AC refine per comp (correction bits).
+    # Restart units: MCU for the interleaved DC scans, block for the
+    # non-interleaved AC scans (per T.81 an MCU of a one-component
+    # scan IS one block).
+    def dc_traverse(es: _EntropyStream, fn) -> None:
         for my in range(mcuy):
             for mx in range(mcux):
+                es.before_unit()
                 for c in range(ncomp):
                     h, v = factors[c]
                     for by in range(v):
@@ -505,8 +559,12 @@ def encode_jpeg(
                             fn(c, (my * v + by) * comp_bw[c]
                                + (mx * h + bx))
 
-    bw_ = _BitWriter()
     preds = [0] * ncomp
+
+    def _reset_dc() -> None:
+        preds[:] = [0] * ncomp
+
+    bw_ = _EntropyStream(ri, _reset_dc)
 
     def _dc_first(c: int, idx: int) -> None:
         dc = int(comp_coefs[c][idx][0]) >> 1  # Al=1, arithmetic shift
@@ -518,40 +576,41 @@ def encode_jpeg(
         if size:
             bw_.write(diff if diff > 0 else diff + (1 << size) - 1, size)
 
-    dc_traverse(_dc_first)
-    bw_.flush()
-    out += sos_seg(list(range(ncomp)), 0, 0, 0, 1, bytes(bw_.out))
+    dc_traverse(bw_, _dc_first)
+    out += sos_seg(list(range(ncomp)), 0, 0, 0, 1, bw_.finish())
 
     for c in range(ncomp):  # AC first, one comp per scan (spec rule)
-        bw_ = _BitWriter()
+        bw_ = _EntropyStream(ri)
         eob = _EobRun(bw_, ac_codes)
+        bw_.on_restart = eob.flush  # pending EOB run closes a segment
         nby, nbx = nb[c]
         for by in range(nby):
             for bx in range(nbx):
+                bw_.before_unit()
                 band = comp_coefs[c][by * comp_bw[c] + bx][1:]
                 _enc_ac_first(bw_, ac_codes, eob, band, 1)
         eob.flush()
-        bw_.flush()
-        out += sos_seg([c], 1, 63, 0, 1, bytes(bw_.out))
+        out += sos_seg([c], 1, 63, 0, 1, bw_.finish())
 
-    bw_ = _BitWriter()
+    bw_ = _EntropyStream(ri)
     dc_traverse(
-        lambda c, idx: bw_.write(int(comp_coefs[c][idx][0]) & 1, 1)
+        bw_,
+        lambda c, idx: bw_.write(int(comp_coefs[c][idx][0]) & 1, 1),
     )
-    bw_.flush()
-    out += sos_seg(list(range(ncomp)), 0, 0, 1, 0, bytes(bw_.out))
+    out += sos_seg(list(range(ncomp)), 0, 0, 1, 0, bw_.finish())
 
     for c in range(ncomp):  # AC refine
-        bw_ = _BitWriter()
+        bw_ = _EntropyStream(ri)
         eob = _EobRun(bw_, ac_codes)
+        bw_.on_restart = eob.flush
         nby, nbx = nb[c]
         for by in range(nby):
             for bx in range(nbx):
+                bw_.before_unit()
                 band = comp_coefs[c][by * comp_bw[c] + bx][1:]
                 _enc_ac_refine(bw_, ac_codes, eob, band, 0)
         eob.flush()
-        bw_.flush()
-        out += sos_seg([c], 1, 63, 1, 0, bytes(bw_.out))
+        out += sos_seg([c], 1, 63, 1, 0, bw_.finish())
 
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -570,19 +629,41 @@ def _read_symbol(reader: _BitReader, table: dict) -> int:
 
 def _entropy_end(blob: bytes, pos: int) -> int:
     """First byte position after ``pos`` holding a real marker: inside
-    entropy data every 0xFF is stuffed (FF 00), so the first FF
-    followed by non-00 terminates the scan. Anchoring on len(blob)
-    instead would break on multi-scan (progressive) streams and on
-    real-world files with trailing bytes after EOI."""
+    entropy data every 0xFF is stuffed (FF 00) or starts an RSTm
+    restart marker (FF D0-D7, part of the scan), so the first FF
+    followed by anything else terminates the scan. Anchoring on
+    len(blob) instead would break on multi-scan (progressive) streams
+    and on real-world files with trailing bytes after EOI."""
     p = pos
     while True:
         i = blob.find(b"\xff", p)
         if i < 0 or i + 1 >= len(blob):
             return len(blob)
-        if blob[i + 1] == 0x00:
+        nxt = blob[i + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
             p = i + 2
             continue
         return i
+
+
+def _split_rst(data: bytes) -> list[bytes]:
+    """Split one scan's entropy bytes at its RSTm markers (byte-
+    aligned by construction; every in-data FF is stuffed, so FF D0-D7
+    is always a real restart)."""
+    segs: list[bytes] = []
+    start = p = 0
+    while True:
+        i = data.find(b"\xff", p)
+        if i < 0 or i + 1 >= len(data):
+            break
+        nxt = data[i + 1]
+        if 0xD0 <= nxt <= 0xD7:
+            segs.append(data[start:i])
+            start = p = i + 2
+        else:
+            p = i + 2
+    segs.append(data[start:])
+    return segs
 
 
 def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
@@ -603,6 +684,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
     grids: list[tuple[int, int]] = []  # per comp: padded (rows, cols)
     nb: list[tuple[int, int]] = []  # per comp: non-padded (rows, cols)
     hmax = vmax = mcux = mcuy = 0
+    restart_ri = 0
     got_scan = False
 
     while pos + 2 <= len(blob):
@@ -618,14 +700,18 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
             p = 0
             while p < len(payload):
                 pq, tq = payload[p] >> 4, payload[p] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError(
-                        "16-bit quantization tables need pillow"
-                    )
-                qtables[tq] = np.frombuffer(
-                    payload[p + 1:p + 65], dtype=np.uint8
-                ).astype(np.int64)
-                p += 65
+                if pq == 0:  # 8-bit entries
+                    qtables[tq] = np.frombuffer(
+                        payload[p + 1:p + 65], dtype=np.uint8
+                    ).astype(np.int64)
+                    p += 65
+                elif pq == 1:  # 16-bit entries (high-quality tables)
+                    qtables[tq] = np.frombuffer(
+                        payload[p + 1:p + 129], dtype=">u2"
+                    ).astype(np.int64)
+                    p += 129
+                else:
+                    raise ValueError(f"invalid DQT precision {pq}")
         elif marker == 0xFFC4:  # DHT (possibly several tables)
             p = 0
             while p < len(payload):
@@ -671,11 +757,8 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                 "JPEG decode without pillow (extended/lossless/"
                 "arithmetic streams need it)"
             )
-        elif marker == 0xFFDD:  # DRI
-            if struct.unpack(">H", payload[:2])[0] != 0:
-                raise NotImplementedError(
-                    "restart-interval JPEG needs pillow"
-                )
+        elif marker == 0xFFDD:  # DRI: restart interval in MCUs
+            restart_ri = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xFFDA:  # SOS — entropy data follows
             if coef is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -691,8 +774,9 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
             ah, al = ahal >> 4, ahal & 0x0F
             end = _entropy_end(blob, pos)
             _decode_scan(
-                _BitReader(blob[pos:end]), huff, comps, coef, grids,
+                blob[pos:end], huff, comps, coef, grids,
                 nb, mcux, mcuy, scomps, ss, se, ah, al, progressive,
+                restart_ri,
             )
             got_scan = True
             pos = end
@@ -737,7 +821,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
 
 
 def _decode_scan(
-    reader: _BitReader,
+    data: bytes,
     huff: dict,
     comps: list,
     coef: list,
@@ -751,16 +835,39 @@ def _decode_scan(
     ah: int,
     al: int,
     progressive: bool,
+    ri: int = 0,
 ) -> None:
-    """Decode ONE entropy-coded scan into the coefficient state."""
+    """Decode ONE entropy-coded scan into the coefficient state. With
+    ``ri`` > 0 (from DRI) the scan is split at its RSTm markers; at
+    each restart the bit reader re-aligns on the next segment and DC
+    predictors / EOB runs reset."""
     comp_ix = {cid: i for i, (cid, _h, _v, _t) in enumerate(comps)}
     preds = {cid: 0 for cid, _d, _a in scomps}
+    segs = _split_rst(data) if ri else [data]
+    seg_ix = 0
+    reader = _BitReader(segs[0])
+    units = 0
+    eobrun = 0
+
+    def unit_boundary() -> None:
+        # call at the START of each restart unit (MCU in interleaved
+        # scans, block in non-interleaved ones)
+        nonlocal seg_ix, reader, units, eobrun
+        if ri and units and units % ri == 0:
+            seg_ix += 1
+            if seg_ix < len(segs):
+                reader = _BitReader(segs[seg_ix])
+            for cid in preds:
+                preds[cid] = 0
+            eobrun = 0
+        units += 1
 
     def mcu_traverse(fn) -> None:
         # interleaved order: per MCU, each scan component contributes
         # its h*v blocks (raster within the MCU)
         for my in range(mcuy):
             for mx in range(mcux):
+                unit_boundary()
                 for cid, dct, act in scomps:
                     ci = comp_ix[cid]
                     _, h, v, _ = comps[ci]
@@ -829,6 +936,7 @@ def _decode_scan(
             _, cols = grids[ci]
             for by in range(nby):
                 for bx in range(nbx):
+                    unit_boundary()
                     _dc(ci, cid, dct, act, by * cols + bx)
         return
 
@@ -845,6 +953,7 @@ def _decode_scan(
 
     for by in range(nby):
         for bx in range(nbx):
+            unit_boundary()  # non-interleaved: one block per unit
             zz = coef[ci][by * cols + bx]
             if ah == 0:  # AC first scan
                 if eobrun > 0:

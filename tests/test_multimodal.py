@@ -428,3 +428,58 @@ def test_jpeg_progressive_roundtrip():
     assert decode_jpeg(prog) == decode_jpeg(
         encode_jpeg(320, 240, 1, img.tobytes())
     )
+
+
+def test_jpeg_restart_intervals_and_16bit_dqt():
+    """Round 10 codec breadth, part 2: DRI/RSTm restart intervals
+    (baseline AND progressive — segment re-sync, DC-predictor and
+    EOB-run reset at every marker) and 16-bit (pq=1) quantization
+    tables. The restart invariant mirrors the progressive one: a
+    restart-interval stream codes the same quantized coefficients as
+    its restart-free twin, so the decodes must match byte-for-byte."""
+    import struct
+
+    import numpy as np
+
+    from breweries_data_pipeline_spark.operators.jpeg_codec import (
+        Q_FLAT,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(5)
+    for w, h, c, samp, prog, ri in [
+        (64, 48, 1, "4:4:4", False, 2),
+        (21, 18, 3, "4:4:4", False, 1),
+        (45, 37, 3, "4:2:0", False, 3),
+        (64, 48, 1, "4:4:4", True, 2),   # EOB runs cut by restarts
+        (45, 37, 3, "4:2:0", True, 5),
+        (33, 17, 3, "4:2:2", True, 7),
+    ]:
+        px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8).tobytes()
+        with_ri = encode_jpeg(
+            w, h, c, px, sampling=samp, progressive=prog,
+            restart_interval=ri,
+        )
+        without = encode_jpeg(w, h, c, px, sampling=samp, progressive=prog)
+        assert b"\xff\xdd" in with_ri  # DRI segment present
+        assert any(
+            bytes([0xFF, 0xD0 + m]) in with_ri for m in range(8)
+        )  # real RST markers in the entropy stream
+        assert decode_jpeg(with_ri) == decode_jpeg(without), (
+            w, h, c, samp, prog, ri,
+        )
+
+    # 16-bit DQT: rewrite a flat blob's 8-bit table as pq=1 — decode
+    # must be unchanged (and stay bit-exact on the flat lane)
+    flat = bytes([77]) * (16 * 16)
+    blob = encode_jpeg(16, 16, 1, flat, qtable=Q_FLAT)
+    i = blob.index(b"\xff\xdb")
+    (ln,) = struct.unpack(">H", blob[i + 2:i + 4])
+    table8 = blob[i + 5:i + 5 + 64]
+    dqt16 = (
+        b"\xff\xdb" + struct.pack(">H", 2 + 1 + 128) + bytes([0x10])
+        + b"".join(struct.pack(">H", t) for t in table8)
+    )
+    blob16 = blob[:i] + dqt16 + blob[i + 2 + ln:]
+    assert decode_jpeg(blob16) == (16, 16, 1, flat)

@@ -7,14 +7,14 @@ carried.
 Scope (the shapes a data pipeline's thumbnails and fixtures use):
 - **decode**: baseline sequential (SOF0) AND progressive huffman
   (SOF2 — spectral selection, successive approximation, EOB runs,
-  the full T.81 G.2 scan algebra), 8-bit, grayscale or YCbCr with
-  sampling factors up to 2 — 4:4:4, 4:2:2, 4:4:0, and 4:2:0 (the
-  common real-thumbnail shapes; chroma upsampled by replication),
-  restart intervals (DRI/RSTm re-sync + predictor/EOB-run reset),
-  8- and 16-bit quantization tables, huffman tables read from the
-  blob's own DHT segments (the honest spec path — nothing assumes
-  the encoder below). Arithmetic-coded, lossless, and factor>2
-  (4:1:1-style) streams raise NotImplementedError with the pillow
+  the full T.81 G.2 scan algebra), 8-bit samples, grayscale or
+  YCbCr with any divisible sampling-factor layout — 4:4:4, 4:2:2,
+  4:4:0, 4:2:0, 4:1:1 (chroma upsampled by replication), restart
+  intervals (DRI/RSTm re-sync + predictor/EOB-run reset), 8- and
+  16-bit quantization tables, huffman tables read from the blob's
+  own DHT segments (the honest spec path — nothing assumes the
+  encoder below). Arithmetic-coded, lossless, and non-divisible
+  factor combinations raise NotImplementedError with the pillow
   pointer, mirroring decode_png's depth/interlace guard.
 - **encode**: the matching writer (SOI/APP0/DQT/SOF0/DHT/SOS/EOI,
   canonical huffman, edge-replicated block padding, byte stuffing,
@@ -212,6 +212,7 @@ _SAMPLING = {
     "4:2:2": [(2, 1), (1, 1), (1, 1)],
     "4:4:0": [(1, 2), (1, 1), (1, 1)],
     "4:2:0": [(2, 2), (1, 1), (1, 1)],
+    "4:1:1": [(4, 1), (1, 1), (1, 1)],  # DV/camcorder layout
 }
 
 
@@ -732,13 +733,22 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
             for c in range(ncomp):
                 cid, hv, tq = payload[6 + 3 * c:9 + 3 * c]
                 h, v = hv >> 4, hv & 0x0F
-                if h not in (1, 2) or v not in (1, 2):
-                    raise NotImplementedError(
-                        "sampling factors beyond 2 (4:1:1-style "
-                        "JPEG) need pillow (this decoder handles "
-                        "grayscale / 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0)"
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise ValueError(
+                        f"invalid JPEG sampling factors ({h},{v}) — "
+                        "T.81 allows 1-4"
                     )
                 comps.append((cid, h, v, tq))
+            hm = max(h for _, h, _v, _ in comps)
+            vm = max(v for _, _h, v, _ in comps)
+            if any(
+                hm % h or vm % v for _, h, v, _ in comps
+            ):  # e.g. factor-3 beside factor-4: needs fractional
+                # chroma upsampling, which replication can't express
+                raise NotImplementedError(
+                    "non-divisible sampling factor combinations need "
+                    "pillow (this decoder upsamples by replication)"
+                )
             hmax = max(h for _, h, _v, _ in comps)
             vmax = max(v for _, _h, v, _ in comps)
             mcux = -(-width // (8 * hmax))

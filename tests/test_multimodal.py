@@ -358,7 +358,10 @@ def test_jpeg_420_subsampled_roundtrip():
 
 
 def test_jpeg_sampling_factor_guard():
-    """Factors beyond 2 (4:1:1-style) still raise loudly."""
+    """Factor-4 sampling decodes since round 10 (4:1:1 round-trips
+    below); out-of-range factors reject as invalid and non-divisible
+    combinations (which replication upsampling cannot express) raise
+    the documented NotImplementedError."""
     import pytest as _pytest
 
     from breweries_data_pipeline_spark.operators.jpeg_codec import (
@@ -370,9 +373,45 @@ def test_jpeg_sampling_factor_guard():
     sof = blob.find(b"\xff\xc0")
     # component 1's sampling byte sits at SOF payload offset 7
     assert blob[sof + 4 + 7] == 0x22
-    blob[sof + 4 + 7] = 0x41  # h=4, v=1
-    with _pytest.raises(NotImplementedError, match="sampling factors"):
+    blob[sof + 4 + 7] = 0x52  # h=5: out of T.81's 1-4 range
+    with _pytest.raises(ValueError, match="invalid JPEG sampling"):
         decode_jpeg(bytes(blob))
+    blob[sof + 4 + 7] = 0x22  # restore Y
+    # Cb's sampling byte: offset 10; (3,3) beside Y's (2,2) is legal
+    # T.81 but needs fractional upsampling
+    blob[sof + 4 + 10] = 0x33
+    with _pytest.raises(NotImplementedError, match="non-divisible"):
+        decode_jpeg(bytes(blob))
+
+
+def test_jpeg_411_roundtrip():
+    """4:1:1 (factor-4 luma, the DV/camcorder layout): box-average
+    down 4x horizontally, replicate up — same decode-equality
+    contract as the other subsampled modes."""
+    import numpy as np
+
+    from breweries_data_pipeline_spark.operators.jpeg_codec import (
+        Q_FLAT,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(37, 45, 3), dtype=np.uint8).tobytes()
+    base = decode_jpeg(encode_jpeg(45, 37, 3, px, sampling="4:1:1"))
+    assert base[:3] == (45, 37, 3)
+    # progressive and restart-interval twins decode identically
+    for kw in ({"progressive": True}, {"restart_interval": 2},
+               {"progressive": True, "restart_interval": 3}):
+        blob = encode_jpeg(45, 37, 3, px, sampling="4:1:1", **kw)
+        assert decode_jpeg(blob) == base, kw
+    # flat RGB exact through 4:1:1 with the all-ones table
+    flat = np.full((16, 24, 3), (90, 140, 200), dtype=np.uint8)
+    got = decode_jpeg(
+        encode_jpeg(24, 16, 3, flat.tobytes(), sampling="4:1:1",
+                    qtable=Q_FLAT)
+    )
+    assert got == (24, 16, 3, flat.tobytes())
 
 
 def test_jpeg_progressive_roundtrip():

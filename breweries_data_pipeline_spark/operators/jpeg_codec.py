@@ -106,7 +106,11 @@ _AC_BITS_PROG = [
 
 
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """symbol -> (code, bit length), per T.81's canonical generation."""
+    """symbol -> (code, bit length), per T.81's canonical generation.
+    A DHT whose BITS counts exceed its VALS payload is malformed input
+    (ValueError per the module contract), not an engine IndexError."""
+    if sum(bits) > len(vals):
+        raise ValueError("huffman table values truncated")
     out: dict[int, tuple[int, int]] = {}
     code, k = 0, 0
     for length in range(1, 17):
@@ -667,12 +671,80 @@ def _split_rst(data: bytes) -> list[bytes]:
     return segs
 
 
+def decode_coefficients(
+    blob: bytes,
+) -> tuple[
+    int, int, list[tuple[int, int, int, int]], list[np.ndarray],
+    list[tuple[int, int]], list[tuple[int, int]],
+]:
+    """(width, height, comps, per-component QUANTIZED coefficient
+    arrays in zigzag order, padded block grids, non-padded block
+    counts) — the fully entropy-decoded state at the EOI boundary,
+    BEFORE dequantization/IDCT/clip. This is the level the
+    progressive-vs-baseline equality invariant must hold at: pixel
+    equality alone could be satisfied by a paired writer/decoder bug
+    cancelling through the IDCT round/clip, coefficient equality
+    cannot (tests/test_multimodal.py pins both). The grids/nb pair
+    lets callers mask the MCU-padding blocks, which baseline
+    interleaved scans code but non-interleaved progressive scans
+    legitimately do not (T.81 A.2.4)."""
+    width, height, comps, coef, grids, nb, *_ = _decode_state(blob)
+    return width, height, comps, coef, grids, nb
+
+
 def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
     """Baseline + progressive JFIF reader; see module docstring for
     scope. Returns (width, height, channels, pixel bytes) like
     decode_png. Scans decode into per-component coefficient state
     (T.81 spectral selection + successive approximation, EOB runs);
     dequantization + IDCT run once at EOI over all blocks."""
+    (width, height, comps, coef, grids, _nb, qtables, hmax, vmax) = (
+        _decode_state(blob)
+    )
+
+    # reconstruct: dequantize + IDCT every block of every component in
+    # one einsum pass, then stitch planes from the block grid
+    planes = []
+    for ci, (_, h, v, tq) in enumerate(comps):
+        rows, cols = grids[ci]
+        mat = np.zeros((rows * cols, 64), dtype=np.float64)
+        mat[:, ZIGZAG] = coef[ci] * _lookup(qtables, tq, "quantization")[None, :]
+        blocks = (
+            np.einsum(
+                "ki,nkl,lj->nij", _DCT, mat.reshape(-1, 8, 8), _DCT
+            )
+            + 128.0
+        )
+        planes.append(
+            blocks.reshape(rows, cols, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(rows * 8, cols * 8)
+        )
+
+    # upsample subsampled components by replication (the nearest-
+    # neighbor decoder lane; pairs with encode's box-average), then
+    # crop everything to the image rectangle
+    cropped = []
+    for p, (_, h, v, _) in zip(planes, comps):
+        if h != hmax:
+            p = np.repeat(p, hmax // h, axis=1)
+        if v != vmax:
+            p = np.repeat(p, vmax // v, axis=0)
+        cropped.append(p[:height, :width])
+    if len(cropped) == 1:
+        px = cropped[0]
+    else:
+        px = _ycbcr_to_rgb(np.stack(cropped, axis=-1))
+    out = np.clip(np.round(px), 0, 255).astype(np.uint8)
+    return width, height, len(cropped), out.tobytes()
+
+
+def _decode_state(
+    blob: bytes,
+) -> tuple[int, int, list, list[np.ndarray], list, list, dict, int, int]:
+    """Parse markers + entropy-decode every scan; returns the decoded
+    state (width, height, comps, coef, grids, nb, qtables, hmax, vmax)
+    at the EOI boundary."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG byte stream")
     pos = 2
@@ -694,6 +766,8 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
         marker = struct.unpack(">H", blob[pos:pos + 2])[0]
         if marker == 0xFFD9:  # EOI
             break
+        if pos + 4 > len(blob):
+            raise ValueError("JPEG marker segment truncated")
         (length,) = struct.unpack(">H", blob[pos + 2:pos + 4])
         payload = blob[pos + 4:pos + 2 + length]
         pos += 2 + length
@@ -780,6 +854,12 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                 cid, tabs = payload[1 + 2 * c], payload[2 + 2 * c]
                 scomps.append((cid, tabs >> 4, tabs & 0x0F))
             ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            if not (ss <= se <= 63):  # T.81 B.2.3: Ss 0-63, Se Ss-63;
+                # a corrupt Se past 63 would index off the 64-entry
+                # coefficient block
+                raise ValueError(
+                    f"invalid spectral selection range {ss}-{se}"
+                )
             ahal = payload[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
             end = _entropy_end(blob, pos)
@@ -792,42 +872,17 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
             pos = end
     if not got_scan or not comps:
         raise ValueError("JPEG missing SOF/SOS")
+    return width, height, comps, coef, grids, nb, qtables, hmax, vmax
 
-    # reconstruct: dequantize + IDCT every block of every component in
-    # one einsum pass, then stitch planes from the block grid
-    planes = []
-    for ci, (_, h, v, tq) in enumerate(comps):
-        rows, cols = grids[ci]
-        mat = np.zeros((rows * cols, 64), dtype=np.float64)
-        mat[:, ZIGZAG] = coef[ci] * qtables[tq][None, :]
-        blocks = (
-            np.einsum(
-                "ki,nkl,lj->nij", _DCT, mat.reshape(-1, 8, 8), _DCT
-            )
-            + 128.0
-        )
-        planes.append(
-            blocks.reshape(rows, cols, 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(rows * 8, cols * 8)
-        )
 
-    # upsample subsampled components by replication (the nearest-
-    # neighbor decoder lane; pairs with encode's box-average), then
-    # crop everything to the image rectangle
-    cropped = []
-    for p, (_, h, v, _) in zip(planes, comps):
-        if h != hmax:
-            p = np.repeat(p, hmax // h, axis=1)
-        if v != vmax:
-            p = np.repeat(p, vmax // v, axis=0)
-        cropped.append(p[:height, :width])
-    if len(cropped) == 1:
-        px = cropped[0]
-    else:
-        px = _ycbcr_to_rgb(np.stack(cropped, axis=-1))
-    out = np.clip(np.round(px), 0, 255).astype(np.uint8)
-    return width, height, len(cropped), out.tobytes()
+def _lookup(tables: dict, key, kind: str):
+    """Explicit table lookup: a scan referencing an undefined Huffman /
+    quantization table id is malformed INPUT — the module's contract is
+    ValueError for that, never a bare KeyError escaping the engine."""
+    try:
+        return tables[key]
+    except KeyError:
+        raise ValueError(f"undefined {kind} table {key}") from None
 
 
 def _decode_scan(
@@ -852,6 +907,12 @@ def _decode_scan(
     each restart the bit reader re-aligns on the next segment and DC
     predictors / EOB runs reset."""
     comp_ix = {cid: i for i, (cid, _h, _v, _t) in enumerate(comps)}
+    for scid, _d, _a in scomps:
+        if scid not in comp_ix:  # corrupt SOS header — malformed
+            # input, not an engine KeyError (module contract)
+            raise ValueError(
+                f"scan references undefined component id {scid}"
+            )
     preds = {cid: 0 for cid, _d, _a in scomps}
     segs = _split_rst(data) if ri else [data]
     seg_ix = 0
@@ -895,10 +956,14 @@ def _decode_scan(
 
         # baseline: one interleaved scan, full blocks
         def _block(ci, cid, dct, act, idx):
-            dc_t = huff[(0, dct)]
-            ac_t = huff[(1, act)]
+            dc_t = _lookup(huff, (0, dct), "huffman")
+            ac_t = _lookup(huff, (1, act), "huffman")
             zz = coef[ci][idx]
             size = _read_symbol(reader, dc_t)
+            if size > 15:  # T.81 F.1.2.1: SSSS <= 15; a corrupt
+                # stream's oversized size would overflow the int64
+                # coefficient store
+                raise ValueError("DC coefficient size out of range")
             diff = _extend(reader.read_bits(size), size) if size else 0
             preds[cid] += diff
             zz[0] = preds[cid]
@@ -926,7 +991,9 @@ def _decode_scan(
 
         if ah == 0:
             def _dc(ci, cid, dct, _act, idx):
-                size = _read_symbol(reader, huff[(0, dct)])
+                size = _read_symbol(reader, _lookup(huff, (0, dct), "huffman"))
+                if size > 15:  # see baseline DC guard
+                    raise ValueError("DC coefficient size out of range")
                 diff = (
                     _extend(reader.read_bits(size), size) if size else 0
                 )
@@ -955,7 +1022,7 @@ def _decode_scan(
         raise ValueError("progressive AC scan must be non-interleaved")
     cid, _dct, act = scomps[0]
     ci = comp_ix[cid]
-    ac_t = huff[(1, act)]
+    ac_t = _lookup(huff, (1, act), "huffman")
     nby, nbx = nb[ci]
     _, cols = grids[ci]
     eobrun = 0
@@ -1019,6 +1086,13 @@ def _decode_scan(
                                 break
                         k += 1
                     if newval:
+                        if k > se:  # corrupt stream ran the correction
+                            # sweep past the band before placing the
+                            # new coefficient (zz has 64 slots; k can
+                            # reach se+1 here on fuzzed input)
+                            raise ValueError(
+                                "AC refinement index past spectral end"
+                            )
                         zz[k] = newval
                     k += 1
             if eobrun > 0:

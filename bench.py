@@ -249,6 +249,53 @@ R9 = [
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",
                  "documents", "embeddings")
 
+# Self-adjudicating measurements (r11): every SF1_WALLS entry and the
+# BENCH record carry the host state they were measured under — the
+# 1-minute load average plus the latest wall of a FIXED-COST
+# calibration probe (one untimed-side rep of q_scan_parquet at sf0.1,
+# whose clean idle-host spread is pinned below from the r1-r10
+# record). Three rounds of "the family totals are inflated, trust the
+# pressure narrative" (r8-r10 verdicts) is what this retires: a reader
+# can now tell a real regression from a contended wall from the data
+# alone, and tools/update_status.py flags probe-inflated entries
+# mechanically. The probe is sampled every PROBE_EVERY measurements
+# (~0.2s each — sampling every measurement would burn ~60s of soak
+# budget for no extra signal).
+PROBE_QUERY = "q_scan_parquet"
+PROBE_CLEAN_SPREAD = (0.177, 0.192)  # idle-host [min, max], r1-r10
+PROBE_EVERY = 10
+# the probe's clean spread is calibrated at sf0.1 — always run it
+# there when that dir exists (a bench at another SF would otherwise
+# compare an sf0.01 probe against the sf0.1 spread)
+PROBE_DIR = "/root/testdata/sf0.1"
+
+
+def _load_avg() -> float:
+    """1-minute load average, -1.0 where the platform lacks it."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except (OSError, AttributeError):
+        return -1.0
+
+
+# latest probe wall, stamped into every subsequent measurement until
+# the next sample (module state: the bench is single-threaded)
+_PROBE = {"sec": None}
+
+
+def _calibration_probe(spark, sf01_dir: str) -> float:
+    """One rep of the fixed-cost probe at sf0.1. Its plan has been
+    unchanged since r1, so any excursion above PROBE_CLEAN_SPREAD is
+    the HOST, not the engine — the stamp that turns 'host pressure'
+    from narrative into data."""
+    fn, _ = REGISTRY[PROBE_QUERY]
+    d = PROBE_DIR if os.path.isdir(PROBE_DIR) else sf01_dir
+    t0 = time.perf_counter()
+    _materialize(fn(spark, d))
+    sec = round(time.perf_counter() - t0, 3)
+    _PROBE["sec"] = sec
+    return sec
+
 # Queries whose first rep pays a one-off Arrow/codec/state-store warmup
 # far above their steady state (r6 spread: q_multimodal_decode
 # 1.0-8.2s, q_image_ahash 1.2-6.3s, q_streaming_cusum 1.9-6.5s; r7
@@ -393,7 +440,7 @@ def _soak_order() -> list[str]:
 
 
 def _sf1_walls_path() -> str:
-    return os.path.join(
+    return os.environ.get("SPARK_GRAFT_WALLS_PATH") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "SF1_WALLS.json"
     )
 
@@ -406,18 +453,46 @@ def _load_sf1_walls() -> dict:
     r9 round shipped count-level rotation evidence only — 46 bonus
     queries were skipped over budget and nobody could say WHICH from
     the shipped artifacts; this file is the fix, and the bonus leg
-    orders never-recorded queries first off the same record."""
+    orders never-recorded queries first off the same record.
+
+    Absent-on-first-run is the ONLY silent fallback; a corrupt /
+    truncated file is backed up to <path>.corrupt and logged LOUDLY
+    before falling back, so the next merge can never silently replace
+    the committed cumulative record with one entry (recoverable via
+    git either way, but silence was the bug — r10 ADVICE)."""
+    path = _sf1_walls_path()
     try:
-        with open(_sf1_walls_path()) as f:
+        with open(path) as f:
             return json.load(f)
-    except Exception:  # noqa: BLE001 — absent on first run
+    except FileNotFoundError:
+        return {}
+    except (ValueError, OSError) as exc:
+        backup = path + ".corrupt"
+        try:
+            os.replace(path, backup)
+        except OSError:
+            backup = "(backup failed)"
+        print(
+            f"WARNING: {os.path.basename(path)} unreadable "
+            f"({type(exc).__name__}: {exc}) — moved to {backup}; "
+            f"starting a fresh record. Restore the committed file from "
+            f"git if this was the cumulative sf1 record.",
+            file=sys.stderr,
+        )
         return {}
 
 
 def _merge_sf1_walls(new: dict[str, float], leg: str) -> None:
+    """Merge walls into the cumulative committed record, stamping each
+    entry with the host state it was measured under (see PROBE_QUERY
+    block above): 1-min load average + latest calibration-probe wall."""
     data = _load_sf1_walls()
+    load = _load_avg()
     for q, w in new.items():
-        data[q] = {"sec": w, "leg": leg}
+        entry: dict = {"sec": w, "leg": leg, "load": load}
+        if _PROBE["sec"] is not None:
+            entry["probe_sec"] = _PROBE["sec"]
+        data[q] = entry
     tmp = _sf1_walls_path() + ".tmp"
     with open(tmp, "w") as f:
         json.dump(dict(sorted(data.items())), f, indent=1)
@@ -477,13 +552,26 @@ def _rotation_cohort() -> tuple[int, list[str], list[str]]:
     return round_ix, cohort, bonus
 
 
-def _run_soak(spark, sd: str, budget: float):
+def _run_soak(spark, sd: str, budget: float, sf01_dir: str | None = None):
     """Single-rep suite pass at the soak SF, followed by this round's
     rotation cohort of coverage-leg queries (see _rotation_cohort) on
     the budget's remainder. Returns a dict payload. Flushes progress
     into BENCH_DETAILS.json incrementally (merging with whatever is
     already there) so a driver-side timeout truncates stdout, not the
     evidence.
+
+    PER-LEG BUDGET (r11): the suite leg may spend at most
+    SPARK_GRAFT_SOAK_SUITE_FRAC (default 0.6) of the budget; the
+    rotation + bonus legs always get the remainder. The r10 driver run
+    lost its ENTIRE rotation (49/49 skipped_over_budget) because host
+    pressure let the suite eat the whole budget — the suite queries are
+    re-measurements of the best-proven set, so under pressure they are
+    exactly the ones to shed first. Suite skips are logged as before.
+
+    CALIBRATION: every PROBE_EVERY measured queries the fixed-cost
+    probe runs at sf0.1 (when ``sf01_dir`` is given) so each merged
+    SF1_WALLS entry carries a fresh-ish probe wall next to its load
+    average — see the PROBE_QUERY block above.
 
     SESSION RECYCLING: the SparkSession is stopped and rebuilt (same
     JVM, fresh SparkContext — shuffle files, broadcasts, codegen
@@ -503,6 +591,8 @@ def _run_soak(spark, sd: str, budget: float):
             _materialize(read_table(s, sd, t))
 
     _warm(spark)
+    if sf01_dir:
+        _calibration_probe(spark, sf01_dir)
     soak_detail: dict[str, float] = {}
     rot_detail: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -510,15 +600,20 @@ def _run_soak(spark, sd: str, budget: float):
     skipped = 0
     rot_skipped = 0
     recycle_every = int(os.environ.get("SPARK_GRAFT_SOAK_RECYCLE", "40"))
+    suite_frac = float(os.environ.get("SPARK_GRAFT_SOAK_SUITE_FRAC", "0.6"))
     cohort_ix, cohort, bonus = _rotation_cohort()
     bonus_detail: dict[str, float] = {}
     bonus_skipped = 0
+    measured = 0
     suite_n = len(_soak_order())
     rot_n = suite_n + len(cohort)
     for i, name in enumerate(_soak_order() + cohort + bonus):
         in_bonus = i >= rot_n
         in_rotation = i >= suite_n and not in_bonus
-        if time.perf_counter() - t0 > budget:
+        # the suite's sub-budget sheds re-measurements of the
+        # best-proven set first; rotation/bonus keep the full window
+        leg_budget = budget if (in_rotation or in_bonus) else budget * suite_frac
+        if time.perf_counter() - t0 > leg_budget:
             if in_bonus:
                 bonus_skipped += 1
             elif in_rotation:
@@ -553,6 +648,9 @@ def _run_soak(spark, sd: str, budget: float):
                 "bonus" if in_bonus else "rotation" if in_rotation
                 else "soak",
             )
+            measured += 1
+            if sf01_dir and measured % PROBE_EVERY == 0:
+                _calibration_probe(spark, sf01_dir)
         except Exception as exc:  # noqa: BLE001 — one bad query must
             # not cost the whole leg; the error is the datum
             leg = (
@@ -706,7 +804,7 @@ def main() -> None:
         sd = _soak_dir()
         budget = float(os.environ.get("SPARK_GRAFT_SOAK_BUDGET_S", "800"))
         payload = (
-            _run_soak(spark, sd, budget)
+            _run_soak(spark, sd, budget, sf01_dir=sf_dir)
             if sd
             else {"soak_queries": {}, "soak_errors": {}, "skipped": 0}
         )
@@ -740,10 +838,25 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    # calibration trace (r11): fixed-cost probe + load average sampled
+    # through the run so every leg of the shipped record carries the
+    # host state it was measured under (see PROBE_QUERY block above)
+    probe_trace: list[dict] = []
+
+    def _probe_point(tag: str) -> None:
+        probe_trace.append({
+            "at": tag,
+            "probe_sec": _calibration_probe(spark, sf_dir),
+            "load": _load_avg(),
+        })
+
+    _probe_point("after_warmup")
     suite = HEADLINE if headline_only else (
         HEADLINE + [q for q in EXTENDED + CORPUS + R5 + R6 + R6B + R6C + R7 + R7E + R8 + R9 if q in REGISTRY]
     )
-    for name in suite:
+    for qn, name in enumerate(suite):
+        if qn and qn % PROBE_EVERY == 0:
+            _probe_point(f"suite:{qn}")
         fn, _ = REGISTRY[name]
         runs = []
         warm_reps = (1 if name in JIT_WARM else 0)
@@ -789,6 +902,8 @@ def main() -> None:
             if time.perf_counter() - cov_t0 > cov_budget:
                 cov_skipped += 1
                 continue
+            if i and i % PROBE_EVERY == 0:
+                _probe_point(f"coverage:{i}")
             fn, _ = REGISTRY[name]
             start = time.perf_counter()
             try:
@@ -801,7 +916,8 @@ def main() -> None:
             if i % 5 == 4:
                 _jvm_gc(spark)
         _flush_details({"queries": timings, "spread": spread,
-                        "coverage_queries": coverage, "partial": True})
+                        "coverage_queries": coverage,
+                        "probe_trace": probe_trace, "partial": True})
 
     total = round(sum(timings.get(q, 0.0) for q in HEADLINE), 3)
     ext_total = round(sum(timings[q] for q in EXTENDED if q in timings), 3)
@@ -831,6 +947,18 @@ def main() -> None:
         "r9_total": r9_total,
         "sf": float(sf) if sf else None,
     }
+    if probe_trace:
+        # compact host-state summary for the stdout line; the full
+        # per-sample trace ships in BENCH_DETAILS. A probe [min,max]
+        # sitting inside "clean" certifies an uncontended run; a max
+        # several x above it IS the adjudication (no narrative needed).
+        _probes = [p["probe_sec"] for p in probe_trace]
+        _loads = [p["load"] for p in probe_trace]
+        payload["calib"] = {
+            "probe": [min(_probes), max(_probes)],
+            "load": [min(_loads), max(_loads)],
+            "clean": list(PROBE_CLEAN_SPREAD),
+        }
     if coverage or cov_skipped:
         payload["coverage"] = {
             "covered": len(coverage),
@@ -873,7 +1001,7 @@ def main() -> None:
                 extra_conf={"spark.cleaner.periodicGC.interval": "45s"},
             )
             spark.sparkContext.setLogLevel("ERROR")
-            soak_payload = _run_soak(spark, sd, soak_budget)
+            soak_payload = _run_soak(spark, sd, soak_budget, sf01_dir=sf_dir)
         soak_detail = soak_payload.get("soak_queries", {})
         skipped = soak_payload.get("skipped", 0)
         rotation = {
@@ -972,6 +1100,7 @@ def main() -> None:
     if not headline_only:
         _flush_details({**payload, "spread": spread, "soak_queries": soak_detail,
                         "soak_recheck": soak_recheck,
+                        "probe_trace": probe_trace,
                         "coverage_queries": coverage,
                         # per-query rotation walls must survive the
                         # final flush (the r8 shakedown run lost them

@@ -888,13 +888,24 @@ def ivf_l2_cell_column(
       Codegen cost grows with k, so callers switch lanes around k~16.
     - matmul lane (``use_matmul``): one numpy matmul per Arrow batch
       (``-2 V@C.T + ||c||^2``; the ``||v||^2`` term is argmin-
-      invariant and dropped), argmin ties to the first = lowest cell
-      id. One pass for ALL seeds; not an IEEE-order oracle replay —
+      invariant and dropped), argmin ties to the FIRST seed — which is
+      the lowest cell id only because this function sorts
+      ``seed_cells`` by cell id on entry (callers need not pre-sort).
+      One pass for ALL seeds; not an IEEE-order oracle replay —
       equivalence to the exact lane is pinned by
-      tests/test_similarity.py's cross-lane fixtures.
+      tests/test_similarity.py's cross-lane fixtures. FP caveat: the
+      two lanes compute distance with different formulas (pinned fold
+      of (x-c)^2 vs -2 V@C.T + ||c||^2), so NEAR-ties — distances
+      equal to within rounding, not exactly — can assign differently
+      across lanes; the cross-lane tests use separated/exact-tie
+      fixtures for exactly this reason.
 
     ``seed_cells`` is bounded model state (k x d floats) — the
     documented bounded-collect class."""
+    # lowest-cell-id tie contract: argmin ties to list position, so
+    # pin list position = cell-id order here rather than as an
+    # undocumented caller precondition
+    seed_cells = sorted(seed_cells, key=lambda sc: int(sc[0]))
     col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     if not use_matmul:
         cands = F.array(

@@ -828,6 +828,100 @@ class TestBenchRecheck:
         assert bench._recheck_outliers("/tmp", {"q_hot": 50.0}, budget=-1.0) == {}
 
 
+class TestBenchCalibration:
+    """r11 self-adjudicating measurements: every SF1_WALLS merge stamps
+    the host state (1-min load + latest fixed-cost probe wall), a
+    corrupt record file is backed up loudly instead of silently
+    overwritten, and update_status flags probe-inflated entries —
+    pure harness logic, tested without Spark."""
+
+    def _bench(self):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def _update_status(self):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "update_status",
+            os.path.join(
+                os.path.dirname(__file__), "..", "tools", "update_status.py"
+            ),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_merge_stamps_load_and_probe(self, tmp_path, monkeypatch):
+        bench = self._bench()
+        path = str(tmp_path / "walls.json")
+        monkeypatch.setenv("SPARK_GRAFT_WALLS_PATH", path)
+        bench._PROBE["sec"] = 0.181
+        bench._merge_sf1_walls({"q_x": 1.25}, "soak")
+        data = json.loads(open(path).read())
+        e = data["q_x"]
+        assert e["sec"] == 1.25 and e["leg"] == "soak"
+        assert e["probe_sec"] == 0.181
+        assert isinstance(e["load"], float)
+        # newest-wins merge keeps other entries and restamps q_x
+        bench._PROBE["sec"] = 0.9
+        bench._merge_sf1_walls({"q_y": 2.0}, "rotation")
+        data = json.loads(open(path).read())
+        assert data["q_x"]["probe_sec"] == 0.181  # untouched
+        assert data["q_y"]["probe_sec"] == 0.9
+
+    def test_merge_without_probe_omits_stamp(self, tmp_path, monkeypatch):
+        bench = self._bench()
+        path = str(tmp_path / "walls.json")
+        monkeypatch.setenv("SPARK_GRAFT_WALLS_PATH", path)
+        assert bench._PROBE["sec"] is None  # fresh module load
+        bench._merge_sf1_walls({"q_x": 1.0}, "bonus")
+        e = json.loads(open(path).read())["q_x"]
+        assert "probe_sec" not in e and "load" in e
+
+    def test_missing_walls_file_reads_empty(self, tmp_path, monkeypatch):
+        bench = self._bench()
+        path = str(tmp_path / "absent.json")
+        monkeypatch.setenv("SPARK_GRAFT_WALLS_PATH", path)
+        assert bench._load_sf1_walls() == {}
+        assert not os.path.exists(path + ".corrupt")
+
+    def test_corrupt_walls_file_backed_up_loudly(self, tmp_path,
+                                                 monkeypatch, capsys):
+        bench = self._bench()
+        path = str(tmp_path / "walls.json")
+        monkeypatch.setenv("SPARK_GRAFT_WALLS_PATH", path)
+        with open(path, "w") as f:
+            f.write('{"q_x": {"sec": 1.0')  # truncated mid-write
+        assert bench._load_sf1_walls() == {}
+        # the committed record is preserved, not silently clobbered
+        assert os.path.exists(path + ".corrupt")
+        assert not os.path.exists(path)
+        assert "unreadable" in capsys.readouterr().err
+
+    def test_contended_walls_flags_probe_inflated_only(self):
+        us = self._update_status()
+        walls = {
+            "q_clean": {"sec": 5.0, "leg": "soak", "probe_sec": 0.19},
+            "q_hot": {"sec": 60.0, "leg": "soak", "probe_sec": 1.4},
+            "q_edge": {"sec": 9.0, "leg": "bonus", "probe_sec": 0.577},
+            "q_prestamp": {"sec": 3.0, "leg": "rotation"},  # pre-r11
+            "q_legacy": 2.0,  # non-dict tolerated
+        }
+        # threshold = 3 x 0.192 = 0.576: q_hot and q_edge flag
+        assert us.contended_walls(walls) == ["q_edge", "q_hot"]
+        assert us.contended_walls(walls, factor=5.0) == ["q_hot"]
+        assert us.contended_walls(walls, factor=10.0) == []
+
+
 def test_records_to_dataframe_empty_fetch_yields_empty_frame(spark):
     """An empty API fetch day must behave like reading back an empty
     JSONL: 0 rows, 0 columns — not a createDataFrame inference crash."""

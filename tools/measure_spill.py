@@ -18,10 +18,11 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
 
-def _spill_bytes(spark) -> tuple[int, int]:
-    """Sum (memoryBytesSpilled, diskBytesSpilled) over all stages via
-    the status REST API (the AppStatusStore JVM methods have Scala
-    default args py4j can't call across Spark versions)."""
+def _spill_bytes(spark) -> tuple[int, int, int, int]:
+    """Sum (memoryBytesSpilled, diskBytesSpilled, shuffleWriteBytes,
+    shuffleReadBytes) over all stages via the status REST API (the
+    AppStatusStore JVM methods have Scala default args py4j can't call
+    across Spark versions)."""
     import urllib.request
 
     # use the port the UI actually BOUND (uiWebUrl), not the

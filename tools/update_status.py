@@ -40,6 +40,26 @@ def newest_bench() -> tuple[int, dict]:
     return n, raw.get("parsed", raw)
 
 
+def contended_walls(
+    walls: dict, clean_hi: float = 0.192, factor: float = 3.0
+) -> list[str]:
+    """Names whose stamped calibration probe (bench.py PROBE_QUERY, one
+    rep of q_scan_parquet at sf0.1, clean idle-host max 0.192s per the
+    r1-r10 record) exceeded ``factor`` x the clean max when the wall
+    was measured — i.e. the HOST was demonstrably contended and the
+    wall is an upper bound, not a claim. Entries with no probe stamp
+    (pre-r11 measurements) are not flagged; they simply carry no
+    adjudication either way."""
+    out = []
+    for q, e in sorted(walls.items()):
+        if not isinstance(e, dict):
+            continue
+        p = e.get("probe_sec")
+        if p is not None and p > factor * clean_hi:
+            out.append(q)
+    return out
+
+
 def registry_counts() -> tuple[int, int]:
     sys.path.insert(0, HERE)
     from breweries_data_pipeline_spark.queries import REGISTRY
@@ -103,6 +123,21 @@ def main() -> None:
     if r.stdout.strip():
         print("SF1_WALLS.json has uncommitted driver-run updates — "
               "commit them with the status regeneration")
+    # flag probe-adjudicated contended walls (r11: every measurement
+    # carries {load, probe_sec}; see bench.py PROBE_QUERY block)
+    walls_path = os.path.join(HERE, "SF1_WALLS.json")
+    try:
+        with open(walls_path) as f:
+            walls = json.load(f)
+    except (FileNotFoundError, ValueError):
+        walls = {}
+    flagged = contended_walls(walls)
+    if flagged:
+        print(f"{len(flagged)} SF1_WALLS entries measured under a "
+              f"contended host (probe > 3x clean max) — treat as upper "
+              f"bounds / refresh on a quiet window: "
+              + ", ".join(flagged[:12])
+              + ("..." if len(flagged) > 12 else ""))
 
 
 if __name__ == "__main__":

@@ -592,6 +592,10 @@ def _run_soak(spark, sd: str, budget: float, sf01_dir: str | None = None):
 
     _warm(spark)
     if sf01_dir:
+        # first probe in a fresh session pays plan codegen + first-
+        # touch (~0.5s observed vs 0.19s steady) — burn one so the
+        # recorded probes measure the host, not session warmup
+        _calibration_probe(spark, sf01_dir)
         _calibration_probe(spark, sf01_dir)
     soak_detail: dict[str, float] = {}
     rot_detail: dict[str, float] = {}
@@ -850,6 +854,7 @@ def main() -> None:
             "load": _load_avg(),
         })
 
+    _calibration_probe(spark, sf_dir)  # burn codegen/first-touch
     _probe_point("after_warmup")
     suite = HEADLINE if headline_only else (
         HEADLINE + [q for q in EXTENDED + CORPUS + R5 + R6 + R6B + R6C + R7 + R7E + R8 + R9 if q in REGISTRY]

@@ -922,6 +922,72 @@ class TestBenchCalibration:
         assert us.contended_walls(walls, factor=10.0) == []
 
 
+def test_soak_suite_budget_never_starves_rotation(spark, sf_dir, tmp_path,
+                                                  monkeypatch):
+    """r11 per-leg soak budget: the r10 driver run lost its ENTIRE
+    rotation (49/49 skipped_over_budget) because the suite leg ate the
+    whole pressure-shrunk budget. The split caps the suite at
+    SPARK_GRAFT_SOAK_SUITE_FRAC of the budget; rotation and bonus keep
+    the full window. Exercised against _run_soak itself with a stub
+    registry of sleeping queries — suite query 3 lands past the suite
+    deadline and is shed, while the rotation + bonus queries (later in
+    the execution order, but gated on the FULL budget) still run."""
+    import importlib.util
+    import time as _time
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    def _q(_spark, _sd):
+        _time.sleep(1.2)
+        return spark.range(1)
+
+    monkeypatch.setitem(bench.__dict__, "REGISTRY",
+                        {n: (_q, None) for n in
+                         ("s1", "s2", "s3", "r1", "b1")})
+    monkeypatch.setattr(bench, "_soak_order", lambda: ["s1", "s2", "s3"])
+    monkeypatch.setattr(bench, "_rotation_cohort",
+                        lambda: (0, ["r1"], ["b1"]))
+    monkeypatch.setattr(bench, "_flush_details", lambda payload: None)
+    monkeypatch.setattr(bench, "_jvm_gc", lambda s: None)
+    monkeypatch.setenv("SPARK_GRAFT_WALLS_PATH",
+                       str(tmp_path / "walls.json"))
+    # suite deadline = 0.02 * 100 = 2.0s sits centered between s2's
+    # start (~1.2s + overhead) and s3's (~2.4s + overhead): s1 and s2
+    # run, s3 is shed; rotation/bonus deadline is the full 100s
+    monkeypatch.setenv("SPARK_GRAFT_SOAK_SUITE_FRAC", "0.02")
+    monkeypatch.setenv("SPARK_GRAFT_SOAK_RECYCLE", "0")
+
+    class _NoStop:
+        """_run_soak stops its session on exit; the fixture session
+        must survive this test."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def stop(self):
+            pass
+
+    out = bench._run_soak(_NoStop(spark), sf_dir, 100.0)
+    assert set(out["soak_queries"]) == {"s1", "s2"}
+    assert out["skipped"] == 1  # s3 shed by the suite sub-budget
+    assert set(out["rotation_queries"]) == {"r1"}
+    assert out["rotation_skipped"] == 0
+    assert set(out["rotation_bonus_queries"]) == {"b1"}
+    assert out["rotation_bonus_skipped"] == 0
+    # every measured wall landed in the cumulative record with a leg
+    walls = json.loads(open(str(tmp_path / "walls.json")).read())
+    assert walls["r1"]["leg"] == "rotation"
+    assert walls["b1"]["leg"] == "bonus"
+    assert "s3" not in walls
+
+
 def test_records_to_dataframe_empty_fetch_yields_empty_frame(spark):
     """An empty API fetch day must behave like reading back an empty
     JSONL: 0 rows, 0 columns — not a createDataFrame inference crash."""

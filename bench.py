@@ -485,10 +485,31 @@ def _load_sf1_walls() -> dict:
 def _merge_sf1_walls(new: dict[str, float], leg: str) -> None:
     """Merge walls into the cumulative committed record, stamping each
     entry with the host state it was measured under (see PROBE_QUERY
-    block above): 1-min load average + latest calibration-probe wall."""
+    block above): 1-min load average + latest calibration-probe wall.
+
+    MERGE POLICY (r11): walls are UPPER BOUNDS, so automated legs
+    (soak/rotation/bonus) keep the MINIMUM — a slower re-measurement
+    under soak conditions is pressure/session-residue evidence, not a
+    better datum, and newest-wins let r10's contended runs overwrite
+    clean r9 walls (then this round's soak clobbered freshly-refreshed
+    walls within the hour: q_kcore 14.9->39.7s at load 15.6). The
+    probe can't arbitrate here — it under-detects contention for
+    shuffle-heavy queries (q_lsh_recall_audit tripled while its probe
+    sat at 0.17s). Only leg="refresh" (tools/refresh_walls.py:
+    deliberate, probe-gated, quiet-window, min-of-reps) replaces in
+    BOTH directions — that is the instrument for recording a true
+    plan regression; per-round raw walls live in BENCH_DETAILS."""
     data = _load_sf1_walls()
     load = _load_avg()
     for q, w in new.items():
+        old = data.get(q)
+        if (
+            leg != "refresh"
+            and isinstance(old, dict)
+            and isinstance(old.get("sec"), (int, float))
+            and w > old["sec"]
+        ):
+            continue  # slower automated re-measurement: keep the bound
         entry: dict = {"sec": w, "leg": leg, "load": load}
         if _PROBE["sec"] is not None:
             entry["probe_sec"] = _PROBE["sec"]

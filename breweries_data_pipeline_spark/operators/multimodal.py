@@ -340,6 +340,7 @@ def jpeg_media_from_ids(
     ids_df: DataFrame,
     id_col: str = "doc_id",
     progressive: bool = False,
+    restart_interval: int = 0,
 ) -> DataFrame:
     """Materialize a table of REAL baseline-JPEG blobs (media_id,
     kind, blob) from an id column — the JPEG twin of
@@ -351,7 +352,11 @@ def jpeg_media_from_ids(
     the Arrow boundary are genuine entropy-coded JFIF streams.
     ``progressive=True`` emits SOF2 multi-scan streams instead —
     the flat lane is lossless through that path too (progressive and
-    baseline code identical quantized coefficients)."""
+    baseline code identical quantized coefficients).
+    ``restart_interval>0`` adds a DRI segment and real RSTm markers
+    every that-many MCUs (DC predictors / EOB runs reset per segment);
+    a restart stream codes the same coefficients as its restart-free
+    twin, so the closed form survives unchanged."""
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -366,6 +371,7 @@ def jpeg_media_from_ids(
             return encode_jpeg(
                 w, h, 1, bytes([i % 251]) * (w * h), qtable=Q_FLAT,
                 progressive=progressive,
+                restart_interval=restart_interval,
             )
 
         for pdf in batches:

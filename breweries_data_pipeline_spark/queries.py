@@ -14804,6 +14804,38 @@ def q_jpeg_decode_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_pixels(jpeg_media_from_ids(docs, progressive=True))
 
 
+@register(
+    "q_jpeg_decode_rst",
+    """
+    SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 9 AS BIGINT) AS width,
+           CAST(8 + doc_id % 7 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS channels,
+           CAST((8 + doc_id % 9) * (8 + doc_id % 7) * (doc_id % 251)
+                AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+)
+def q_jpeg_decode_rst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_jpeg_decode's RESTART-INTERVAL twin (round 11): every blob
+    carries a DRI segment and real RSTm markers every 2 MCUs, so the
+    decoder exercises segment re-sync, modulo-8 marker sequencing, and
+    the per-segment DC-predictor reset on every image — the encoding
+    camera firmware and libjpeg's error-resilient mode emit. A restart
+    stream codes the same quantized coefficients as its restart-free
+    twin (tests/test_multimodal.py pins the byte-for-byte decode
+    equality), so the oracle is the SAME closed form as q_jpeg_decode;
+    same zero-shuffle Arrow plan — 5 longs per image cross the
+    exchange, blobs never leave the executor."""
+    from breweries_data_pipeline_spark.operators.multimodal import (
+        decode_media_pixels,
+        jpeg_media_from_ids,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return decode_media_pixels(jpeg_media_from_ids(docs, restart_interval=2))
+
+
 # shared CTE chain for the bitext miner and its audit twin: cells ->
 # candidates -> integer-micro cosines -> neighborhood averages ->
 # margin -> best pair per x (see q_bitext_mine for the discipline)

@@ -887,6 +887,32 @@ class TestBenchCalibration:
         e = json.loads(open(path).read())["q_x"]
         assert "probe_sec" not in e and "load" in e
 
+    def test_merge_keeps_min_for_automated_legs(self, tmp_path,
+                                                monkeypatch):
+        """Walls are upper bounds: a SLOWER soak/rotation/bonus
+        re-measurement never replaces a faster recorded wall (r10's
+        contended runs overwrote clean r9 walls; this round's soak
+        clobbered freshly-refreshed walls within the hour). Only the
+        deliberate probe-gated refresh leg replaces in both
+        directions."""
+        bench = self._bench()
+        path = str(tmp_path / "walls.json")
+        monkeypatch.setenv("SPARK_GRAFT_WALLS_PATH", path)
+        bench._merge_sf1_walls({"q_x": 10.0}, "soak")
+        # slower automated wall: kept out
+        bench._merge_sf1_walls({"q_x": 25.0}, "bonus")
+        assert json.loads(open(path).read())["q_x"]["sec"] == 10.0
+        # faster automated wall: tightens the bound
+        bench._merge_sf1_walls({"q_x": 7.5}, "rotation")
+        assert json.loads(open(path).read())["q_x"]["sec"] == 7.5
+        # refresh replaces in BOTH directions (true-regression lane)
+        bench._merge_sf1_walls({"q_x": 9.0}, "refresh")
+        e = json.loads(open(path).read())["q_x"]
+        assert e["sec"] == 9.0 and e["leg"] == "refresh"
+        # and automated stays min-gated against the refreshed value
+        bench._merge_sf1_walls({"q_x": 30.0}, "soak")
+        assert json.loads(open(path).read())["q_x"]["sec"] == 9.0
+
     def test_missing_walls_file_reads_empty(self, tmp_path, monkeypatch):
         bench = self._bench()
         path = str(tmp_path / "absent.json")

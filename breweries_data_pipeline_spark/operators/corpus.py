@@ -201,3 +201,54 @@ def dsir_weights(
             (F.col("weight_micro") >= 0).alias("selected"),
         )
     )
+
+
+# tracking-parameter prefixes a crawl pipeline strips before URL-keyed
+# dedup (the CommonCrawl/CCNet convention: analytics params vary per
+# FETCH, not per document, so they only split true duplicate groups)
+TRACKING_PARAM_RE = "^(utm_|ref=|fbclid=|gclid=)"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of an http(s) URL for URL-keyed dedup, entirely
+    in JVM built-ins (zero UDFs — a pure projection):
+
+    - scheme and host lowercased; the scheme's DEFAULT port stripped
+      (:80 for http, :443 for https — a non-default port is identity);
+    - fragment dropped (never sent to the server);
+    - tracking query params (``TRACKING_PARAM_RE``) dropped;
+    - surviving query params sorted (param order is transport noise);
+    - an emptied query string drops its '?'.
+
+    This is the first stage of a crawl-corpus dedup funnel: exact
+    canonical-URL collapse removes the refetch/tracking-variant class
+    orders of magnitude cheaper than any content hashing — and at
+    100 TB it matters that it is a NARROW projection: the whole
+    transform runs inside whole-stage codegen and the downstream
+    groupBy's exchange carries only the canonical key."""
+    nofrag = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(
+        F.regexp_extract(nofrag, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1)
+    )
+    host = F.lower(F.regexp_extract(nofrag, r"^[^:]+://([^/?#]+)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    rest = F.regexp_extract(nofrag, r"^[^:]+://[^/?#]+(.*)$", 1)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qs = (
+        F.when(
+            F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+        )
+        .otherwise(F.lit(""))
+    )
+    return F.concat(scheme, F.lit("://"), host, path, qs)

@@ -14836,6 +14836,119 @@ def q_jpeg_decode_rst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_pixels(jpeg_media_from_ids(docs, restart_interval=2))
 
 
+@register(
+    "q_url_dedup",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE 'www.' END)
+             || source || '.example.com'
+             || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+             || '/articles/' || CAST(doc_id % 401 AS VARCHAR)
+             || (CASE WHEN doc_id % 2 = 0
+                 THEN '?page=' || CAST((doc_id % 401) % 2 AS VARCHAR)
+                      || '&utm_source=feed&v=1'
+                 ELSE '?v=1&utm_campaign=' || CAST(doc_id % 97 AS VARCHAR)
+                      || '&page=' || CAST((doc_id % 401) % 2 AS VARCHAR)
+                 END)
+             || (CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END)
+               AS raw_url
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, regexp_replace(raw_url, '#.*$', '') AS nofrag FROM u
+    ),
+    p AS (
+      SELECT doc_id,
+             lower(regexp_extract(nofrag,
+               '^([a-zA-Z][a-zA-Z0-9+.\\-]*)://', 1)) AS scheme,
+             lower(regexp_extract(nofrag,
+               '^[^:]+://([^/?#]+)', 1)) AS host0,
+             regexp_extract(nofrag, '^[^:]+://[^/?#]+(.*)$', 1) AS rest
+      FROM c
+    ),
+    q AS (
+      SELECT doc_id, scheme,
+             CASE WHEN scheme = 'http'
+                    THEN regexp_replace(host0, ':80$', '')
+                  WHEN scheme = 'https'
+                    THEN regexp_replace(host0, ':443$', '')
+                  ELSE host0 END AS host,
+             regexp_extract(rest, '^([^?]*)', 1) AS path,
+             regexp_extract(rest, '\\?(.*)$', 1) AS qstr
+      FROM p
+    ),
+    k AS (
+      SELECT doc_id, scheme, host, path,
+             list_sort(list_filter(str_split(qstr, '&'),
+               x -> x <> '' AND NOT regexp_matches(x,
+                 '^(utm_|ref=|fbclid=|gclid=)'))) AS kept
+      FROM q
+    )
+    SELECT scheme || '://' || host || path
+           || (CASE WHEN len(kept) > 0
+               THEN '?' || array_to_string(kept, '&') ELSE '' END) AS url,
+           MIN(doc_id) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM k
+    GROUP BY 1
+    """,
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (round 11) — stage ZERO of a crawl-corpus
+    funnel, before any content hashing: collapse refetch/tracking
+    variants of the same page by URL canonicalization
+    (operators.corpus.canonical_url — scheme/host lowercase, default
+    port stripped per scheme, fragment dropped, utm_/ref/fbclid/gclid
+    params dropped, surviving params sorted) and keep the min doc_id
+    per canonical URL with the duplicate count. The URLs are
+    synthesized deterministically from (doc_id, source) with every
+    variant class represented — case-shifted scheme/host, explicit
+    :443, tracking params in shuffled order, fragments — so the
+    canonicalizer's whole surface is value-checked by the DuckDB
+    oracle. Plan shape: one narrow whole-stage-codegen projection
+    (regexp/array built-ins, zero UDFs) feeding a single groupBy
+    exchange keyed on the canonical string — at 100 TB the exchange
+    carries one short key + two longs per row, and the projection
+    vectorizes for free."""
+    from breweries_data_pipeline_spark.operators.corpus import canonical_url
+
+    d = read_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    pid = (i % 401).cast("string")
+    page = ((i % 401) % 2).cast("string")
+    raw = F.concat(
+        F.when(i % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTPS://")),
+        F.when(i % 5 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
+        F.col("source"),
+        F.lit(".example.com"),
+        F.when(i % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/articles/"),
+        pid,
+        F.when(
+            i % 2 == 0,
+            F.concat(F.lit("?page="), page, F.lit("&utm_source=feed&v=1")),
+        ).otherwise(
+            F.concat(
+                F.lit("?v=1&utm_campaign="),
+                (i % 97).cast("string"),
+                F.lit("&page="),
+                page,
+            )
+        ),
+        F.when(i % 6 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    return (
+        d.select(i.alias("doc_id"), canonical_url(raw).alias("url"))
+        .groupBy("url")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
 # shared CTE chain for the bitext miner and its audit twin: cells ->
 # candidates -> integer-micro cosines -> neighborhood averages ->
 # margin -> best pair per x (see q_bitext_mine for the discipline)

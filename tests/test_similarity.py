@@ -318,6 +318,34 @@ def test_ivf_cell_both_lanes_tie_to_lowest_cell_id(spark):
         assert got == {0: 3, 1: 3, 2: 9}, f"use_matmul={use_matmul}: {got}"
 
 
+def test_ivf_cell_tie_contract_survives_unsorted_seeds(spark):
+    """r10 ADVICE: the matmul lane's argmin ties to the FIRST seed in
+    LIST order, so the lowest-cell-id contract used to hold only when
+    callers pre-sorted seed_cells. The function now sorts on entry —
+    an UNSORTED seed list with an exact tie must still land in the
+    lowest cell id on both lanes."""
+    from breweries_data_pipeline_spark.operators.similarity import (
+        ivf_l2_cell_column,
+    )
+
+    dup = [1.0, 2.0]
+    # deliberately unsorted: higher cell id first in list order
+    seeds = [(7, dup), (9, [100.0, 100.0]), (3, dup)]
+    rows = [(0, [1.0, 2.0]), (1, [0.0, 0.0]), (2, [100.0, 99.0])]
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    for use_matmul in (False, True):
+        got = {
+            r["vec_id"]: r["cell"]
+            for r in e.select(
+                "vec_id",
+                ivf_l2_cell_column(
+                    seeds, F.col("v"), use_matmul=use_matmul
+                ).alias("cell"),
+            ).collect()
+        }
+        assert got == {0: 3, 1: 3, 2: 9}, f"use_matmul={use_matmul}: {got}"
+
+
 def test_semantic_dedup_lanes_agree_above_k16(spark, sf_dir):
     # the k=8 twin lives in test_round6b; this one crosses the lane
     # switch: default path at k=20 IS the matmul/grouped-prune scale

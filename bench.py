@@ -246,6 +246,15 @@ R9 = [
     "q_bitext_mine",
 ]
 
+# round-11 family — crawl-funnel stage zero (canonical-URL dedup),
+# CCNet head/middle/tail via distributed exact NTILE, restart-interval
+# JPEG decode
+R11 = [
+    "q_url_dedup",
+    "q_ccnet_buckets",
+    "q_jpeg_decode_rst",
+]
+
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",
                  "documents", "embeddings")
 
@@ -435,7 +444,7 @@ def _soak_order() -> list[str]:
     the budget expires, the queries that lose their sf1 datum are the
     oldest, best-proven ones, never the newest (r6 skipped exactly its
     10 newest)."""
-    rest = [q for q in EXTENDED + CORPUS + R5 + R6 + R6B + R6C + R7 + R7E + R8 + R9 if q in REGISTRY]
+    rest = [q for q in EXTENDED + CORPUS + R5 + R6 + R6B + R6C + R7 + R7E + R8 + R9 + R11 if q in REGISTRY]
     return HEADLINE + list(reversed(rest))
 
 
@@ -878,7 +887,7 @@ def main() -> None:
     _calibration_probe(spark, sf_dir)  # burn codegen/first-touch
     _probe_point("after_warmup")
     suite = HEADLINE if headline_only else (
-        HEADLINE + [q for q in EXTENDED + CORPUS + R5 + R6 + R6B + R6C + R7 + R7E + R8 + R9 if q in REGISTRY]
+        HEADLINE + [q for q in EXTENDED + CORPUS + R5 + R6 + R6B + R6C + R7 + R7E + R8 + R9 + R11 if q in REGISTRY]
     )
     for qn, name in enumerate(suite):
         if qn and qn % PROBE_EVERY == 0:
@@ -955,6 +964,7 @@ def main() -> None:
     r7_total = round(sum(timings[q] for q in R7 if q in timings), 3)
     r8_total = round(sum(timings[q] for q in R8 if q in timings), 3)
     r9_total = round(sum(timings[q] for q in R9 if q in timings), 3)
+    r11_total = round(sum(timings[q] for q in R11 if q in timings), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     payload = {
         "metric": "headline_queries_total_wall",
@@ -971,6 +981,7 @@ def main() -> None:
         "r7_total": r7_total,
         "r8_total": r8_total,
         "r9_total": r9_total,
+        "r11_total": r11_total,
         "sf": float(sf) if sf else None,
     }
     if probe_trace:

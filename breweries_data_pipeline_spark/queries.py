@@ -14837,6 +14837,88 @@ def q_jpeg_decode_rst(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ccnet_buckets",
+    rf"""
+    WITH grams AS (
+      SELECT doc_id, unnest({_SQL_BIGRAMS}) AS pair
+      FROM documents WHERE n_chars > 0
+    ),
+    pc AS (
+      SELECT pair, split_part(pair, ' ', 1) AS w1, count(*) AS n_pair
+      FROM grams GROUP BY pair
+    ),
+    uni AS (
+      SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_w1 FROM pc GROUP BY w1
+    ),
+    model AS (
+      SELECT pair, (n_pair * 1000000) // n_w1 AS p_ppm
+      FROM pc JOIN uni USING (w1)
+    ),
+    scores AS (
+      SELECT doc_id, CAST(sum(p_ppm) AS BIGINT) // count(*) AS mean_p_ppm
+      FROM grams JOIN model USING (pair)
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id, d.lang, s.mean_p_ppm,
+           CASE ntile(3) OVER (PARTITION BY d.lang
+                               ORDER BY s.mean_p_ppm DESC, s.doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM scores s JOIN documents d USING (doc_id)
+    """,
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail partition (round 11): per
+    language, documents are ranked by their corpus-LM score
+    (q_doc_lm_score's exact fixed-point ppm bigram score — the
+    self-model stand-in for CCNet's external KenLM perplexity) and
+    split into terciles, best-scoring third = 'head'. This is the
+    partition CCNet ships as its quality tiers and pretraining
+    mixtures consume as sampling strata.
+
+    Scale shape: the oracle's semantics is NTILE(3) OVER (PARTITION BY
+    lang ORDER BY score DESC, doc_id) — but a per-lang window sort
+    puts an entire language (most of a 100 TB crawl is one language)
+    in ONE task. Instead the exact global rank comes from the
+    bucket-offset two-pass scheme (operators.windows.
+    bucketed_row_number: score-band buckets local-rank in parallel,
+    broadcast exclusive bucket-count offsets lift to the global rank
+    — result-identical for any deterministic total order), and NTILE
+    reduces to pure integer arithmetic on (rank, group total):
+    bucket = ((rn - 1) * 3) div n, sizes differing by at most one
+    with big buckets first, exactly the SQL-standard NTILE fill.
+    DuckDB's real ntile() over the same total order value-checks the
+    decomposition end to end."""
+    from breweries_data_pipeline_spark.operators.windows import (
+        bucketed_row_number,
+    )
+
+    scores = q_doc_lm_score(spark, sf_dir).select("doc_id", "mean_p_ppm")
+    langs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    ranked = bucketed_row_number(
+        scores.join(langs, "doc_id"),
+        ["lang"],
+        [F.col("mean_p_ppm").desc(), F.col("doc_id")],
+        # monotone band of the leading (DESC) order column: ascending
+        # bucket id as the score descends; mean_p_ppm is in [0, 1e6]
+        # by construction (p_ppm = n_pair*1e6 div n_w1 <= 1e6)
+        F.expr("(1000000 - mean_p_ppm) div 4000"),
+        rank_name="__rn",
+        total_name="__n",
+    )
+    nt = F.expr("((__rn - 1) * 3) div __n")
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "mean_p_ppm",
+        F.when(nt == 0, "head")
+        .when(nt == 1, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+@register(
     "q_url_dedup",
     """
     WITH u AS (

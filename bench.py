@@ -253,6 +253,7 @@ R11 = [
     "q_url_dedup",
     "q_ccnet_buckets",
     "q_jpeg_decode_rst",
+    "q_domain_cap",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

@@ -14919,6 +14919,71 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_domain_cap",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             lower((CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE 'www.' END)
+                   || source || '.example.com') AS host
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, host,
+             row_number() OVER (
+               PARTITION BY host
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS kept_rank
+      FROM u
+    )
+    SELECT doc_id, host, CAST(kept_rank AS BIGINT) AS kept_rank
+    FROM r WHERE kept_rank <= 50
+    """,
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (round 11) — the C4/RefinedWeb
+    diversity control: no single host may contribute more than N docs
+    to the corpus, with the kept subset chosen by deterministic hash
+    order (md5 of doc_id — reproducible across runs/engines/
+    partitionings, no RNG state; the same discipline as
+    q_token_budget_sample). Hosts come from the same deterministic
+    URL synthesis as q_url_dedup, case-folded.
+
+    Scale shape: 'top-50 per host by hash order' is a rank-filter over
+    a SKEWED partition key (a crawl's biggest host is millions of
+    pages). The plan uses the bucket-offset two-pass rank
+    (operators.windows.bucketed_row_number, keyed on the md5 sort
+    key's first 2 hex chars -> 256-way parallel local ranks +
+    broadcast offsets), so no reducer ever owns a whole domain —
+    result-identical to the single-task window DuckDB replays."""
+    from breweries_data_pipeline_spark.operators.windows import (
+        bucketed_row_number,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    u = d.select(
+        i.alias("doc_id"),
+        F.lower(
+            F.concat(
+                F.when(i % 5 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
+                F.col("source"),
+                F.lit(".example.com"),
+            )
+        ).alias("host"),
+        F.md5(i.cast("string")).alias("__ord"),
+    )
+    ranked = bucketed_row_number(
+        u,
+        ["host"],
+        [F.col("__ord"), F.col("doc_id")],
+        F.substring("__ord", 1, 2),
+        rank_name="kept_rank",
+    )
+    return ranked.where(F.col("kept_rank") <= 50).select(
+        "doc_id", "host", "kept_rank"
+    )
+
+
+@register(
     "q_url_dedup",
     """
     WITH u AS (

@@ -254,6 +254,7 @@ R11 = [
     "q_ccnet_buckets",
     "q_jpeg_decode_rst",
     "q_domain_cap",
+    "q_winnowing",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

@@ -14919,6 +14919,83 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_winnowing",
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(text, '') AS chars
+      FROM documents WHERE length(text) >= 8
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(chars) - 5 + 2),
+               i -> list_reduce(
+                      list_prepend(CAST(7 AS BIGINT),
+                        list_transform(chars[i:i+4],
+                                       c -> CAST(ascii(c) AS BIGINT))),
+                      (acc, x) -> (acc * 31 + x) % 2147483647)) AS hs
+      FROM d
+    ),
+    s AS (
+      SELECT doc_id, hs,
+             list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+               j -> CAST(j + (4 - list_position(
+                                list_reverse(hs[j:j+3]),
+                                list_min(hs[j:j+3])) + 1) - 1
+                         AS BIGINT))) AS pos
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(len(hs) AS BIGINT) AS n_kgrams,
+           CAST(len(pos) AS BIGINT) AS n_selected,
+           CAST(list_sum(list_transform(pos,
+                p -> hs[CAST(p AS INTEGER)])) AS BIGINT) AS fp_sum,
+           list_min(list_transform(pos,
+                p -> hs[CAST(p AS INTEGER)])) AS fp_min,
+           list_max(list_transform(pos,
+                p -> hs[CAST(p AS INTEGER)])) AS fp_max
+    FROM s
+    """,
+)
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (round 11; Schleimer et al.
+    SIGMOD 2003 — the MOSS plagiarism-detection scheme, and the
+    robust middle ground between whole-doc hashing and MinHash for
+    substring-level dedup): k=5 char-gram polynomial hashes, window
+    w=4, per-window minimum selected with rightmost tie-break.
+    Winnowing's guarantee — every window yields a selection, so any
+    shared substring of length >= w+k-1 = 8 chars between two docs
+    shares a fingerprint DETERMINISTICALLY (density ~2/(w+1), vs
+    0-in-p misses for modulo sampling). Output per doc: k-gram count,
+    selected-set size, and the selected fingerprints' sum/min/max —
+    all integer, hash-oracled bit-for-bit against DuckDB's list
+    replay of the same fold/tie rules.
+
+    Plan shape: one narrow projection of per-row array HOFs — no
+    exchange at all until the driver collects; at 100 TB the operator
+    is embarrassingly parallel and the downstream join on selected
+    fingerprints (the dedup use) is an equi-join on 8-byte keys,
+    the same bucketed discipline as the MinHash-LSH family. The HOF
+    lane is the oracle-true exact path; its O(n*k) interpreted cost
+    is bounded by k=5 (a production Arrow kernel would be the swap-in
+    for hot loops, as with _exact_dot_udf)."""
+    from breweries_data_pipeline_spark.functions.text import (
+        winnow_stats_udf,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.length("text") >= 8
+    )
+    # Arrow-batched integer kernel (bit-identical to the HOF spec in
+    # functions.text.kgram_hashes/winnow_positions — integer math has
+    # no evaluation-order freedom; equivalence pinned in
+    # tests/test_units.py): ~50x less interpreted work than the HOF
+    # lane, zero shuffles either way
+    return docs.select(
+        "doc_id", winnow_stats_udf(k=5, w=4)(F.col("text")).alias("s")
+    ).select("doc_id", "s.*")
+
+
+@register(
     "q_domain_cap",
     """
     WITH u AS (

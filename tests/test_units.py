@@ -1015,6 +1015,69 @@ def test_soak_suite_budget_never_starves_rotation(spark, sf_dir, tmp_path,
     assert "s3" not in walls
 
 
+def test_winnowing_kernel_matches_hof_spec(spark, sf_dir):
+    """q_winnowing's Arrow integer kernel (winnow_stats_udf) must be
+    BIT-IDENTICAL to the HOF reference spec (kgram_hashes +
+    winnow_positions) — integer arithmetic has no evaluation-order
+    freedom, so any divergence is a real bug (tie rule, window
+    indexing, Horner step). Run over a real corpus sample plus edge
+    shapes: minimum-length text (one window), all-same chars (every
+    window ties -> rightmost rule on every selection)."""
+    import pyspark.sql.functions as F
+
+    from breweries_data_pipeline_spark.functions.text import (
+        kgram_hashes,
+        winnow_positions,
+        winnow_stats_udf,
+    )
+    from breweries_data_pipeline_spark.sources import read_table
+
+    sample = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= 8)
+        .limit(20)
+        .select("doc_id", "text")
+    )
+    edge = spark.createDataFrame(
+        [(100001, "abcdefgh"),      # exactly one window
+         (100002, "aaaaaaaaaaaa"),  # all ties, rightmost rule
+         (100003, "abababababab")], # periodic: repeated selections
+        "doc_id long, text string",
+    )
+    docs = sample.unionByName(edge)
+
+    kernel = {
+        r["doc_id"]: (r["n_kgrams"], r["n_selected"], r["fp_sum"],
+                      r["fp_min"], r["fp_max"])
+        for r in docs.select(
+            "doc_id", winnow_stats_udf(k=5, w=4)(F.col("text")).alias("s")
+        ).select("doc_id", "s.*").collect()
+    }
+    h = docs.select("doc_id", kgram_hashes("text", k=5).alias("hs"))
+    h = h.select("doc_id", "hs", winnow_positions("hs", w=4).alias("pos"))
+    fps = F.transform(
+        F.col("pos"), lambda p: F.element_at("hs", p.cast("int"))
+    )
+    hof = {
+        r["doc_id"]: (r["a"], r["b"], r["c"], r["d"], r["e"])
+        for r in h.select(
+            "doc_id",
+            F.size("hs").cast("long").alias("a"),
+            F.size("pos").cast("long").alias("b"),
+            F.aggregate(fps, F.lit(0).cast("long"),
+                        lambda acc, x: acc + x).alias("c"),
+            F.array_min(fps).alias("d"),
+            F.array_max(fps).alias("e"),
+        ).collect()
+    }
+    assert kernel == hof
+    # winnowing density guarantee: every window yields a selection,
+    # so n_selected >= ceil(n_windows / w) and every doc selects >= 1
+    for n_kgrams, n_selected, *_ in kernel.values():
+        n_windows = n_kgrams - 4 + 1
+        assert n_selected >= (n_windows + 3) // 4 >= 1
+
+
 def test_records_to_dataframe_empty_fetch_yields_empty_frame(spark):
     """An empty API fetch day must behave like reading back an empty
     JSONL: 0 rows, 0 columns — not a createDataFrame inference crash."""

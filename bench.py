@@ -434,10 +434,66 @@ def _isolated_headline(sf_dir: str) -> dict | None:
         if ln.startswith("{"):
             try:
                 p = json.loads(ln)
-                return {"value": p["value"], "queries": p["queries"]}
+                return {"value": p["value"], "queries": p["queries"],
+                        "calib": p.get("calib")}
             except (ValueError, KeyError):
                 return None
     return None
+
+
+def _calib_summary(probe_trace: list[dict]) -> dict:
+    """Compact host-state summary for the stdout line; the full
+    per-sample trace ships in BENCH_DETAILS. A probe [min,max] sitting
+    inside "clean" certifies an uncontended run; a max several x above
+    it IS the adjudication (no narrative needed). _load_avg's -1.0
+    platform-unavailable sentinel is excluded so the shipped min never
+    reads as a fake negative load (r11 ADVICE); load is null when no
+    real sample exists."""
+    probes = [p["probe_sec"] for p in probe_trace]
+    loads = [p["load"] for p in probe_trace if p["load"] >= 0.0]
+    return {
+        "probe": [min(probes), max(probes)],
+        "load": [min(loads), max(loads)] if loads else None,
+        "clean": list(PROBE_CLEAN_SPREAD),
+    }
+
+
+def _headline_legs(
+    total: float, probe_trace: list[dict], isolated: dict | None
+) -> tuple[list[dict], float | None]:
+    """headline_best_clean (r11 verdict item 7): ONE field round-over-
+    round comparisons can read without re-adjudicating contention by
+    hand — the best headline among legs whose own probe certifies an
+    uncontended measurement. Per-leg clean ceilings differ because the
+    clean spread was calibrated MID-SUITE (deep page cache + JIT
+    warmth); a fresh-JVM steady probe sits ~0.06-0.09s above it even
+    at load<1 (r11 record, SCALE.md), so the isolated leg gets that
+    allowance. Returns (legs, best_clean) — best_clean is None when no
+    leg's probe was clean, i.e. the record self-tags as contended."""
+    in_suite_clean_hi = PROBE_CLEAN_SPREAD[1] * 1.25  # mid-suite legs
+    fresh_jvm_clean_hi = PROBE_CLEAN_SPREAD[1] + 0.10  # fresh-JVM legs
+    legs: list[dict] = []
+    head_probes = [
+        p["probe_sec"] for p in probe_trace
+        if p["at"] in ("after_warmup", f"suite:{PROBE_EVERY}")
+    ]
+    if head_probes:
+        legs.append({
+            "leg": "main", "value": total,
+            "probe": max(head_probes),
+            "clean": max(head_probes) <= in_suite_clean_hi,
+        })
+    if isolated is not None:
+        iso_probe = ((isolated.get("calib") or {}).get("probe")
+                     or [None, None])[1]
+        legs.append({
+            "leg": "isolated", "value": isolated["value"],
+            "probe": iso_probe,
+            "clean": (iso_probe is not None
+                      and iso_probe <= fresh_jvm_clean_hi),
+        })
+    clean_vals = [l["value"] for l in legs if l["clean"]]
+    return legs, (min(clean_vals) if clean_vals else None)
 
 
 def _soak_order() -> list[str]:
@@ -665,6 +721,15 @@ def _run_soak(spark, sd: str, budget: float, sf01_dir: str | None = None):
             )
             spark.sparkContext.setLogLevel("ERROR")
             _warm(spark)
+            if sf01_dir:
+                # mirror the leg-start double-probe: the first probe in
+                # a rebuilt session pays codegen/first-touch (~0.5s vs
+                # 0.19s steady) and would otherwise stamp an inflated
+                # probe_sec into walls merged over the next PROBE_EVERY
+                # window; the second records the session's real steady
+                # state into _PROBE (r11 ADVICE)
+                _calibration_probe(spark, sf01_dir)
+                _calibration_probe(spark, sf01_dir)
         fn, _ = REGISTRY[name]
         start = time.perf_counter()
         try:
@@ -987,17 +1052,7 @@ def main() -> None:
         "sf": float(sf) if sf else None,
     }
     if probe_trace:
-        # compact host-state summary for the stdout line; the full
-        # per-sample trace ships in BENCH_DETAILS. A probe [min,max]
-        # sitting inside "clean" certifies an uncontended run; a max
-        # several x above it IS the adjudication (no narrative needed).
-        _probes = [p["probe_sec"] for p in probe_trace]
-        _loads = [p["load"] for p in probe_trace]
-        payload["calib"] = {
-            "probe": [min(_probes), max(_probes)],
-            "load": [min(_loads), max(_loads)],
-            "clean": list(PROBE_CLEAN_SPREAD),
-        }
+        payload["calib"] = _calib_summary(probe_trace)
     if coverage or cov_skipped:
         payload["coverage"] = {
             "covered": len(coverage),
@@ -1007,6 +1062,10 @@ def main() -> None:
             payload["coverage"]["skipped_over_budget"] = cov_skipped
     if isolated is not None:
         payload["headline_isolated"] = isolated["value"]
+    _legs, _best_clean = _headline_legs(total, probe_trace, isolated)
+    if _legs:
+        payload["headline_legs"] = _legs
+        payload["headline_best_clean"] = _best_clean
     # 10x soak leg: same suite, one rep, at sf1, in a FRESH
     # subprocess/JVM (see _isolated_soak — sharing the suite's JVM
     # inflated string-shuffle-heavy soak entries 2-3x). Compact

@@ -769,18 +769,33 @@ def _decode_state(
         if pos + 4 > len(blob):
             raise ValueError("JPEG marker segment truncated")
         (length,) = struct.unpack(">H", blob[pos + 2:pos + 4])
+        if length < 2:  # T.81 B.1.1.4: Lx counts its own two bytes; a
+            # corrupted shorter value would make the payload slice
+            # empty/negative and stall or misparse downstream
+            raise ValueError(f"invalid JPEG segment length {length}")
         payload = blob[pos + 4:pos + 2 + length]
+
+        def _need(n: int, what: str, _pl=None) -> None:
+            # corrupted LENGTH bytes shrink the payload under what the
+            # marker's own fields require; without this, the branches
+            # below surface struct.error / IndexError instead of the
+            # module's documented ValueError contract
+            if len(payload if _pl is None else _pl) < n:
+                raise ValueError(f"JPEG {what} segment truncated")
+
         pos += 2 + length
         if marker == 0xFFDB:  # DQT (possibly several tables)
             p = 0
             while p < len(payload):
                 pq, tq = payload[p] >> 4, payload[p] & 0x0F
                 if pq == 0:  # 8-bit entries
+                    _need(p + 65, "DQT")
                     qtables[tq] = np.frombuffer(
                         payload[p + 1:p + 65], dtype=np.uint8
                     ).astype(np.int64)
                     p += 65
                 elif pq == 1:  # 16-bit entries (high-quality tables)
+                    _need(p + 129, "DQT")
                     qtables[tq] = np.frombuffer(
                         payload[p + 1:p + 129], dtype=">u2"
                     ).astype(np.int64)
@@ -790,9 +805,11 @@ def _decode_state(
         elif marker == 0xFFC4:  # DHT (possibly several tables)
             p = 0
             while p < len(payload):
+                _need(p + 17, "DHT")
                 tc, th = payload[p] >> 4, payload[p] & 0x0F
                 bits = list(payload[p + 1:p + 17])
                 nvals = sum(bits)
+                _need(p + 17 + nvals, "DHT")
                 vals = list(payload[p + 17:p + 17 + nvals])
                 codes = _canonical_codes(bits, vals)
                 huff[(tc, th)] = {
@@ -801,9 +818,11 @@ def _decode_state(
                 p += 17 + nvals
         elif marker in (0xFFC0, 0xFFC2):  # SOF0 baseline / SOF2 prog
             progressive = marker == 0xFFC2
+            _need(6, "SOF")
             _prec, height, width, ncomp = struct.unpack(
                 ">BHHB", payload[:6]
             )
+            _need(6 + 3 * ncomp, "SOF")
             for c in range(ncomp):
                 cid, hv, tq = payload[6 + 3 * c:9 + 3 * c]
                 h, v = hv >> 4, hv & 0x0F
@@ -842,10 +861,12 @@ def _decode_state(
                 "arithmetic streams need it)"
             )
         elif marker == 0xFFDD:  # DRI: restart interval in MCUs
+            _need(2, "DRI")
             restart_ri = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xFFDA:  # SOS — entropy data follows
             if coef is None:
                 raise ValueError("JPEG SOS before SOF")
+            _need(1, "SOS")
             ns = payload[0]
             if len(payload) < 4 + 2 * ns:
                 raise ValueError("JPEG SOS header truncated")

@@ -557,6 +557,37 @@ def test_jpeg_bitflip_fuzz_raises_only_contract_errors():
     # sanity: the fuzz actually exercised both outcomes
     assert 0 < decoded < 300
 
+    # r11 ADVICE: the random flips above rarely land on the 2-byte
+    # segment LENGTH fields, and a shrunk length used to escape as
+    # struct.error (SOF/DRI) or IndexError (DHT/SOS payload indexing).
+    # Directed leg: walk every marker segment and try shrunk lengths.
+    import struct
+
+    pos, segs = 2, []
+    while pos + 4 <= len(blob):
+        marker = struct.unpack(">H", blob[pos:pos + 2])[0]
+        if marker == 0xFFD9:
+            break
+        (length,) = struct.unpack(">H", blob[pos + 2:pos + 4])
+        segs.append((pos, marker, length))
+        pos += 2 + length
+        if marker == 0xFFDA:  # entropy data follows; skip to next test
+            break
+    assert len(segs) >= 5  # DQT/DHT/SOF2/DRI/SOS all present
+    for seg_pos, _marker, length in segs:
+        for shrunk in {0, 1, 2, 3, max(2, length - 1), length // 2}:
+            if shrunk >= length:
+                continue
+            mut = bytearray(blob)
+            mut[seg_pos + 2:seg_pos + 4] = struct.pack(">H", shrunk)
+            try:
+                decode_jpeg(bytes(mut))
+            except (ValueError, NotImplementedError):
+                pass  # contract errors only — never struct.error/IndexError
+            # a shrunk length that still decodes is fine (the tail
+            # bytes reparse as markers by luck); escaping exception
+            # types are the failure this leg pins
+
 
 def test_jpeg_undefined_table_ids_raise_valueerror():
     """Directed twin of the fuzz: point the scan header at a Huffman

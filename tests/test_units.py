@@ -947,6 +947,57 @@ class TestBenchCalibration:
         assert us.contended_walls(walls, factor=5.0) == ["q_hot"]
         assert us.contended_walls(walls, factor=10.0) == []
 
+    def test_update_status_clean_hi_tracks_bench(self):
+        """r11 ADVICE: update_status must gate on bench's
+        PROBE_CLEAN_SPREAD, not an independent copy that can drift."""
+        us = self._update_status()
+        bench = self._bench()
+        assert us._bench_clean_hi() == bench.PROBE_CLEAN_SPREAD[1]
+
+    def test_headline_legs_best_clean(self):
+        """r11 verdict item 7: headline_best_clean = min over legs whose
+        own probe certifies an uncontended measurement; fresh-JVM legs
+        get the documented ~0.1s first-steady allowance; None when every
+        leg self-tags contended."""
+        bench = self._bench()
+        trace = [{"at": "after_warmup", "probe_sec": 0.185, "load": 1.0},
+                 {"at": f"suite:{bench.PROBE_EVERY}", "probe_sec": 0.21,
+                  "load": 1.2},
+                 {"at": "coverage:10", "probe_sec": 0.9, "load": 9.0}]
+        iso = {"value": 4.9, "queries": {},
+               "calib": {"probe": [0.2, 0.27], "load": [0.5, 0.8]}}
+        legs, best = bench._headline_legs(5.2, trace, iso)
+        # main probe max 0.21 <= 0.24 (the late coverage probe is
+        # outside the headline bracket); isolated 0.27 <= 0.292
+        assert [l["clean"] for l in legs] == [True, True]
+        assert best == 4.9
+        # contended main (probe 0.5), clean isolated -> isolated wins
+        trace[1]["probe_sec"] = 0.5
+        legs, best = bench._headline_legs(5.2, trace, iso)
+        assert [l["clean"] for l in legs] == [False, True]
+        assert best == 4.9
+        # both contended -> None, legs still shipped as evidence
+        iso["calib"]["probe"] = [0.3, 0.6]
+        legs, best = bench._headline_legs(5.2, trace, iso)
+        assert best is None and len(legs) == 2
+        # isolated leg without calib (old subprocess payload): not clean
+        legs, best = bench._headline_legs(
+            5.2, [{"at": "after_warmup", "probe_sec": 0.18, "load": 1.0}],
+            {"value": 4.9, "queries": {}, "calib": None})
+        assert best == 5.2 and legs[1]["clean"] is False
+
+    def test_calib_load_filters_sentinel(self):
+        """r11 ADVICE: the -1.0 getloadavg-unavailable sentinel must not
+        surface as a fake minimum load in the shipped calib summary."""
+        bench = self._bench()
+        trace = [{"at": "a", "probe_sec": 0.2, "load": -1.0},
+                 {"at": "b", "probe_sec": 0.25, "load": 2.0}]
+        assert bench._calib_summary(trace) == {
+            "probe": [0.2, 0.25], "load": [2.0, 2.0],
+            "clean": list(bench.PROBE_CLEAN_SPREAD)}
+        trace = [{"at": "a", "probe_sec": 0.2, "load": -1.0}]
+        assert bench._calib_summary(trace)["load"] is None
+
 
 def test_soak_suite_budget_never_starves_rotation(spark, sf_dir, tmp_path,
                                                   monkeypatch):

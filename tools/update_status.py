@@ -40,8 +40,19 @@ def newest_bench() -> tuple[int, dict]:
     return n, raw.get("parsed", raw)
 
 
+def _bench_clean_hi() -> float:
+    """The single source of truth for the probe's clean ceiling is
+    bench.PROBE_CLEAN_SPREAD — importing it (rather than carrying an
+    independent copy here) keeps the refresh tool and this
+    adjudication gate from silently drifting apart (r11 ADVICE)."""
+    sys.path.insert(0, HERE)
+    from bench import PROBE_CLEAN_SPREAD
+
+    return PROBE_CLEAN_SPREAD[1]
+
+
 def contended_walls(
-    walls: dict, clean_hi: float = 0.192, factor: float = 3.0
+    walls: dict, clean_hi: float | None = None, factor: float = 3.0
 ) -> list[str]:
     """Names whose stamped calibration probe (bench.py PROBE_QUERY, one
     rep of q_scan_parquet at sf0.1, clean idle-host max 0.192s per the
@@ -50,6 +61,8 @@ def contended_walls(
     wall is an upper bound, not a claim. Entries with no probe stamp
     (pre-r11 measurements) are not flagged; they simply carry no
     adjudication either way."""
+    if clean_hi is None:
+        clean_hi = _bench_clean_hi()
     out = []
     for q, e in sorted(walls.items()):
         if not isinstance(e, dict):
@@ -77,6 +90,19 @@ def main() -> None:
     ratio = value / BASELINE_S
     soak = bench.get("soak") or {}
     iso_txt = f" / {isolated:.3f}s isolated" if isolated is not None else ""
+    # r12: the bench emits headline_best_clean — the best headline among
+    # legs whose own calibration probe certified an uncontended
+    # measurement — so the status line can carry a probe-adjudicated
+    # number instead of a possibly-contended median alone
+    best_clean = bench.get("headline_best_clean")
+    if "headline_legs" in bench:
+        clean_txt = (
+            f"; best probe-clean leg **{best_clean:.3f}s**"
+            if best_clean is not None
+            else "; no leg probe-clean (record self-tagged contended)"
+        )
+    else:
+        clean_txt = ""
     soak_txt = ""
     if soak:
         soak_txt = (
@@ -99,7 +125,7 @@ def main() -> None:
         f"oracles);\n"
         f"headline bench **{value:.3f}s median{iso_txt}** at sf0.1 "
         f"(**{ratio:.2f}×** the round-1 baseline {BASELINE_S}s)"
-        f"{soak_txt}.\n"
+        f"{clean_txt}{soak_txt}.\n"
         f"{END}"
     )
     readme = os.path.join(HERE, "README.md")

@@ -8332,6 +8332,20 @@ PANEL_PINNED: list[str] = [
 
 _PANEL_SIZE = 50
 
+# r12 priority lane: fresh (never-certified) queries that should NOT
+# wait for the alphabetical rotation to reach them — typically queries
+# registered after a round's panel froze (q_winnowing / q_url_dedup
+# missed the r11 panel; the r12 alphabetical cohort ends around
+# q_rank_fusion, three rounds before u/w) and the current round's new
+# operators, which should carry a driver-green row in the round that
+# ships them. Names here are placed immediately after the pinned
+# flagships; once certified they drop out of the fresh pool naturally
+# (the lane only ever consumes fresh slots, never re-certifies).
+PANEL_PRIORITY: list[str] = [
+    "q_url_dedup",
+    "q_winnowing",
+]
+
 
 def _certified_green() -> set[str]:
     """Query names with at least one GREEN row in any shipped
@@ -8379,13 +8393,19 @@ def _panel_head() -> list[str]:
     pinned = [n for n in PANEL_PINNED if n in REGISTRY]
     taken = set(pinned)
     certified = _certified_green()
+    priority = [
+        n for n in PANEL_PRIORITY
+        if n in REGISTRY and REGISTRY[n][1] is not None
+        and n not in taken and n not in certified
+    ]
+    taken |= set(priority)
     oracled = sorted(
         n for n in REGISTRY
         if REGISTRY[n][1] is not None and n not in taken
     )
     fresh = [n for n in oracled if n not in certified]
     refill = [n for n in oracled if n in certified]
-    return (pinned + fresh + refill)[:_PANEL_SIZE]
+    return (pinned + priority + fresh + refill)[:_PANEL_SIZE]
 
 
 PANEL_HEAD: list[str] = []  # populated on first _panel_order() call

@@ -344,6 +344,7 @@ def test_panel_head_shape():
     from breweries_data_pipeline_spark.queries import (
         PANEL_HEAD,
         PANEL_PINNED,
+        PANEL_PRIORITY,
         _certified_green,
         oracle_sql,
         queries,
@@ -384,14 +385,24 @@ def test_panel_head_shape():
     assert demoted <= _certified_green(), sorted(
         demoted - _certified_green()
     )
-    # rotating slots: never-green-certified first, in name order
+    # rotating slots: the r12 priority lane (fresh late-registered
+    # names jumping the alphabetical queue) first, then
+    # never-green-certified in name order
     certified = _certified_green()
     rotating = PANEL_HEAD[len(PANEL_PINNED):]
+    priority = [
+        n for n in PANEL_PRIORITY
+        if n in REGISTRY and REGISTRY[n][1] is not None
+        and n not in set(PANEL_PINNED) and n not in certified
+    ]
+    assert rotating[: len(priority)] == priority
+    rotating = rotating[len(priority):]
     pool = sorted(
         n for n in REGISTRY
         if REGISTRY[n][1] is not None
         and n not in set(PANEL_PINNED)
         and n not in certified
+        and n not in set(priority)
     )
     expect = pool[: len(rotating)]
     if len(expect) == len(rotating):  # pool not yet dry

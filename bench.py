@@ -257,6 +257,14 @@ R11 = [
     "q_winnowing",
 ]
 
+# round-12 family — winnowing composed into the dedup family (MOSS
+# local-similarity candidates over shared selected fingerprints) and
+# the constant-cost sampled LSH recall audit
+R12 = [
+    "q_winnow_dedup",
+    "q_lsh_recall_audit_sampled",
+]
+
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",
                  "documents", "embeddings")
 
@@ -502,7 +510,7 @@ def _soak_order() -> list[str]:
     the budget expires, the queries that lose their sf1 datum are the
     oldest, best-proven ones, never the newest (r6 skipped exactly its
     10 newest)."""
-    rest = [q for q in EXTENDED + CORPUS + R5 + R6 + R6B + R6C + R7 + R7E + R8 + R9 + R11 if q in REGISTRY]
+    rest = [q for q in EXTENDED + CORPUS + R5 + R6 + R6B + R6C + R7 + R7E + R8 + R9 + R11 + R12 if q in REGISTRY]
     return HEADLINE + list(reversed(rest))
 
 
@@ -954,7 +962,7 @@ def main() -> None:
     _calibration_probe(spark, sf_dir)  # burn codegen/first-touch
     _probe_point("after_warmup")
     suite = HEADLINE if headline_only else (
-        HEADLINE + [q for q in EXTENDED + CORPUS + R5 + R6 + R6B + R6C + R7 + R7E + R8 + R9 + R11 if q in REGISTRY]
+        HEADLINE + [q for q in EXTENDED + CORPUS + R5 + R6 + R6B + R6C + R7 + R7E + R8 + R9 + R11 + R12 if q in REGISTRY]
     )
     for qn, name in enumerate(suite):
         if qn and qn % PROBE_EVERY == 0:
@@ -1032,6 +1040,7 @@ def main() -> None:
     r8_total = round(sum(timings[q] for q in R8 if q in timings), 3)
     r9_total = round(sum(timings[q] for q in R9 if q in timings), 3)
     r11_total = round(sum(timings[q] for q in R11 if q in timings), 3)
+    r12_total = round(sum(timings[q] for q in R12 if q in timings), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     payload = {
         "metric": "headline_queries_total_wall",
@@ -1049,6 +1058,7 @@ def main() -> None:
         "r8_total": r8_total,
         "r9_total": r9_total,
         "r11_total": r11_total,
+        "r12_total": r12_total,
         "sf": float(sf) if sf else None,
     }
     if probe_trace:

@@ -216,6 +216,50 @@ def winnow_stats_udf(
     )(_stats)
 
 
+def winnow_fingerprints_udf(
+    k: int = 20,
+    w: int = 8,
+    base: int = 31,
+    mod: int = 2_147_483_647,
+    init: int = 7,
+) -> "Column":
+    """array<long>: the DISTINCT selected fingerprint VALUES of a
+    document under winnowing (ascending) — the join key set for
+    MOSS-style local-similarity dedup (q_winnow_dedup), where
+    winnow_stats_udf only returns summary stats. Same vectorized int64
+    Arrow kernel as winnow_stats_udf (k Horner steps with per-step
+    mod, sliding-window argmin over the reversed window for the
+    rightmost-tie rule), so it is BIT-IDENTICAL to the HOF spec
+    (kgram_hashes + winnow_positions) and to DuckDB's list replay —
+    pinned in tests/test_units.py. Dedup wants k large enough that a
+    shared k-gram is evidence, not vocabulary: the default k=20/w=8
+    detects any shared substring of >= k+w-1 = 27 chars
+    deterministically, while k=5 fingerprints of ordinary prose are
+    common word fragments (measured df up to 398/500 docs — useless
+    as a blocking key). Caller guarantees len(text) >= k+w-1."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _fps(texts):
+        import numpy as np
+
+        out = []
+        for t in texts:
+            codes = np.fromiter(map(ord, t), dtype=np.int64, count=len(t))
+            m = len(codes) - k + 1
+            H = np.full(m, init, dtype=np.int64)
+            for s in range(k):
+                H = (H * base + codes[s:s + m]) % mod
+            win = np.lib.stride_tricks.sliding_window_view(H, w)
+            ridx = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+            sel = np.unique(np.arange(len(win)) + ridx)
+            out.append(np.unique(H[sel]))
+        return pd.Series(out)
+
+    _fps.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf("array<long>")(_fps)
+
+
 def stopword_count(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
     """Number of tokens that are stopwords (array intersection-free:
     a filter over the token array, one pass)."""

@@ -8344,6 +8344,9 @@ _PANEL_SIZE = 50
 PANEL_PRIORITY: list[str] = [
     "q_url_dedup",
     "q_winnowing",
+    # round-12 additions (registered this round; certify in-round)
+    "q_winnow_dedup",
+    "q_lsh_recall_audit_sampled",
 ]
 
 
@@ -10572,13 +10575,21 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     AllPairs prefix filtering (never quadratic on the Spark side; the
     oracle's quadratic join is fine at oracle SF), the LSH side is
     the q_minhash_lsh candidate pipeline. At production thresholds
-    this is the query you run on a sample after retuning bands."""
+    this is the query you run on a sample after retuning bands
+    (q_lsh_recall_audit_sampled makes that sampling first-class)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return _lsh_recall_audit_body(docs)
+
+
+def _lsh_recall_audit_body(docs: DataFrame) -> DataFrame:
+    """Shared body of q_lsh_recall_audit / q_lsh_recall_audit_sampled:
+    exact prefix-filtered truth pairs vs the banded-LSH candidate set,
+    reduced to one (n_true, n_cand, n_hit, recall_ppm) row."""
     from breweries_data_pipeline_spark.operators.dedup import (
         _ensure_parallelism,
         prefix_filtered_similarity_join,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
     truth = prefix_filtered_similarity_join(docs, threshold=0.5).select(
         "id_a", "id_b"
     )
@@ -10624,6 +10635,76 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_ppm"),
         )
     )
+
+
+@register(
+    "q_lsh_recall_audit_sampled",
+    f"""
+    WITH sampled AS (
+      SELECT * FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lshaudit'), 1, 8))::BIGINT
+            % 3 = 0
+    ),
+    shs AS (
+      SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS s FROM sampled
+    ),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+            >= 0.5
+    ),
+    sh AS (SELECT doc_id, unnest(s) AS s FROM shs),
+    sig AS (
+      SELECT doc_id,
+             {_sql_minhash_cols(16)}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {_sql_minhash_bands(4, 4)}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
+       AND a.v2 = b.v2 AND a.v3 = b.v3 AND a.doc_id < b.doc_id
+    ),
+    counts AS (
+      SELECT (SELECT count(*) FROM truth) AS n_true,
+             (SELECT count(*) FROM cand) AS n_cand,
+             (SELECT count(*) FROM truth t
+              JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b) AS n_hit
+    )
+    SELECT CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(CASE WHEN n_true > 0 THEN
+                  ((n_hit * 1000000) - ((n_hit * 1000000) % n_true)) // n_true
+                ELSE 1000000 END AS BIGINT) AS recall_ppm
+    FROM counts
+    """,
+)
+def q_lsh_recall_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_lsh_recall_audit with the docstring's 'run on a sample'
+    discipline made FIRST-CLASS (r11 verdict item 4): a deterministic
+    1/3 md5-bucket sample of documents (corpus.hash_bucket — pure
+    function of doc_id, same sample every run/engine/partitioning, the
+    q_stratified_sample discipline) is taken BEFORE both the exact
+    truth join and the LSH candidate side, so the audit's cost is a
+    constant ~11% of the full audit's pair volume at any corpus scale
+    while the recall estimate stays unbiased (both sides see the same
+    subcorpus). The sample fraction lives in the oracle, so the
+    measurement itself stays value-hash-checked. This retires the
+    registry's heaviest default wall (q_lsh_recall_audit, 42.8s sf1)
+    as routine evidence — the full audit remains available for final
+    sign-off runs."""
+    from breweries_data_pipeline_spark.operators.corpus import hash_bucket
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        hash_bucket(F.col("doc_id"), "lshaudit", 3) == 0
+    )
+    return _lsh_recall_audit_body(docs)
 
 
 @register(
@@ -15013,6 +15094,171 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", winnow_stats_udf(k=5, w=4)(F.col("text")).alias("s")
     ).select("doc_id", "s.*")
+
+
+def _sql_winnow_fps(k: int, w: int) -> str:
+    """DuckDB CTE chain (d -> h -> s -> f) replaying kgram_hashes +
+    winnow_positions + fingerprint projection at (k, w) — the same
+    fold/tie rules as q_winnowing's oracle, parameterized so the dedup
+    query can run at a discriminative k."""
+    return f"""d AS (
+      SELECT doc_id, regexp_split_to_array(text, '') AS chars
+      FROM documents WHERE length(text) >= {k + w - 1}
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(chars) - {k} + 2),
+               i -> list_reduce(
+                      list_prepend(CAST(7 AS BIGINT),
+                        list_transform(chars[i:i+{k - 1}],
+                                       c -> CAST(ascii(c) AS BIGINT))),
+                      (acc, x) -> (acc * 31 + x) % 2147483647)) AS hs
+      FROM d
+    ),
+    s AS (
+      SELECT doc_id, hs,
+             list_distinct(list_transform(range(1, len(hs) - {w} + 2),
+               j -> CAST(j + ({w} - list_position(
+                                list_reverse(hs[j:j+{w - 1}]),
+                                list_min(hs[j:j+{w - 1}])) + 1) - 1
+                         AS BIGINT))) AS pos
+      FROM h
+    ),
+    f AS (
+      SELECT doc_id,
+             list_distinct(list_transform(pos,
+                 p -> hs[CAST(p AS INTEGER)])) AS fps
+      FROM s
+    )"""
+
+
+@register(
+    "q_winnow_dedup",
+    f"""
+    WITH {_sql_winnow_fps(20, 8)},
+    e AS (SELECT doc_id, len(fps) AS n_sel, unnest(fps) AS fp FROM f),
+    dfc AS (SELECT fp FROM e GROUP BY fp HAVING count(*) BETWEEN 2 AND 10),
+    ee AS (SELECT e.doc_id, e.n_sel, e.fp FROM e JOIN dfc USING (fp)),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sel AS na, b.n_sel AS nb, count(*) AS n_shared
+      FROM ee a JOIN ee b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+           CAST((n_shared * 1000000 - (n_shared * 1000000) % least(na, nb))
+                // least(na, nb) AS BIGINT) AS overlap_ppm
+    FROM cand
+    WHERE (n_shared * 1000000 - (n_shared * 1000000) % least(na, nb))
+          // least(na, nb) >= 500000
+    """,
+)
+def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup dedup (round 12; composes the
+    r11 q_winnowing scheme into the dedup family per the r11 verdict) —
+    the MOSS local-similarity complement to shingle-MinHash-LSH:
+    candidates are generated by SHARED SELECTED FINGERPRINTS as an
+    equi-join key, so partial-overlap / plagiarism shapes (one long
+    shared passage inside otherwise-different documents) that dilute
+    whole-document Jaccard below any LSH threshold are still caught —
+    winnowing guarantees any shared substring of >= k+w-1 = 27 chars
+    shares a selected fingerprint deterministically. k=20 makes a
+    shared k-gram evidence rather than vocabulary (k=5 fingerprints of
+    prose are common word fragments: measured df up to 398 of 500 docs,
+    vs max df 6 at k=20 on the same corpus).
+
+    Pipeline: per-doc distinct fingerprints via the vectorized int64
+    Arrow kernel (functions.text.winnow_fingerprints_udf, bit-identical
+    to the HOF spec — integer math has no evaluation-order freedom),
+    explode, document-frequency cap (df in [2, 10]: df=1 can't pair,
+    df>10 is boilerplate — the guard that bounds per-fingerprint pair
+    volume to C(10,2)=45 at ANY corpus scale, the df-capped blocking
+    discipline of q_sparse_cosine), self equi-join on the 8-byte
+    fingerprint (plan-asserted: never a crossJoin), then per-pair
+    verification by fingerprint-set containment: n_shared /
+    min(|fps_a|, |fps_b|) >= 0.5 as an exact integer ppm. Cluster
+    collapse of the emitted edges reuses the connected-components /
+    bucket-star machinery of operators.dedup (q_dedup_text family).
+    Oracle: full DuckDB list replay of the identical fold/tie/cap
+    arithmetic — the 25 pairs it finds at sf0.01 are exactly the
+    corpus's known near-dup pairs (q_minhash_lsh finds the same 25)."""
+    from breweries_data_pipeline_spark.functions.text import (
+        winnow_fingerprints_udf,
+    )
+
+    k, w = 20, 8
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.length("text") >= k + w - 1
+    )
+    # expression shape matters: a plain select(size(fps), explode(fps))
+    # re-references the UDF alias from two operators and Catalyst
+    # duplicates the Arrow kernel (two stacked ArrowEvalPython stages —
+    # the q_winnowing O(n^2) trap's python-UDF cousin). Folding both
+    # consumers into ONE generator expression — explode(transform(fps,
+    # x -> struct(size(fps), x))) — leaves a single kernel pass
+    # (plan-asserted in tests/test_plans.py).
+    e = (
+        docs.select(
+            "doc_id",
+            winnow_fingerprints_udf(k=k, w=w)(F.col("text")).alias("fps"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    "fps",
+                    lambda x: F.struct(
+                        F.size("fps").alias("n_sel"), x.alias("fp")
+                    ),
+                )
+            ).alias("__e"),
+        )
+        .select(
+            "doc_id",
+            F.col("__e.n_sel").alias("n_sel"),
+            F.col("__e.fp").alias("fp"),
+        )
+    )
+    # df cap as a count-window over the fingerprint key: ONE exchange
+    # on the 8-byte fp and ONE pass of the Arrow kernel (a
+    # groupBy-count + join-back spelling re-evaluates the kernel
+    # lineage once per branch — measured 2x the Python work); the
+    # count window buffers no doc lists, so a pathological
+    # million-doc boilerplate fingerprint costs a counter, not memory.
+    # Persisted because the self-join consumes it twice; the persist
+    # also pins the fp hash-partitioning, so the self-join below adds
+    # sorts but NO further exchange on the big stream.
+    from pyspark.sql import Window as W
+
+    ee = _persist(
+        e.withColumn("__df", F.count("*").over(W.partitionBy("fp")))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= 10))
+        .drop("__df")
+    )
+    a = ee.select(
+        F.col("doc_id").alias("id_a"), F.col("n_sel").alias("na"), "fp"
+    )
+    b = ee.select(
+        F.col("doc_id").alias("id_b"), F.col("n_sel").alias("nb"), "fp"
+    )
+    cand = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ppm = _long_div(
+        F.col("n_shared") * 1000000, F.least("na", "nb").cast("long")
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            ppm.alias("overlap_ppm"),
+        )
+        .filter(F.col("overlap_ppm") >= 500000)
+    )
 
 
 @register(

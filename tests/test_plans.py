@@ -411,6 +411,33 @@ def test_panel_head_shape():
         assert rotating[: len(expect)] == expect
 
 
+def test_winnow_dedup_candidates_are_equi_join(spark, sf_dir):
+    """q_winnow_dedup's candidate generation must be an equi-join on
+    the 8-byte fingerprint key — the df-capped blocking contract:
+    never a CartesianProduct / non-equi join, whatever the corpus."""
+    plan = _plan(spark, sf_dir, "q_winnow_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # ONE Arrow kernel pass: size(fps) + explode(fps) folded into a
+    # single generator expression — a two-consumer spelling duplicates
+    # the UDF into two stacked ArrowEvalPython stages, visible as TWO
+    # distinct pythonUDF result slots. (Raw substring counts double-
+    # count: the persisted lineage prints under both self-join sides.)
+    import re
+
+    assert len(set(re.findall(r"pythonUDF\d+#\d+", plan))) == 1
+
+
+def test_lsh_recall_audit_sampled_pushes_sample_to_scan(spark, sf_dir):
+    """The 1/3 md5-bucket sample must reach BOTH sides (truth + LSH)
+    as a filter below everything expensive — one sampled scan lineage,
+    no full-corpus shingle work anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "q_lsh_recall_audit_sampled")
+    assert "CartesianProduct" not in plan
+    # the deterministic md5-bucket predicate appears as a real Filter
+    assert plan.count("md5") >= 1 and "Filter" in plan
+
+
 def test_kcore_peel_is_zero_writeback_broadcast_probes(spark, sf_dir):
     """The k-core scale contract: every per-round node filter is a
     BROADCAST left-semi probe (a >10 MB keep set must never flip the

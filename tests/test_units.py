@@ -1129,6 +1129,51 @@ def test_winnowing_kernel_matches_hof_spec(spark, sf_dir):
         assert n_selected >= (n_windows + 3) // 4 >= 1
 
 
+def test_winnow_fingerprints_kernel_matches_hof_spec(spark, sf_dir):
+    """q_winnow_dedup's fingerprint-SET kernel (winnow_fingerprints_udf
+    at the dedup k=20/w=8) must return exactly the distinct selected
+    hash values the HOF spec selects, ascending — same bit-identical
+    contract as the stats kernel."""
+    import pyspark.sql.functions as F
+
+    from breweries_data_pipeline_spark.functions.text import (
+        kgram_hashes,
+        winnow_fingerprints_udf,
+        winnow_positions,
+    )
+    from breweries_data_pipeline_spark.sources import read_table
+
+    k, w = 20, 8
+    sample = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= k + w - 1)
+        .limit(20)
+        .select("doc_id", "text")
+    )
+    edge = spark.createDataFrame(
+        [(100001, "a" * (k + w - 1)),            # one window, all ties
+         (100002, "ab" * ((k + w) // 2 + 3))],   # periodic
+        "doc_id long, text string",
+    )
+    docs = sample.unionByName(edge)
+    kernel = {
+        r["doc_id"]: r["fps"]
+        for r in docs.select(
+            "doc_id",
+            winnow_fingerprints_udf(k=k, w=w)(F.col("text")).alias("fps"),
+        ).collect()
+    }
+    h = docs.select("doc_id", kgram_hashes("text", k=k).alias("hs"))
+    h = h.select("doc_id", "hs", winnow_positions("hs", w=w).alias("pos"))
+    fps = F.array_sort(F.array_distinct(F.transform(
+        F.col("pos"), lambda p: F.element_at("hs", p.cast("int"))
+    )))
+    hof = {r["doc_id"]: r["fps"]
+           for r in h.select("doc_id", fps.alias("fps")).collect()}
+    assert kernel == hof
+    assert all(len(v) >= 1 for v in kernel.values())
+
+
 def test_records_to_dataframe_empty_fetch_yields_empty_frame(spark):
     """An empty API fetch day must behave like reading back an empty
     JSONL: 0 rows, 0 columns — not a createDataFrame inference crash."""

@@ -263,6 +263,7 @@ R11 = [
 R12 = [
     "q_winnow_dedup",
     "q_lsh_recall_audit_sampled",
+    "q_cdc_chunk_dedup",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

@@ -260,6 +260,130 @@ def winnow_fingerprints_udf(
     return pandas_udf("array<long>")(_fps)
 
 
+def cdc_chunk_fps(
+    text: str,
+    w: int = 16,
+    div: int = 64,
+    base1: int = 31,
+    base2: int = 131,
+    mod: int = 2_147_483_647,
+    init: int = 7,
+) -> list[int]:
+    """Pure-Python executable SPEC of content-defined chunking (the
+    LBFS scheme — Muthitacharoen et al., SOSP 2001; FastCDC is the
+    optimized descendant): a chunk boundary falls after character
+    position j+w-1 whenever the polynomial hash of the w-gram starting
+    at j satisfies H % div == 0, so boundaries are a pure function of
+    LOCAL content — a one-character insertion reshapes only the chunk
+    it lands in, where fixed-size chunking (q_chunk_dedup) shifts every
+    downstream chunk. Returns the chunk fingerprints in order:
+    fp = h1 * 2^31 + h2 with h1/h2 the base-31/base-131 Horner folds
+    (init 7, per-step mod) of the chunk's characters — two independent
+    31-bit lanes, so fingerprint collisions need a simultaneous double
+    collision (~2^-62). The vectorized kernel (cdc_chunk_fps_udf) is
+    equivalence-pinned against this spec; the DuckDB oracle replays the
+    same folds as list_reduce."""
+    codes = [ord(c) for c in text]
+    n = len(codes)
+    if n == 0:
+        return []
+    bpos = []
+    if n >= w:
+        for j in range(n - w + 1):  # 0-based window start
+            h = init
+            for c in codes[j:j + w]:
+                h = (h * base1 + c) % mod
+            if h % div == 0:
+                bpos.append(j + w)  # 1-based chunk END position
+    starts = [1] + [p + 1 for p in bpos]
+    ends = bpos + [n]
+    fps = []
+    for s, e in zip(starts, ends):
+        if s > e:  # last boundary at n -> empty trailing chunk
+            continue
+        h1 = h2 = init
+        for c in codes[s - 1:e]:
+            h1 = (h1 * base1 + c) % mod
+            h2 = (h2 * base2 + c) % mod
+        fps.append(h1 * 2_147_483_648 + h2)
+    return fps
+
+
+def cdc_chunk_fps_udf(
+    w: int = 16,
+    div: int = 64,
+    base1: int = 31,
+    base2: int = 131,
+    mod: int = 2_147_483_647,
+    init: int = 7,
+) -> "Column":
+    """array<long>: vectorized int64 Arrow kernel for cdc_chunk_fps —
+    bit-identical to the spec (integer math has no evaluation-order
+    freedom). Boundary detection is the winnowing kernel's w-step
+    Horner trick per doc; chunk fingerprints are then folded for ALL
+    chunks of the batch AT ONCE with a masked Horner loop of
+    max-chunk-length steps (chunks are ragged, so the per-step mask
+    retires finished chunks — total work stays O(total chars) and
+    every step is a full-width numpy op, never a per-chunk Python
+    loop)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _fps(texts):
+        import numpy as np
+
+        per_doc_counts: list[int] = []
+        starts_all: list[np.ndarray] = []
+        lens_all: list[np.ndarray] = []
+        codes_parts: list[np.ndarray] = []
+        offset = 0
+        for t in texts:
+            codes = np.fromiter(map(ord, t), dtype=np.int64, count=len(t))
+            n = len(codes)
+            if n == 0:
+                per_doc_counts.append(0)
+                continue
+            codes_parts.append(codes)
+            if n >= w:
+                m = n - w + 1
+                G = np.full(m, init, dtype=np.int64)
+                for s in range(w):
+                    G = (G * base1 + codes[s:s + m]) % mod
+                bpos = np.flatnonzero(G % div == 0) + w  # 1-based ends
+            else:
+                bpos = np.empty(0, dtype=np.int64)
+            cs = np.concatenate(([1], bpos + 1))
+            ce = np.concatenate((bpos, [n]))
+            keep = cs <= ce
+            cs, ce = cs[keep], ce[keep]
+            per_doc_counts.append(len(cs))
+            starts_all.append(cs - 1 + offset)  # 0-based, batch-flat
+            lens_all.append(ce - cs + 1)
+            offset += n
+        if starts_all:
+            flat = np.concatenate(codes_parts)
+            st = np.concatenate(starts_all)
+            ln = np.concatenate(lens_all)
+            h1 = np.full(len(st), init, dtype=np.int64)
+            h2 = h1.copy()
+            for s in range(int(ln.max())):
+                act = ln > s
+                c = flat[st[act] + s]
+                h1[act] = (h1[act] * base1 + c) % mod
+                h2[act] = (h2[act] * base2 + c) % mod
+            fps = h1 * 2_147_483_648 + h2
+        else:
+            fps = np.empty(0, dtype=np.int64)
+        out, pos = [], 0
+        for k in per_doc_counts:
+            out.append(fps[pos:pos + k])
+            pos += k
+        return pd.Series(out)
+
+    _fps.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf("array<long>")(_fps)
+
+
 def stopword_count(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
     """Number of tokens that are stopwords (array intersection-free:
     a filter over the token array, one pass)."""

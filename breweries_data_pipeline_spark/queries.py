@@ -8347,6 +8347,7 @@ PANEL_PRIORITY: list[str] = [
     # round-12 additions (registered this round; certify in-round)
     "q_winnow_dedup",
     "q_lsh_recall_audit_sampled",
+    "q_cdc_chunk_dedup",
 ]
 
 
@@ -15258,6 +15259,128 @@ def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ppm.alias("overlap_ppm"),
         )
         .filter(F.col("overlap_ppm") >= 500000)
+    )
+
+
+@register(
+    "q_cdc_chunk_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(text, '') AS chars,
+             length(text) AS n
+      FROM documents WHERE length(text) >= 1
+    ),
+    g AS (
+      SELECT doc_id, chars, n,
+             CASE WHEN n >= 16 THEN
+               list_transform(range(1, n - 16 + 2),
+                 j -> list_reduce(
+                        list_prepend(CAST(7 AS BIGINT),
+                          list_transform(chars[j:j+15],
+                                         c -> CAST(ascii(c) AS BIGINT))),
+                        (acc, x) -> (acc * 31 + x) % 2147483647))
+             ELSE [] END AS gh
+      FROM d
+    ),
+    b AS (
+      SELECT doc_id, chars, n,
+             list_transform(
+               list_filter(range(1, len(gh) + 1),
+                           j -> gh[CAST(j AS INTEGER)] % 64 = 0),
+               j -> j + 15) AS bpos
+      FROM g
+    ),
+    spans AS (
+      SELECT doc_id, chars,
+             list_prepend(CAST(1 AS BIGINT),
+                          list_transform(bpos, p -> CAST(p + 1 AS BIGINT))) AS ss,
+             list_append(list_transform(bpos, p -> CAST(p AS BIGINT)),
+                         CAST(n AS BIGINT)) AS es
+      FROM b
+    ),
+    fps AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(
+                 list_transform(range(1, len(ss) + 1),
+                   i -> {'s': ss[CAST(i AS INTEGER)],
+                         'e': es[CAST(i AS INTEGER)]}),
+                 x -> x.s <= x.e),
+               x -> list_reduce(
+                      list_prepend(CAST(7 AS BIGINT),
+                        list_transform(chars[x.s:x.e],
+                                       c -> CAST(ascii(c) AS BIGINT))),
+                      (acc, y) -> (acc * 31 + y) % 2147483647)
+                    * 2147483648
+                  + list_reduce(
+                      list_prepend(CAST(7 AS BIGINT),
+                        list_transform(chars[x.s:x.e],
+                                       c -> CAST(ascii(c) AS BIGINT))),
+                      (acc, y) -> (acc * 131 + y) % 2147483647)) AS f
+      FROM spans
+    ),
+    e AS (SELECT doc_id, unnest(f) AS fp FROM fps),
+    cnt AS (SELECT fp, count(*) AS c FROM e GROUP BY fp)
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (cnt.c >= 2) AS BIGINT) AS n_dup_chunks,
+           CAST((count(*) FILTER (cnt.c >= 2) * 1000000
+                 - (count(*) FILTER (cnt.c >= 2) * 1000000) % count(*))
+                // count(*) AS BIGINT) AS dup_chunk_ppm
+    FROM e JOIN cnt USING (fp)
+    GROUP BY e.doc_id
+    """,
+)
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (round 12; LBFS — Muthitacharoen
+    et al. SOSP 2001; FastCDC ATC 2016 is the optimized descendant) —
+    the offset-robust complement to q_chunk_dedup's fixed 20-token
+    grid: a boundary falls wherever the rolling w=16-char-gram hash
+    satisfies H % 64 == 0 (expected chunk ~64 chars), so boundaries
+    are a pure function of LOCAL content and a one-character insertion
+    reshapes only the chunk it lands in — shared passages between
+    documents chunk identically at ANY offset, which is what makes
+    chunk-level dedup actually fire on shifted boilerplate
+    (fixed-size grids miss it entirely; property-tested in
+    tests/test_units.py). Per doc: chunk count, chunks whose
+    fingerprint occurs >= 2 times corpus-wide, and the duplicated
+    ratio in exact ppm. Fingerprints are two independent 31-bit Horner
+    lanes packed into one long (collision needs a double collision,
+    ~2^-62) — fully integer, so the DuckDB oracle replays the exact
+    arithmetic.
+
+    Plan shape: ONE Arrow kernel pass (masked-Horner batch kernel,
+    functions.text.cdc_chunk_fps_udf — O(total chars) with every step
+    a full-width numpy op), explode to (doc, fp), corpus-wide
+    multiplicity as a count-window over the 8-byte fp (one exchange,
+    no doc-list buffering), then one groupBy(doc_id). At 100 TB both
+    exchanges move 16-byte rows and the hot chunk fingerprints
+    (boilerplate) cost counters, not memory — the same discipline as
+    q_winnow_dedup's df window."""
+    from breweries_data_pipeline_spark.functions.text import (
+        cdc_chunk_fps_udf,
+    )
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.length("text") >= 1
+    )
+    e = docs.select(
+        "doc_id", cdc_chunk_fps_udf()(F.col("text")).alias("f")
+    ).select("doc_id", F.explode("f").alias("fp"))
+    cnt = e.withColumn("__c", F.count("*").over(W.partitionBy("fp")))
+    dup = (F.col("__c") >= 2).cast("long")
+    agg = cnt.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(dup).alias("n_dup_chunks"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("n_dup_chunks").cast("long").alias("n_dup_chunks"),
+        _long_div(
+            F.col("n_dup_chunks") * 1000000, F.col("n_chunks")
+        ).alias("dup_chunk_ppm"),
     )
 
 

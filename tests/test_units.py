@@ -1174,6 +1174,59 @@ def test_winnow_fingerprints_kernel_matches_hof_spec(spark, sf_dir):
     assert all(len(v) >= 1 for v in kernel.values())
 
 
+def test_cdc_kernel_matches_spec_and_is_shift_robust(spark, sf_dir):
+    """q_cdc_chunk_dedup's masked-Horner batch kernel must emit exactly
+    the spec's chunk fingerprints (cdc_chunk_fps — readable pure-Python
+    LBFS reference), in order, over a real corpus sample plus edge
+    shapes; and content-defined boundaries must be offset-robust: a
+    one-char PREPEND leaves every chunk but the first intact (the
+    property fixed-size chunking lacks, and the reason this operator
+    exists)."""
+    import pyspark.sql.functions as F
+
+    from breweries_data_pipeline_spark.functions.text import (
+        cdc_chunk_fps,
+        cdc_chunk_fps_udf,
+    )
+    from breweries_data_pipeline_spark.sources import read_table
+
+    sample = (
+        read_table(spark, sf_dir, "documents")
+        .limit(30)
+        .select("doc_id", "text")
+    )
+    edge = spark.createDataFrame(
+        [(100001, ""),               # no chunks
+         (100002, "a"),              # shorter than the window: 1 chunk
+         (100003, "a" * 15),         # exactly window-1
+         (100004, "ab" * 200)],      # periodic long doc
+        "doc_id long, text string",
+    )
+    docs = sample.unionByName(edge)
+    kernel = {
+        r["doc_id"]: list(r["f"])
+        for r in docs.select(
+            "doc_id", cdc_chunk_fps_udf()(F.col("text")).alias("f")
+        ).collect()
+    }
+    spec = {
+        r["doc_id"]: cdc_chunk_fps(r["text"])
+        for r in docs.collect()
+    }
+    assert kernel == spec
+    assert kernel[100001] == []
+    assert len(kernel[100002]) == 1
+
+    # shift robustness on a real doc with >= 3 chunks
+    text = next(
+        r["text"] for r in sample.collect()
+        if len(cdc_chunk_fps(r["text"])) >= 3
+    )
+    f0, f1 = cdc_chunk_fps(text), cdc_chunk_fps("Z" + text)
+    assert f0[1:] == f1[1:]          # every chunk after the first intact
+    assert f0[0] != f1[0]
+
+
 def test_records_to_dataframe_empty_fetch_yields_empty_frame(spark):
     """An empty API fetch day must behave like reading back an empty
     JSONL: 0 rows, 0 columns — not a createDataFrame inference crash."""

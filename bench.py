@@ -262,6 +262,7 @@ R11 = [
 # the constant-cost sampled LSH recall audit
 R12 = [
     "q_winnow_dedup",
+    "q_winnow_dedup_star",
     "q_lsh_recall_audit_sampled",
     "q_cdc_chunk_dedup",
 ]

@@ -8348,6 +8348,7 @@ PANEL_PRIORITY: list[str] = [
     "q_winnow_dedup",
     "q_lsh_recall_audit_sampled",
     "q_cdc_chunk_dedup",
+    "q_winnow_dedup_star",
 ]
 
 
@@ -15259,6 +15260,98 @@ def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ppm.alias("overlap_ppm"),
         )
         .filter(F.col("overlap_ppm") >= 500000)
+    )
+
+
+@register(
+    "q_winnow_dedup_star",
+    f"""
+    WITH RECURSIVE {_sql_winnow_fps(20, 8)},
+    e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+    grp AS (
+      SELECT fp, min(doc_id) AS rep
+      FROM e GROUP BY fp HAVING count(*) BETWEEN 2 AND 10
+    ),
+    star AS (
+      SELECT DISTINCT g.rep AS u, e.doc_id AS v
+      FROM e JOIN grp g USING (fp)
+      WHERE e.doc_id <> g.rep
+    ),
+    sym AS (
+      SELECT u, v FROM star
+      UNION ALL
+      SELECT v AS u, u AS v FROM star
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    minlab AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d LEFT JOIN minlab m USING (doc_id)
+    WHERE m.cluster_id IS NULL OR m.cluster_id = d.doc_id
+    """,
+)
+def q_winnow_dedup_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LINEAR production twin of q_winnow_dedup — exactly the
+    q_dedup_neardup -> q_dedup_lsh_buckets relationship, applied to
+    winnowing: instead of emitting verified pairs (quadratic in clique
+    size by output contract), each df-capped fingerprint bucket
+    contributes STAR edges (bucket-min rep -> member), star components
+    equal clique components (the executed-equivalence argument of
+    lsh_bucket_star_edges, operators/dedup.py), and pointer-jumping
+    connected components collapse them to min-id survivors. Candidate
+    volume is LINEAR in corpus size: <= 9 star edges per capped
+    fingerprint, never a pairwise join. Output: the surviving
+    documents (cluster min), same shape as q_dedup_lsh_buckets, so a
+    corpus pipeline can swap shingle-LSH for winnowing (partial-
+    overlap/plagiarism shapes) without touching downstream stages.
+
+    Plan: ONE Arrow kernel pass; rep + df in a single count/min window
+    over the 8-byte fp (one exchange, no join-back re-evaluating the
+    kernel lineage); CC is O(log diameter) rounds of bucketed
+    equi-joins (operators/graph.py). Oracle: DuckDB WITH RECURSIVE
+    reachability over the same star edges proves the collapse is the
+    true transitive closure, not just the pairing."""
+    from breweries_data_pipeline_spark.functions.text import (
+        winnow_fingerprints_udf,
+    )
+    from breweries_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from pyspark.sql import Window as W
+
+    k, w = 20, 8
+    docs = read_table(spark, sf_dir, "documents")
+    e = (
+        docs.where(F.length("text") >= k + w - 1)
+        .select(
+            "doc_id",
+            winnow_fingerprints_udf(k=k, w=w)(F.col("text")).alias("fps"),
+        )
+        .select("doc_id", F.explode("fps").alias("fp"))
+    )
+    wfp = W.partitionBy("fp")
+    edges = (
+        e.withColumn("rep", F.min("doc_id").over(wfp))
+        .withColumn("__df", F.count("*").over(wfp))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= 10))
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+        .distinct()
+    )
+    cc = connected_components(
+        edges, docs.select("doc_id"), id_col="doc_id",
+        label_col="cluster_id",
+    )
+    return (
+        cc.filter(F.col("cluster_id") == F.col("doc_id"))
+        .join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source")
     )
 
 

@@ -265,6 +265,8 @@ R12 = [
     "q_winnow_dedup_star",
     "q_lsh_recall_audit_sampled",
     "q_cdc_chunk_dedup",
+    "q_cdc_containment",
+    "q_lang_segments",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

@@ -8349,6 +8349,8 @@ PANEL_PRIORITY: list[str] = [
     "q_lsh_recall_audit_sampled",
     "q_cdc_chunk_dedup",
     "q_winnow_dedup_star",
+    "q_cdc_containment",
+    "q_lang_segments",
 ]
 
 
@@ -15263,6 +15265,122 @@ def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_SENT_STOP = (
+    r"len(list_filter(regexp_split_to_array(trim(sent), '\s+'), "
+    "t -> list_contains({words}, t)))"
+)
+
+
+@register(
+    "q_lang_segments",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(text,
+                      '[.!?][ \t\n\x0b\f\r]+')) AS sent,
+             generate_subscripts(regexp_split_to_array(text,
+                      '[.!?][ \t\n\x0b\f\r]+'), 1) AS pos
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, pos,
+             CASE WHEN {en} > {es} THEN 'en'
+                  WHEN {es} > {en} THEN 'es'
+                  ELSE 'und' END AS lang_pred
+      FROM s
+    ),
+    c AS (
+      SELECT doc_id, pos, lang_pred,
+             CASE WHEN lag(lang_pred) OVER (PARTITION BY doc_id
+                                            ORDER BY pos)
+                       IS DISTINCT FROM lang_pred
+                  THEN 1 ELSE 0 END AS chg
+      FROM p
+    ),
+    g AS (
+      SELECT doc_id, pos, lang_pred,
+             sum(chg) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS seg_idx
+      FROM c
+    )
+    SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx, lang_pred,
+           CAST(count(*) AS BIGINT) AS n_sentences,
+           CAST(min(pos) AS BIGINT) AS start_pos,
+           CAST(max(pos) AS BIGINT) AS end_pos
+    FROM g GROUP BY doc_id, seg_idx, lang_pred
+    """.replace(
+        "{en}",
+        _SQL_SENT_STOP.format(
+            words="['the','a','of','and','to','in','is','that','it','for']"
+        ),
+    ).replace(
+        "{es}",
+        _SQL_SENT_STOP.format(
+            words="['el','la','de','los','las','que','y','en','un','una']"
+        ),
+    ),
+)
+def q_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document language segmentation (round 12) — the CCNet /
+    crawl-curation step that splits MULTILINGUAL documents into
+    contiguous same-language runs so each run can be routed to its
+    language's corpus instead of the whole doc being kept or dropped
+    on a single doc-level label. Per sentence (the q_sentence_dedup
+    boundary class — engine-identical Java-ASCII regex), the
+    q_langid_confusion stopword-profile heuristic classifies en/es/
+    und; consecutive same-label sentences collapse into segments via
+    the standard gaps-and-islands construction (change-flag lag window
+    + running sum). Output per segment: label, sentence count, and the
+    1-based [start_pos, end_pos] sentence span — all integer,
+    hash-exact.
+
+    Plan shape: split/classify is a pure narrow map riding the scan;
+    the lag + running-sum windows and the final aggregate all key on
+    doc_id (sentence count per doc is bounded, so no partition ever
+    exceeds one document's sentences — skew-free at any corpus size),
+    and Spark's window+aggregate share the one doc_id exchange."""
+    from breweries_data_pipeline_spark.functions.text import (
+        STOPWORDS_EN,
+        STOPWORDS_ES,
+        stopword_count,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sents = F.split("text", r"[.!?][ \t\n\x0b\f\r]+")
+    s = docs.select(
+        "doc_id", F.posexplode(sents).alias("pos0", "sent")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sent")
+    en = stopword_count(F.col("sent"), STOPWORDS_EN)
+    es = stopword_count(F.col("sent"), STOPWORDS_ES)
+    p = s.select(
+        "doc_id",
+        "pos",
+        F.when(en > es, F.lit("en"))
+        .when(es > en, F.lit("es"))
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("lang_pred").over(w)
+    chg = F.when(
+        prev.isNull() | (prev != F.col("lang_pred")), F.lit(1)
+    ).otherwise(F.lit(0))
+    g = p.withColumn(
+        "seg_idx",
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return g.groupBy("doc_id", "seg_idx", "lang_pred").agg(
+        F.count("*").cast("long").alias("n_sentences"),
+        F.min("pos").cast("long").alias("start_pos"),
+        F.max("pos").cast("long").alias("end_pos"),
+    ).select(
+        "doc_id", F.col("seg_idx").cast("long").alias("seg_idx"),
+        "lang_pred", "n_sentences", "start_pos", "end_pos",
+    )
+
+
 @register(
     "q_winnow_dedup_star",
     f"""
@@ -15355,10 +15473,7 @@ def q_winnow_dedup_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_cdc_chunk_dedup",
-    """
-    WITH d AS (
+_SQL_CDC_FPS = """d AS (
       SELECT doc_id, regexp_split_to_array(text, '') AS chars,
              length(text) AS n
       FROM documents WHERE length(text) >= 1
@@ -15411,7 +15526,13 @@ def q_winnow_dedup_star(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        c -> CAST(ascii(c) AS BIGINT))),
                       (acc, y) -> (acc * 131 + y) % 2147483647)) AS f
       FROM spans
-    ),
+    )"""
+
+
+@register(
+    "q_cdc_chunk_dedup",
+    f"""
+    WITH {_SQL_CDC_FPS},
     e AS (SELECT doc_id, unnest(f) AS fp FROM fps),
     cnt AS (SELECT fp, count(*) AS c FROM e GROUP BY fp)
     SELECT e.doc_id,
@@ -15474,6 +15595,62 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _long_div(
             F.col("n_dup_chunks") * 1000000, F.col("n_chunks")
         ).alias("dup_chunk_ppm"),
+    )
+
+
+@register(
+    "q_cdc_containment",
+    f"""
+    WITH {_SQL_CDC_FPS},
+    u AS (SELECT doc_id, list_distinct(f) AS fps FROM fps)
+    SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b,
+           CAST(len(a.fps) AS BIGINT) AS n_chunks_a,
+           CAST(len(list_intersect(a.fps, b.fps)) AS BIGINT) AS n_shared,
+           CAST((len(list_intersect(a.fps, b.fps)) * 1000000
+                 - (len(list_intersect(a.fps, b.fps)) * 1000000)
+                   % greatest(len(a.fps), 1))
+                // greatest(len(a.fps), 1) AS BIGINT) AS containment_ppm
+    FROM u a JOIN u b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_cdc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level containment between consecutive docs (round 12) —
+    q_containment's asymmetric near-dup signal re-based from 3-gram
+    shingles onto content-defined chunks: |chunks(A) ∩ chunks(B)| /
+    |chunks(A)| in exact integer ppm. Because CDC boundaries are
+    offset-robust, a passage of A embedded ANYWHERE in B still yields
+    shared chunk fingerprints (shingle containment sees this too but
+    at ~64x the set size; fixed-grid chunk containment misses it
+    entirely) — the cheap screen for A-inside-B shapes at 16 bytes per
+    ~64-char chunk. Same consecutive-pair join shape as q_containment:
+    an equi-join on doc_id+1, zero pair explosion, and the kernel's
+    fingerprint arrays persist once for both join sides."""
+    from breweries_data_pipeline_spark.functions.text import (
+        cdc_chunk_fps_udf,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.length("text") >= 1
+    )
+    u = _persist(
+        docs.select(
+            "doc_id",
+            F.array_distinct(
+                cdc_chunk_fps_udf()(F.col("text"))
+            ).alias("fps"),
+        )
+    )
+    nxt = u.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("fps").alias("fps_b")
+    )
+    inter = F.size(F.array_intersect("fps", "fps_b")).cast("long")
+    na = F.greatest(F.size("fps"), F.lit(1)).cast("long")
+    return u.join(nxt, "doc_id").select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1).alias("id_b"),
+        F.size("fps").cast("long").alias("n_chunks_a"),
+        inter.alias("n_shared"),
+        _long_div(inter * 1000000, na).alias("containment_ppm"),
     )
 
 

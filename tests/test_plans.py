@@ -438,6 +438,28 @@ def test_lsh_recall_audit_sampled_pushes_sample_to_scan(spark, sf_dir):
     assert plan.count("md5") >= 1 and "Filter" in plan
 
 
+def test_lang_segments_single_doc_exchange(spark, sf_dir):
+    """q_lang_segments: the lag window, running-sum window, and final
+    aggregate all key on doc_id — ONE exchange serves the whole
+    pipeline (Spark reuses the hashpartitioning(doc_id) across the
+    windows and the partial-aggregated groupBy)."""
+    plan = _plan(spark, sf_dir, "q_lang_segments")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_containment_single_kernel_and_equi_join(spark, sf_dir):
+    """q_cdc_containment: the fingerprint arrays persist once and feed
+    both sides of the consecutive-pair join — one distinct Arrow UDF
+    slot, and the join is an equi-join on doc_id."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q_cdc_containment")
+    assert len(set(re.findall(r"pythonUDF\d+#\d+", plan))) == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_kcore_peel_is_zero_writeback_broadcast_probes(spark, sf_dir):
     """The k-core scale contract: every per-round node filter is a
     BROADCAST left-semi probe (a >10 MB keep set must never flip the

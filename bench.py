@@ -267,6 +267,7 @@ R12 = [
     "q_cdc_chunk_dedup",
     "q_cdc_containment",
     "q_lang_segments",
+    "q_streaming_cdc_ingest",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

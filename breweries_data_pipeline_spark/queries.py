@@ -8351,6 +8351,7 @@ PANEL_PRIORITY: list[str] = [
     "q_winnow_dedup_star",
     "q_cdc_containment",
     "q_lang_segments",
+    "q_streaming_cdc_ingest",
 ]
 
 
@@ -15658,6 +15659,111 @@ def q_cdc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("fps").cast("long").alias("n_chunks_a"),
         inter.alias("n_shared"),
         _long_div(inter * 1000000, na).alias("containment_ppm"),
+    )
+
+
+@register(
+    "q_streaming_cdc_ingest",
+    f"""
+    WITH {_SQL_CDC_FPS},
+    u AS (SELECT doc_id, list_distinct(f) AS fps FROM fps),
+    b0 AS (SELECT doc_id, fps, len(fps) AS n FROM u WHERE doc_id % 3 = 0),
+    b1 AS (SELECT doc_id, fps, len(fps) AS n FROM u WHERE doc_id % 3 = 1),
+    b2 AS (SELECT doc_id, fps, len(fps) AS n FROM u WHERE doc_id % 3 = 2),
+    a0 AS (SELECT doc_id, fps, n, CAST(0 AS BIGINT) AS n_seen FROM b0),
+    s1 AS (SELECT DISTINCT unnest(fps) AS fp FROM a0),
+    e1 AS (SELECT doc_id, unnest(fps) AS fp FROM b1),
+    m1 AS (SELECT e1.doc_id, count(s1.fp) AS n_seen
+           FROM e1 LEFT JOIN s1 ON e1.fp = s1.fp GROUP BY e1.doc_id),
+    a1 AS (SELECT b1.doc_id, b1.fps, b1.n, m1.n_seen
+           FROM b1 JOIN m1 USING (doc_id)
+           WHERE m1.n_seen * 1000000 < 500000 * b1.n),
+    s2 AS (SELECT fp FROM s1
+           UNION
+           SELECT DISTINCT unnest(fps) AS fp FROM a1),
+    e2 AS (SELECT doc_id, unnest(fps) AS fp FROM b2),
+    m2 AS (SELECT e2.doc_id, count(s2.fp) AS n_seen
+           FROM e2 LEFT JOIN s2 ON e2.fp = s2.fp GROUP BY e2.doc_id),
+    a2 AS (SELECT b2.doc_id, b2.fps, b2.n, m2.n_seen
+           FROM b2 JOIN m2 USING (doc_id)
+           WHERE m2.n_seen * 1000000 < 500000 * b2.n),
+    acc AS (
+      SELECT doc_id, CAST(0 AS BIGINT) AS batch, n, n_seen FROM a0
+      UNION ALL
+      SELECT doc_id, CAST(1 AS BIGINT), n, n_seen FROM a1
+      UNION ALL
+      SELECT doc_id, CAST(2 AS BIGINT), n, n_seen FROM a2
+    )
+    SELECT doc_id, batch, CAST(n AS BIGINT) AS n_fps,
+           CAST(n_seen AS BIGINT) AS n_seen,
+           CAST((n_seen * 1000000 - (n_seen * 1000000) % n) // n
+                AS BIGINT) AS seen_ppm
+    FROM acc
+    """,
+)
+def q_streaming_cdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming chunk-level crawl-refresh ingest (round 12) — the CDC
+    twin of q_streaming_corpus_ingest: three deterministic micro-
+    batches (doc_id % 3 — the staged one-file-per-batch replay of
+    q_streaming_late_drop) flow through foreachBatch; each batch's
+    documents are REJECTED when >= 50% of their distinct content-
+    defined-chunk fingerprints already appear in the accepted store
+    (the re-crawled-page-with-one-edited-paragraph shape exact dedup
+    cannot catch), and accepted docs publish their chunk sets through
+    the manifest-committed version protocol. FULL oracle — the DuckDB
+    side unrolls the three batches as CTE stages with the identical
+    integer accept predicate (n_seen * 1e6 < 5e5 * n_fps), so the
+    sequential store semantics are value-hash-checked end to end.
+    Output: every accepted doc with its batch, chunk count, seen-chunk
+    count, and seen ratio in exact ppm.
+
+    Scale: store state is one distinct 8-byte fingerprint column
+    (compacted index at 100 TB); the per-batch probe is a left-semi
+    equi-join on it; kernel cost is one Arrow pass per batch."""
+    import os
+    import tempfile
+
+    from breweries_data_pipeline_spark.streaming import (
+        streaming_cdc_ingest,
+    )
+    from breweries_data_pipeline_spark.streaming.upsert import (
+        committed_versions,
+    )
+    from breweries_data_pipeline_spark.streaming.windows import (
+        stage_parquet_batches,
+    )
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= 1)
+        .select("doc_id", "text")
+    )
+    stages = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    staged = stage_parquet_batches(stages)
+    store = tempfile.mkdtemp(prefix="bdp_cdc_store_")
+    ckpt = tempfile.mkdtemp(prefix="bdp_cdc_ckpt_")
+    sdf = (
+        spark.readStream.schema(stages[0].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    streaming_cdc_ingest(sdf, store, checkpoint_dir=ckpt)
+    _drop_scratch(ckpt)
+    _drop_scratch(staged)
+    out = None
+    for v in sorted(committed_versions(store)):
+        part = spark.read.parquet(os.path.join(store, f"v{v}")).withColumn(
+            "batch", F.lit(v).cast("long")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.select(
+        "doc_id",
+        "batch",
+        F.col("n_fps").cast("long").alias("n_fps"),
+        F.col("n_seen").cast("long").alias("n_seen"),
+        _long_div(
+            F.col("n_seen") * 1000000, F.col("n_fps").cast("long")
+        ).alias("seen_ppm"),
     )
 
 

@@ -23,5 +23,6 @@ from breweries_data_pipeline_spark.streaming.windows import (  # noqa: F401
 from breweries_data_pipeline_spark.streaming.corpus_ingest import (  # noqa: F401
     read_corpus,
     read_documents_stream,
+    streaming_cdc_ingest,
     streaming_corpus_ingest,
 )

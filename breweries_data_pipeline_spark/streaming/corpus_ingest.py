@@ -85,6 +85,79 @@ def streaming_corpus_ingest(
     q.awaitTermination()
 
 
+def streaming_cdc_ingest(
+    sdf: DataFrame,
+    store_dir: str,
+    *,
+    checkpoint_dir: str,
+    threshold_ppm: int = 500_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Chunk-level streaming ingest — the CDC twin of
+    streaming_corpus_ingest: each micro-batch's documents are
+    fingerprinted at content-defined-chunk granularity
+    (functions.text.cdc_chunk_fps_udf — offset-robust boundaries), a
+    document is REJECTED when >= threshold_ppm of its distinct chunk
+    fingerprints already appear in the accepted store (near-dup /
+    mostly-boilerplate refresh pages), and accepted documents publish
+    with their chunk sets through the same manifest-committed version
+    protocol. This is the crawl-refresh shape exact dedup can't serve:
+    a re-crawled page with one edited paragraph shares every other
+    chunk and is dropped, while a genuinely new page sails through.
+
+    Scale notes: the store-side state is ONE distinct 8-byte
+    fingerprint column (compacted index at 100 TB, as with the exact
+    ingest); the per-batch membership probe is a left-semi equi-join
+    on that key, and the accept predicate is pure integer arithmetic
+    (n_seen * 1e6 < threshold * n_fps — no float, no rounding drift
+    vs the SQL oracle)."""
+    from pyspark.sql import functions as F
+
+    from breweries_data_pipeline_spark.functions.text import (
+        cdc_chunk_fps_udf,
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_id in committed_versions(store_dir):
+            return  # redelivered batch: already published, skip
+        fresh = batch_df.select(
+            id_col,
+            F.array_distinct(
+                cdc_chunk_fps_udf()(F.col(text_col))
+            ).alias("fps"),
+        ).withColumn("n_fps", F.size("fps"))
+        existing = read_corpus(spark, store_dir)
+        if existing is not None:
+            seen = existing.select(F.explode("fps").alias("fp")).distinct()
+            e = fresh.select(id_col, F.explode("fps").alias("fp"))
+            m = (
+                e.join(seen, "fp", "left_semi")
+                .groupBy(id_col)
+                .agg(F.count("*").alias("n_seen"))
+            )
+            fresh = fresh.join(m, id_col, "left").fillna(0, ["n_seen"])
+        else:
+            fresh = fresh.withColumn("n_seen", F.lit(0).cast("long"))
+        accepted = fresh.filter(
+            F.col("n_seen") * 1_000_000
+            < F.lit(threshold_ppm) * F.col("n_fps")
+        )
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"v{batch_id}")
+        )
+        commit_snapshot_version(store_dir, batch_id)
+
+    q = (
+        sdf.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents parquet (schema from a
     footer-only batch peek, as with read_events_stream)."""

@@ -157,6 +157,30 @@ def run_available_now(
 _STAGE_SEQ = [0]  # per-process counter: unique memory-sink names
 
 
+def stage_parquet_batches(stages: list[DataFrame]) -> str:
+    """Write each stage DataFrame as exactly ONE parquet file in a
+    fresh directory with strictly increasing mtimes, so a file-source
+    stream with ``maxFilesPerTrigger=1`` under availableNow processes
+    micro-batch N == stage N (oldest-mtime-first admission). Shared by
+    staged_availablenow_drain (append-mode memory-sink drains) and the
+    foreachBatch ingest replays (q_streaming_cdc_ingest). Caller owns
+    the returned directory (drop_scratch when drained)."""
+    import glob as _glob
+    import shutil
+
+    d = tempfile.mkdtemp(prefix="bdp_staged_")
+    base = 1_000_000_000  # fixed epoch for mtimes: ordering, not wall time
+    for i, df in enumerate(stages):
+        tmp = tempfile.mkdtemp(prefix="bdp_stage_w_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(d, f"stage{i:03d}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dest, (base + i * 100, base + i * 100))
+    return d
+
+
 def staged_availablenow_drain(
     spark: SparkSession,
     stages: list[DataFrame],
@@ -173,19 +197,7 @@ def staged_availablenow_drain(
     mid-stream, so nothing is ever late. ``build(sdf) -> DataFrame``
     shapes the streaming query; output is drained APPEND-mode into a
     memory sink and returned as a batch DataFrame."""
-    import glob as _glob
-    import shutil
-
-    d = tempfile.mkdtemp(prefix="bdp_staged_")
-    base = 1_000_000_000  # fixed epoch for mtimes: ordering, not wall time
-    for i, df in enumerate(stages):
-        tmp = tempfile.mkdtemp(prefix="bdp_stage_w_")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dest = os.path.join(d, f"stage{i:03d}.parquet")
-        shutil.move(part, dest)
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.utime(dest, (base + i * 100, base + i * 100))
+    d = stage_parquet_batches(stages)
     sdf = (
         spark.readStream.schema(stages[0].schema)
         .option("maxFilesPerTrigger", "1")

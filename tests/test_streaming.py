@@ -251,6 +251,75 @@ def test_streaming_corpus_ingest_second_wave_drops_known_fingerprints(
     assert read_corpus(spark, store).count() == n1
 
 
+def test_streaming_cdc_ingest_drops_near_dup_refresh(spark, sf_dir, tmp_path):
+    """q_streaming_cdc_ingest's operator contract: a second wave that
+    re-sends the SAME documents (the full-recrawl shape) adds nothing
+    — every chunk fingerprint is already in the store, so each doc's
+    seen-ratio is 100% and the accept predicate rejects it; and a
+    replayed drain over the same checkpoint is a manifest-guarded
+    no-op."""
+    import pyspark.sql.functions as F
+
+    from breweries_data_pipeline_spark.sources import read_table
+    from breweries_data_pipeline_spark.streaming import (
+        read_corpus,
+        streaming_cdc_ingest,
+    )
+    from breweries_data_pipeline_spark.streaming.upsert import (
+        committed_versions,
+    )
+    from breweries_data_pipeline_spark.streaming.windows import (
+        stage_parquet_batches,
+    )
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= 1)
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    store = str(tmp_path / "store")
+    staged = stage_parquet_batches(
+        [docs.filter(F.col("doc_id") % 2 == i) for i in range(2)]
+    )
+
+    def _drain(ck, d=None):
+        # a checkpoint pins its file-source path, so the ck1 replay
+        # must reuse the SAME staged dir; only a fresh checkpoint may
+        # stage anew
+        if d is None:
+            d = stage_parquet_batches(
+                [docs.filter(F.col("doc_id") % 2 == i) for i in range(2)]
+            )
+        sdf = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        streaming_cdc_ingest(sdf, store, checkpoint_dir=ck)
+
+    _drain(str(tmp_path / "ck1"), staged)
+    v1 = committed_versions(store)
+    accepted1 = read_corpus(spark, store)
+    n1 = accepted1.count()
+    assert len(v1) == 2 and n1 > 0
+    # batch-1 docs that overlapped batch-0 content were rejected OR
+    # accepted with a sub-threshold seen count — every stored row obeys
+    # the integer predicate
+    bad = accepted1.filter(
+        F.col("n_seen") * 1000000 >= 500000 * F.col("n_fps")
+    )
+    assert bad.count() == 0
+    # replay over the SAME checkpoint: manifest guard, no new versions
+    _drain(str(tmp_path / "ck1"), staged)
+    assert committed_versions(store) == v1
+    assert read_corpus(spark, store).count() == n1
+    # full re-crawl with a FRESH checkpoint: all chunks known, nothing
+    # new is accepted
+    _drain(str(tmp_path / "ck2"))
+    assert read_corpus(spark, store).count() == n1
+
+
 def test_redelivered_committed_batch_is_a_noop(spark, tmp_path):
     """foreachBatch redelivers a batch when its commit landed but the
     stream checkpoint didn't. For an already-committed batch id the

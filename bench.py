@@ -268,6 +268,7 @@ R12 = [
     "q_cdc_containment",
     "q_lang_segments",
     "q_streaming_cdc_ingest",
+    "q_winnow_spans",
 ]
 
 WARMUP_TABLES = ("lineitem", "orders", "customer", "nation", "region", "events",

@@ -260,6 +260,50 @@ def winnow_fingerprints_udf(
     return pandas_udf("array<long>")(_fps)
 
 
+def winnow_fp_pos_udf(
+    k: int = 20,
+    w: int = 8,
+    base: int = 31,
+    mod: int = 2_147_483_647,
+    init: int = 7,
+) -> "Column":
+    """array<struct<fp:long,pos:long>>: each DISTINCT selected
+    winnowing fingerprint with the 1-based k-gram position of its
+    FIRST selected occurrence, ascending by fp — the localization
+    payload q_winnow_spans needs to report MOSS-style matched regions
+    (winnow_fingerprints_udf strips positions). Same vectorized int64
+    kernel, same bit-identical contract vs the HOF spec; np.unique's
+    return_index over the position-ordered value array IS min-position
+    per fingerprint. Caller guarantees len(text) >= k+w-1."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _fps(texts):
+        import numpy as np
+
+        out = []
+        for t in texts:
+            codes = np.fromiter(map(ord, t), dtype=np.int64, count=len(t))
+            m = len(codes) - k + 1
+            H = np.full(m, init, dtype=np.int64)
+            for s in range(k):
+                H = (H * base + codes[s:s + m]) % mod
+            win = np.lib.stride_tricks.sliding_window_view(H, w)
+            ridx = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+            sel = np.unique(np.arange(len(win)) + ridx)
+            vals = H[sel]
+            uniq, first = np.unique(vals, return_index=True)
+            pos = sel[first] + 1  # 1-based, min position per fp
+            out.append(
+                [{"fp": int(f), "pos": int(p)}
+                 for f, p in zip(uniq, pos)]
+            )
+        return pd.Series(out)
+
+    _fps.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf("array<struct<fp:bigint,pos:bigint>>")(_fps)
+
+
 def cdc_chunk_fps(
     text: str,
     w: int = 16,

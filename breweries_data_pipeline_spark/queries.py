@@ -8352,6 +8352,7 @@ PANEL_PRIORITY: list[str] = [
     "q_cdc_containment",
     "q_lang_segments",
     "q_streaming_cdc_ingest",
+    "q_winnow_spans",
 ]
 
 
@@ -15386,6 +15387,126 @@ def q_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.col("seg_idx").cast("long").alias("seg_idx"),
         "lang_pred", "n_sentences", "start_pos", "end_pos",
+    )
+
+
+@register(
+    "q_winnow_spans",
+    f"""
+    WITH {_sql_winnow_fps(20, 8)},
+    e1 AS (
+      SELECT doc_id, hs[CAST(u AS INTEGER)] AS fp, u AS pos
+      FROM (SELECT doc_id, hs, unnest(pos) AS u FROM s)
+    ),
+    e2 AS (
+      SELECT doc_id, fp, min(pos) AS pos
+      FROM e1 GROUP BY doc_id, fp
+    ),
+    nsel AS (SELECT doc_id, count(*) AS n_sel FROM e2 GROUP BY doc_id),
+    dfc AS (SELECT fp FROM e2 GROUP BY fp HAVING count(*) BETWEEN 2 AND 10),
+    ee AS (
+      SELECT e2.doc_id, e2.fp, e2.pos, nsel.n_sel
+      FROM e2 JOIN dfc USING (fp) JOIN nsel USING (doc_id)
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sel AS na, b.n_sel AS nb, count(*) AS n_shared,
+             min(a.pos) AS a_start, max(a.pos) AS a_end,
+             min(b.pos) AS b_start, max(b.pos) AS b_end
+      FROM ee a JOIN ee b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(a_start AS BIGINT) AS a_start,
+           CAST(a_end AS BIGINT) AS a_end,
+           CAST(b_start AS BIGINT) AS b_start,
+           CAST(b_end AS BIGINT) AS b_end
+    FROM cand
+    WHERE (n_shared * 1000000 - (n_shared * 1000000) % least(na, nb))
+          // least(na, nb) >= 500000
+    """,
+)
+def q_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS match LOCALIZATION (round 12) — the report step of the
+    winnowing family: for every verified near-dup pair (the same
+    df-capped candidates + >= 50% fingerprint-set containment rule as
+    q_winnow_dedup), the 1-based k-gram position span of the shared
+    fingerprints in EACH document ([a_start, a_end] x [b_start,
+    b_end]) — what MOSS renders as the highlighted matched regions,
+    and what a curation pipeline needs to excise a shared passage from
+    one document instead of dropping the whole pair member. Positions
+    ride the kernel output as struct<fp,pos> (first selected
+    occurrence per fingerprint — winnow_fp_pos_udf), so localization
+    costs no extra pass: the same ONE kernel run, the same fp window
+    and self-join as the dedup form, with min/max position aggregates
+    on top. All integer, full oracle."""
+    from breweries_data_pipeline_spark.functions.text import (
+        winnow_fp_pos_udf,
+    )
+    from pyspark.sql import Window as W
+
+    k, w = 20, 8
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.length("text") >= k + w - 1
+    )
+    e = (
+        docs.select(
+            "doc_id",
+            winnow_fp_pos_udf(k=k, w=w)(F.col("text")).alias("fps"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    "fps",
+                    lambda x: F.struct(
+                        F.size("fps").alias("n_sel"),
+                        x["fp"].alias("fp"),
+                        x["pos"].alias("pos"),
+                    ),
+                )
+            ).alias("__e"),
+        )
+        .select("doc_id", "__e.n_sel", "__e.fp", "__e.pos")
+    )
+    ee = _persist(
+        e.withColumn("__df", F.count("*").over(W.partitionBy("fp")))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= 10))
+        .drop("__df")
+    )
+    a = ee.select(
+        F.col("doc_id").alias("id_a"), F.col("n_sel").alias("na"),
+        F.col("pos").alias("pos_a"), "fp",
+    )
+    b = ee.select(
+        F.col("doc_id").alias("id_b"), F.col("n_sel").alias("nb"),
+        F.col("pos").alias("pos_b"), "fp",
+    )
+    cand = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.min("pos_a").alias("a_start"),
+            F.max("pos_a").alias("a_end"),
+            F.min("pos_b").alias("b_start"),
+            F.max("pos_b").alias("b_end"),
+        )
+    )
+    ppm = _long_div(
+        F.col("n_shared") * 1000000, F.least("na", "nb").cast("long")
+    )
+    return (
+        cand.filter(ppm >= 500000)
+        .select(
+            "id_a", "id_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("a_start").cast("long").alias("a_start"),
+            F.col("a_end").cast("long").alias("a_end"),
+            F.col("b_start").cast("long").alias("b_start"),
+            F.col("b_end").cast("long").alias("b_end"),
+        )
     )
 
 

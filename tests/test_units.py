@@ -985,6 +985,17 @@ class TestBenchCalibration:
             5.2, [{"at": "after_warmup", "probe_sec": 0.18, "load": 1.0}],
             {"value": 4.9, "queries": {}, "calib": None})
         assert best == 5.2 and legs[1]["clean"] is False
+        # headline-only session: the main leg is itself a fresh JVM,
+        # so it gets the fresh-JVM allowance (0.27 > mid-suite 0.24
+        # but within 0.292)
+        legs, best = bench._headline_legs(
+            5.2, [{"at": "after_warmup", "probe_sec": 0.27, "load": 1.0}],
+            None, fresh_jvm_main=True)
+        assert legs[0]["clean"] is True and best == 5.2
+        legs, best = bench._headline_legs(
+            5.2, [{"at": "after_warmup", "probe_sec": 0.27, "load": 1.0}],
+            None)
+        assert legs[0]["clean"] is False and best is None
 
     def test_calib_load_filters_sentinel(self):
         """r11 ADVICE: the -1.0 getloadavg-unavailable sentinel must not

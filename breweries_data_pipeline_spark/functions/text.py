@@ -162,6 +162,87 @@ def winnow_positions(hashes: Column | str, w: int = 4) -> Column:
     return F.array_distinct(F.transform(F.sequence(F.lit(1), m - w + 1), _sel))
 
 
+def _flat_codes(texts: list[str]):
+    """(flat int64 codepoints, per-text lengths) for a whole batch in
+    TWO C-level passes: one str join + one utf-32 encode. A utf-32-le
+    code unit IS the codepoint, so ``frombuffer`` reproduces
+    ``map(ord, t)`` exactly (Python strs are codepoint sequences — no
+    surrogates) at ~100x less interpreted work than a per-character
+    ``ord`` map (guide §4.2: per-row/per-char Python is the enemy)."""
+    import numpy as np
+
+    lens = np.fromiter(map(len, texts), dtype=np.int64, count=len(texts))
+    flat = np.frombuffer(
+        "".join(texts).encode("utf-32-le"), dtype="<u4"
+    ).astype(np.int64)
+    return flat, lens
+
+
+def _mod_stride(base: int, mod: int) -> int:
+    """Largest number of Horner steps safely batched between modular
+    reductions: after j unmodded steps values are < mod * base^j plus
+    codepoint carries (absorbed by the factor 2). Modular reduction
+    commutes with +/*, so batching leaves every residue identical
+    while cutting the integer divisions ~j-fold (base 31 -> 6)."""
+    j = 1
+    while mod * (base ** (j + 1)) * 2 < 2 ** 63:
+        j += 1
+    return j
+
+
+def _ragged_arange(counts):
+    """0..c_i-1 for every i, concatenated — the index spine that turns
+    per-document loops into whole-batch numpy ops over ragged rows."""
+    import numpy as np
+
+    total = int(counts.sum())
+    return np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+
+
+def _winnow_flat(texts: list[str], k: int, w: int, base: int, mod: int,
+                 init: int):
+    """Whole-batch winnowing selection: returns
+    (m, doc_sel, kpos, fps) where ``m`` is per-doc k-gram counts,
+    ``doc_sel``/``kpos``/``fps`` are the doc index, 0-based k-gram
+    position and hash value of every selected fingerprint, ordered by
+    (doc, position) with per-doc position-distinct selections — the
+    exact per-row spec (k Horner steps, rightmost-tie window argmin,
+    position unique) computed with no per-document Python loop. The
+    Horner fold runs over the CONCATENATED batch (contiguous slices);
+    positions straddling a document boundary are computed then
+    discarded via the ragged index spine (<= k-1 waste rows per doc).
+    Caller guarantees len(text) >= k + w - 1 for every row."""
+    import numpy as np
+
+    flat, lens = _flat_codes(texts)
+    d = len(lens)
+    off = np.cumsum(lens) - lens
+    m = lens - k + 1                       # k-gram positions per doc
+    voff = np.cumsum(m) - m                # per-doc start in valid space
+    m_all = len(flat) - k + 1
+    h_all = np.full(m_all, init, dtype=np.int64)
+    stride = _mod_stride(base, mod)
+    for s in range(k):                     # k full-batch Horner steps
+        h_all = h_all * base + flat[s:s + m_all]
+        if (s + 1) % stride == 0 or s == k - 1:
+            h_all %= mod                   # batched mod: see _mod_stride
+    within = _ragged_arange(m)
+    h = h_all[np.repeat(off, m) + within]  # valid positions only
+    # window starts that do not straddle a doc boundary
+    wn = m - w + 1
+    wstart = np.repeat(voff, wn) + _ragged_arange(wn)
+    win = np.lib.stride_tricks.sliding_window_view(h, w)
+    # rightmost minimum = first minimum of the reversed window
+    ridx = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+    # doc segments partition the valid index space, so one global
+    # unique == per-doc position-unique, order preserved
+    sel = np.unique(wstart + ridx[wstart])
+    doc_sel = np.repeat(np.arange(d, dtype=np.int64), m)[sel]
+    return m, doc_sel, sel - voff[doc_sel], h[sel]
+
+
 def winnow_stats_udf(
     k: int = 5,
     w: int = 4,
@@ -179,35 +260,34 @@ def winnow_stats_udf(
     replay — integer math has no evaluation-order freedom, so unlike
     float kernels this one needs no pinned-order caveat
     (tests/test_units.py pins kernel == HOF on a corpus sample).
-    ~50x less interpreted work than the HOF lane (measured 8.2s ->
-    0.16s kernel time at sf0.01). Codepoint note: ord() == the
-    engines' ascii() for BMP text; the synthetic corpus is ASCII."""
+    The whole batch runs flattened (_winnow_flat): the Horner fold and
+    window argmin are full-batch ops and per-doc stats come from
+    reduceat over doc segments — no per-document Python loop at all
+    (r12: the per-doc loop spent more time in loop overhead + small
+    allocs than in arithmetic). Codepoint note: utf-32 units == ord()
+    == the engines' ascii() for BMP text; the corpus is ASCII."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     def _stats(texts):
         import numpy as np
 
-        cols = {f: [] for f in
-                ("n_kgrams", "n_selected", "fp_sum", "fp_min", "fp_max")}
-        for t in texts:
-            codes = np.fromiter(map(ord, t), dtype=np.int64, count=len(t))
-            m = len(codes) - k + 1
-            H = np.full(m, init, dtype=np.int64)
-            for s in range(k):  # k vectorized Horner steps over ALL
-                # positions at once; values stay < 2^36 before each mod
-                H = (H * base + codes[s:s + m]) % mod
-            win = np.lib.stride_tricks.sliding_window_view(H, w)
-            # rightmost minimum = first minimum of the reversed window
-            ridx = (w - 1) - np.argmin(win[:, ::-1], axis=1)
-            sel = np.unique(np.arange(len(win)) + ridx)
-            fps = H[sel]
-            cols["n_kgrams"].append(m)
-            cols["n_selected"].append(len(sel))
-            cols["fp_sum"].append(int(fps.sum()))
-            cols["fp_min"].append(int(fps.min()))
-            cols["fp_max"].append(int(fps.max()))
-        return pd.DataFrame(cols)
+        tl = texts.tolist()
+        if not tl:
+            return pd.DataFrame(
+                {f: pd.Series([], dtype="int64") for f in
+                 ("n_kgrams", "n_selected", "fp_sum", "fp_min", "fp_max")}
+            )
+        m, doc_sel, _, fps = _winnow_flat(tl, k, w, base, mod, init)
+        counts = np.bincount(doc_sel, minlength=len(m))  # >= 1 per doc
+        starts = np.cumsum(counts) - counts
+        return pd.DataFrame({
+            "n_kgrams": m,
+            "n_selected": counts.astype(np.int64),
+            "fp_sum": np.add.reduceat(fps, starts),
+            "fp_min": np.minimum.reduceat(fps, starts),
+            "fp_max": np.maximum.reduceat(fps, starts),
+        })
 
     _stats.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
     return pandas_udf(
@@ -243,18 +323,16 @@ def winnow_fingerprints_udf(
     def _fps(texts):
         import numpy as np
 
-        out = []
-        for t in texts:
-            codes = np.fromiter(map(ord, t), dtype=np.int64, count=len(t))
-            m = len(codes) - k + 1
-            H = np.full(m, init, dtype=np.int64)
-            for s in range(k):
-                H = (H * base + codes[s:s + m]) % mod
-            win = np.lib.stride_tricks.sliding_window_view(H, w)
-            ridx = (w - 1) - np.argmin(win[:, ::-1], axis=1)
-            sel = np.unique(np.arange(len(win)) + ridx)
-            out.append(np.unique(H[sel]))
-        return pd.Series(out)
+        tl = texts.tolist()
+        if not tl:
+            return pd.Series([], dtype=object)
+        m, doc_sel, _, fps = _winnow_flat(tl, k, w, base, mod, init)
+        # (doc, fp) packed into one int64 (fp < mod <= 2^31): a single
+        # global unique == per-doc sorted-unique fp values
+        u = np.unique(doc_sel * mod + fps)
+        docs_u = u // mod
+        bounds = np.searchsorted(docs_u, np.arange(1, len(m)))
+        return pd.Series(np.split(u % mod, bounds))
 
     _fps.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     return pandas_udf("array<long>")(_fps)
@@ -281,23 +359,23 @@ def winnow_fp_pos_udf(
     def _fps(texts):
         import numpy as np
 
-        out = []
-        for t in texts:
-            codes = np.fromiter(map(ord, t), dtype=np.int64, count=len(t))
-            m = len(codes) - k + 1
-            H = np.full(m, init, dtype=np.int64)
-            for s in range(k):
-                H = (H * base + codes[s:s + m]) % mod
-            win = np.lib.stride_tricks.sliding_window_view(H, w)
-            ridx = (w - 1) - np.argmin(win[:, ::-1], axis=1)
-            sel = np.unique(np.arange(len(win)) + ridx)
-            vals = H[sel]
-            uniq, first = np.unique(vals, return_index=True)
-            pos = sel[first] + 1  # 1-based, min position per fp
-            out.append(
-                [{"fp": int(f), "pos": int(p)}
-                 for f, p in zip(uniq, pos)]
-            )
+        tl = texts.tolist()
+        if not tl:
+            return pd.Series([], dtype=object)
+        m, doc_sel, kpos, fps = _winnow_flat(tl, k, w, base, mod, init)
+        # packed (doc, fp) + return_index: the input is (doc, position)
+        # ordered, so the FIRST occurrence of each packed value is its
+        # min position — np.unique gives per-doc fp-ascending uniques
+        u, first = np.unique(doc_sel * mod + fps, return_index=True)
+        docs_u = u // mod
+        fps_u = u % mod
+        pos_u = kpos[first] + 1  # 1-based, min position per fp
+        bounds = np.searchsorted(docs_u, np.arange(1, len(m)))
+        out = [
+            [{"fp": int(f), "pos": int(p)} for f, p in zip(fs, ps)]
+            for fs, ps in zip(np.split(fps_u, bounds),
+                              np.split(pos_u, bounds))
+        ]
         return pd.Series(out)
 
     _fps.__annotations__ = {"texts": pd.Series, "return": pd.Series}
@@ -376,53 +454,63 @@ def cdc_chunk_fps_udf(
     def _fps(texts):
         import numpy as np
 
-        per_doc_counts: list[int] = []
-        starts_all: list[np.ndarray] = []
-        lens_all: list[np.ndarray] = []
-        codes_parts: list[np.ndarray] = []
-        offset = 0
-        for t in texts:
-            codes = np.fromiter(map(ord, t), dtype=np.int64, count=len(t))
-            n = len(codes)
-            if n == 0:
-                per_doc_counts.append(0)
-                continue
-            codes_parts.append(codes)
-            if n >= w:
-                m = n - w + 1
-                G = np.full(m, init, dtype=np.int64)
-                for s in range(w):
-                    G = (G * base1 + codes[s:s + m]) % mod
-                bpos = np.flatnonzero(G % div == 0) + w  # 1-based ends
-            else:
-                bpos = np.empty(0, dtype=np.int64)
-            cs = np.concatenate(([1], bpos + 1))
-            ce = np.concatenate((bpos, [n]))
-            keep = cs <= ce
-            cs, ce = cs[keep], ce[keep]
-            per_doc_counts.append(len(cs))
-            starts_all.append(cs - 1 + offset)  # 0-based, batch-flat
-            lens_all.append(ce - cs + 1)
-            offset += n
-        if starts_all:
-            flat = np.concatenate(codes_parts)
-            st = np.concatenate(starts_all)
-            ln = np.concatenate(lens_all)
-            h1 = np.full(len(st), init, dtype=np.int64)
-            h2 = h1.copy()
-            for s in range(int(ln.max())):
-                act = ln > s
-                c = flat[st[act] + s]
-                h1[act] = (h1[act] * base1 + c) % mod
-                h2[act] = (h2[act] * base2 + c) % mod
-            fps = h1 * 2_147_483_648 + h2
+        tl = texts.tolist()
+        d = len(tl)
+        if d == 0:
+            return pd.Series([], dtype=object)
+        flat, lens = _flat_codes(tl)
+        off = np.cumsum(lens) - lens
+        # boundary detection: w-step Horner over the CONCATENATED
+        # batch (contiguous slices), within-doc windows selected via
+        # the ragged index spine — no per-document Python loop
+        m = np.maximum(lens - w + 1, 0)        # w-windows per doc
+        n_all = len(flat)
+        if n_all >= w:
+            m_all = n_all - w + 1
+            g_all = np.full(m_all, init, dtype=np.int64)
+            stride = _mod_stride(base1, mod)
+            for s in range(w):
+                g_all = g_all * base1 + flat[s:s + m_all]
+                if (s + 1) % stride == 0 or s == w - 1:
+                    g_all %= mod           # batched mod: see _mod_stride
         else:
-            fps = np.empty(0, dtype=np.int64)
-        out, pos = [], 0
-        for k in per_doc_counts:
-            out.append(fps[pos:pos + k])
-            pos += k
-        return pd.Series(out)
+            g_all = np.empty(0, dtype=np.int64)
+        within = _ragged_arange(m)
+        gv = g_all[np.repeat(off, m) + within]
+        doc_of_w = np.repeat(np.arange(d, dtype=np.int64), m)
+        bmask = gv % div == 0
+        bdoc = doc_of_w[bmask]                  # (doc, position) order
+        bend = within[bmask] + w                # 1-based chunk ENDs
+        nb = np.bincount(bdoc, minlength=d)
+        # chunk table: per nonzero doc, starts [1, b+1...] / ends
+        # [b..., n]; scattered into one flat array by doc offsets
+        nch = np.where(lens > 0, nb + 1, 0)
+        choff = np.cumsum(nch) - nch
+        starts = np.empty(int(nch.sum()), dtype=np.int64)
+        ends = np.empty_like(starts)
+        nz = lens > 0
+        starts[choff[nz]] = 1
+        ends[(choff + nch - 1)[nz]] = lens[nz]
+        if len(bdoc):
+            bix = choff[bdoc] + _ragged_arange(nb)
+            ends[bix] = bend
+            starts[bix + 1] = bend + 1
+        keep = starts <= ends   # last boundary at n -> drop empty tail
+        kdoc = np.repeat(np.arange(d, dtype=np.int64), nch)[keep]
+        st = off[kdoc] + starts[keep] - 1       # 0-based, batch-flat
+        ln = ends[keep] - starts[keep] + 1
+        # masked Horner: fold ALL chunks at once, retiring finished
+        # chunks per step — O(total chars), full-width ops throughout
+        h1 = np.full(len(st), init, dtype=np.int64)
+        h2 = h1.copy()
+        for s in range(int(ln.max()) if len(ln) else 0):
+            act = ln > s
+            c = flat[st[act] + s]
+            h1[act] = (h1[act] * base1 + c) % mod
+            h2[act] = (h2[act] * base2 + c) % mod
+        fps = h1 * 2_147_483_648 + h2
+        counts = np.bincount(kdoc, minlength=d)
+        return pd.Series(np.split(fps, np.cumsum(counts)[:-1]))
 
     _fps.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     return pandas_udf("array<long>")(_fps)

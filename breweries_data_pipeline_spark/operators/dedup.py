@@ -140,26 +140,65 @@ def _minhash_udf(num_hashes: int, shingle_size: int) -> Column:
     def _mh(hs):
         import numpy as np
 
-        A = np.asarray(_MINHASH_A[:num_hashes], dtype=np.uint64)[:, None]
-        B = np.asarray(_MINHASH_B[:num_hashes], dtype=np.uint64)[:, None]
+        A = np.asarray(_MINHASH_A[:num_hashes], dtype=np.uint64)
+        B = np.asarray(_MINHASH_B[:num_hashes], dtype=np.uint64)
         # fixed odd mixing constants for the k-token shingle combine
         C = np.asarray(_MINHASH_A[:shingle_size], dtype=np.uint64)
-        sh_col, sig_col = [], []
+        k = shingle_size
+        rows = hs.to_numpy()
+        d = len(rows)
+        if d == 0:
+            return pd.DataFrame({"shingles": [], "minhash": []})
+        lens = np.fromiter(map(len, rows), dtype=np.int64, count=d)
+        flat = np.concatenate(
+            [np.asarray(r, dtype=np.int64) for r in rows]
+        ).astype(np.uint64) if lens.sum() else np.empty(0, np.uint64)
+        off = np.cumsum(lens) - lens
         with np.errstate(over="ignore"):
-            for row in hs:
-                H = np.asarray(row, dtype=np.int64).astype(np.uint64)
-                k = shingle_size
-                if len(H) >= k:
-                    SH = np.zeros(len(H) - k + 1, dtype=np.uint64)
-                    for j in range(k):
-                        SH += C[j] * H[j: len(H) - k + 1 + j]
-                else:
-                    SH = (C[0] * H).sum(keepdims=True)
-                SH = np.unique(SH)  # set semantics for Jaccard
-                sig = (A * SH[None, :] + B).min(axis=1).astype(np.int64)
-                sh_col.append(SH.astype(np.int64))
-                sig_col.append(sig)
-        return pd.DataFrame({"shingles": sh_col, "minhash": sig_col})
+            # shingle combine for the whole batch at once: k strided
+            # adds over the concatenated hash array; windows straddling
+            # a row boundary are computed then discarded (<= k-1 waste
+            # rows per doc). Same mod-2^64 wraparound as per-row.
+            m = np.where(lens >= k, lens - k + 1, 0)
+            n_all = len(flat)
+            m_all = max(n_all - k + 1, 0)
+            sh_all = np.zeros(m_all, dtype=np.uint64)
+            for j in range(k):
+                sh_all += C[j] * flat[j:j + m_all]
+            total = int(m.sum())
+            within = (np.arange(total, dtype=np.int64)
+                      - np.repeat(np.cumsum(m) - m, m))
+            c = np.where(lens >= k, m, 1)  # shingles per doc, pre-unique
+            coff = np.cumsum(c) - c
+            sh = np.empty(int(c.sum()), dtype=np.uint64)
+            sh[np.repeat(coff, m) + within] = sh_all[np.repeat(off, m) + within]
+            # short rows (< k token hashes) collapse to ONE synthetic
+            # shingle: sum of C[0]*H — rare, loop only over those rows
+            for i in np.flatnonzero(lens < k):
+                seg = flat[off[i]:off[i] + lens[i]]
+                sh[coff[i]] = (C[0] * seg).sum()
+            # per-doc sorted unique (set semantics for Jaccard) via one
+            # global lexsort + adjacent-dedup — no per-row np.unique
+            doc_of = np.repeat(np.arange(d, dtype=np.int64), c)
+            order = np.lexsort((sh, doc_of))
+            sh_s, doc_s = sh[order], doc_of[order]
+            first = np.ones(len(sh_s), dtype=bool)
+            first[1:] = (sh_s[1:] != sh_s[:-1]) | (doc_s[1:] != doc_s[:-1])
+            sh_u, doc_u = sh_s[first], doc_s[first]
+            cu = np.bincount(doc_u, minlength=d)   # >= 1 per doc
+            su = np.cumsum(cu) - cu
+            # family minima: one full-batch affine map + segment-min
+            # per hash lane (num_hashes small ops instead of one
+            # (num_hashes x batch_shingles) matrix allocation)
+            sig_mat = np.empty((num_hashes, d), dtype=np.uint64)
+            for i in range(num_hashes):
+                sig_mat[i] = np.minimum.reduceat(A[i] * sh_u + B[i], su)
+        sig_t = sig_mat.T.astype(np.int64)
+        bounds = np.cumsum(cu)[:-1]
+        return pd.DataFrame({
+            "shingles": np.split(sh_u.astype(np.int64), bounds),
+            "minhash": list(sig_t),
+        })
 
     _mh.__annotations__ = {"hs": pd.Series, "return": pd.DataFrame}
     return pandas_udf("shingles: array<bigint>, minhash: array<bigint>")(_mh)

@@ -119,35 +119,53 @@ def streaming_cdc_ingest(
     )
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from breweries_data_pipeline_spark.operators.dedup import (
+            _ensure_parallelism,
+        )
+
         spark = batch_df.sparkSession
         if batch_id in committed_versions(store_dir):
             return  # redelivered batch: already published, skip
-        fresh = batch_df.select(
+        # a staged replay micro-batch is ONE parquet file, which scans
+        # as 1-2 splits — without a repartition the chunking kernel
+        # serializes onto those tasks (at sf1: a 17k-doc batch on 2 of
+        # 32 cores). _ensure_parallelism is a no-op whenever the batch
+        # already scans with >= cores splits (real ingest at scale).
+        fresh = _ensure_parallelism(batch_df.select(id_col, text_col)).select(
             id_col,
             F.array_distinct(
                 cdc_chunk_fps_udf()(F.col(text_col))
             ).alias("fps"),
         ).withColumn("n_fps", F.size("fps"))
-        existing = read_corpus(spark, store_dir)
-        if existing is not None:
-            seen = existing.select(F.explode("fps").alias("fp")).distinct()
-            e = fresh.select(id_col, F.explode("fps").alias("fp"))
-            m = (
-                e.join(seen, "fp", "left_semi")
-                .groupBy(id_col)
-                .agg(F.count("*").alias("n_seen"))
+        # the fingerprinted batch feeds BOTH the membership probe (the
+        # explode below) and the final accept join — without a persist
+        # the Arrow chunking kernel runs twice per batch (self-join
+        # plan shape: Spark plans have no common-subtree reuse).
+        # Batch-scoped: released before the next trigger.
+        fresh = fresh.persist()
+        try:
+            existing = read_corpus(spark, store_dir)
+            if existing is not None:
+                seen = existing.select(F.explode("fps").alias("fp")).distinct()
+                e = fresh.select(id_col, F.explode("fps").alias("fp"))
+                m = (
+                    e.join(seen, "fp", "left_semi")
+                    .groupBy(id_col)
+                    .agg(F.count("*").alias("n_seen"))
+                )
+                out = fresh.join(m, id_col, "left").fillna(0, ["n_seen"])
+            else:
+                out = fresh.withColumn("n_seen", F.lit(0).cast("long"))
+            accepted = out.filter(
+                F.col("n_seen") * 1_000_000
+                < F.lit(threshold_ppm) * F.col("n_fps")
             )
-            fresh = fresh.join(m, id_col, "left").fillna(0, ["n_seen"])
-        else:
-            fresh = fresh.withColumn("n_seen", F.lit(0).cast("long"))
-        accepted = fresh.filter(
-            F.col("n_seen") * 1_000_000
-            < F.lit(threshold_ppm) * F.col("n_fps")
-        )
-        accepted.write.mode("overwrite").parquet(
-            os.path.join(store_dir, f"v{batch_id}")
-        )
-        commit_snapshot_version(store_dir, batch_id)
+            accepted.write.mode("overwrite").parquet(
+                os.path.join(store_dir, f"v{batch_id}")
+            )
+            commit_snapshot_version(store_dir, batch_id)
+        finally:
+            fresh.unpersist()
 
     q = (
         sdf.writeStream.foreachBatch(_ingest)

@@ -704,9 +704,14 @@ def prefix_filtered_similarity_join(
     appears in half the corpus is never anyone's candidate key unless
     a doc is so small that t forces a long prefix.
 
-    Plan: shingle explode -> frequency aggregate -> per-doc
+    Plan (r12 shape): shingle explode -> corpus-frequency COUNT WINDOW
+    over the shingle key (one exchange; the earlier aggregate + join-
+    back spelling exchanged the exploded stream twice) -> per-doc
     row_number window (shuffle by doc id, uniform) -> self equi-join
-    ON THE PREFIX TOKEN only (ids + token shuffled, never text) ->
+    on the prefix token's 8-BYTE xxhash64 (ids + hash shuffled, never
+    text; a hash collision can only ADD candidates, which die in the
+    gate/verify, so the zero-false-negative guarantee is untouched —
+    the rarest-first ORDER itself still ties on the exact string) ->
     distinct pairs -> exact verify joining the two shingle arrays
     back (AQE-broadcastable candidate side). Output is exact
     fixed-point ppm, so it is oracle-checkable against brute force.
@@ -728,15 +733,21 @@ def prefix_filtered_similarity_join(
         .transform(track_persist)
     )
     toks = sets.select("__id", "__size", F.explode("__s").alias("__sh"))
-    freq = toks.groupBy("__sh").agg(F.count(F.lit(1)).alias("__n_sh"))
     w = Window.partitionBy("__id").orderBy("__n_sh", "__sh")
     t_ppm = _t_ppm(threshold)
     prefix_len = _prefix_len_expr("__size", t_ppm)
     prefix = (
-        toks.join(freq, "__sh")
+        toks.withColumn(
+            "__n_sh", F.count(F.lit(1)).over(Window.partitionBy("__sh"))
+        )
         .withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= prefix_len)
-        .select("__sh", "__id", F.col("__size").alias("size"), "pos")
+        .select(
+            F.xxhash64("__sh").alias("__h"),
+            "__id",
+            F.col("__size").alias("size"),
+            "pos",
+        )
         .transform(track_persist)  # both sides of the candidate self-join
     )
     # AllPairs length filter: J(A,B) >= t forces min(|A|,|B|) >=
@@ -750,7 +761,7 @@ def prefix_filtered_similarity_join(
         prefix.alias("a")
         .join(
             prefix.alias("b"),
-            (F.col("a.__sh") == F.col("b.__sh"))
+            (F.col("a.__h") == F.col("b.__h"))
             & (F.col("a.__id") < F.col("b.__id"))
             & (F.col("a.size").cast("long") * 1_000_000 >= t_ppm * F.col("b.size").cast("long"))
             & (F.col("b.size").cast("long") * 1_000_000 >= t_ppm * F.col("a.size").cast("long"))
@@ -760,14 +771,30 @@ def prefix_filtered_similarity_join(
         .distinct()
     )
     # exact 64-bit hash pre-gate before the string verify (see
-    # _hash_gate_cols for the exactness argument)
-    norm = sets.select(
-        F.col("__id").alias("id"), F.col("__s").alias("shingles"),
-        F.col("__size").alias("size"),
+    # _hash_gate_cols for the exactness argument). ONE persisted gate
+    # table serves both candidate sides: the interpreted
+    # transform(shingles, xxhash64) pass (CodegenFallback) previously
+    # ran once per side — the single most expensive projection of the
+    # gate phase, measured ~half its wall at sf1.
+    gate_tbl = _hash_gate_cols(
+        sets.select(
+            F.col("__id").alias("id"), F.col("__s").alias("shingles"),
+            F.col("__size").alias("size"),
+        ),
+        "__gid",
+        "g",
+    ).transform(track_persist)
+    ga = gate_tbl.select(
+        F.col("__gid").alias("__id_a"), F.col("__h_g").alias("__h_a"),
+        F.col("__sz_g").alias("__sz_a"), F.col("__flag_g").alias("__flag_a"),
+    )
+    gb = gate_tbl.select(
+        F.col("__gid").alias("__id_b"), F.col("__h_g").alias("__h_b"),
+        F.col("__sz_g").alias("__sz_b"), F.col("__flag_g").alias("__flag_b"),
     )
     gated = (
-        cand.join(_hash_gate_cols(norm, "__id_a", "a"), "__id_a")
-        .join(_hash_gate_cols(norm, "__id_b", "b"), "__id_b")
+        cand.join(ga, "__id_a")
+        .join(gb, "__id_b")
         .where(_hash_gate_keep("a", "b", t_ppm))
         .select("__id_a", "__id_b")
     )

@@ -10283,44 +10283,50 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = bitsums.select(
         "doc_id", assemble("lo").alias("lo"), assemble("hi").alias("hi")
     ).transform(_persist)
+    # ONE self equi-join on the exploded (block index, block value)
+    # instead of 4 joins + union (r12: one join stage; the hamming
+    # verify runs inside the join projection so the <= 3 filter cuts
+    # volume BEFORE the distinct exchange, and the distinct moves
+    # 20-byte (id_a, id_b, hamming) rows instead of two signatures —
+    # verified row-identical, ~12% off the sf1 wall, which is OUTPUT-
+    # bound there: the replica corpus emits 27M true pairs)
     mask = F.lit(0xFFFF).cast("long")
-    blocks = sigs.select(
+    bl = sigs.select(
         "doc_id",
         "lo",
         "hi",
-        F.col("lo").bitwiseAND(mask).alias("blk0"),
-        F.shiftright("lo", 16).bitwiseAND(mask).alias("blk1"),
-        F.col("hi").bitwiseAND(mask).alias("blk2"),
-        F.shiftright("hi", 16).bitwiseAND(mask).alias("blk3"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("j"), F.col("lo").bitwiseAND(mask).alias("blk")),
+                F.struct(F.lit(1).alias("j"), F.shiftright("lo", 16).bitwiseAND(mask).alias("blk")),
+                F.struct(F.lit(2).alias("j"), F.col("hi").bitwiseAND(mask).alias("blk")),
+                F.struct(F.lit(3).alias("j"), F.shiftright("hi", 16).bitwiseAND(mask).alias("blk")),
+            )
+        ).alias("__b"),
+    ).select(
+        "doc_id", "lo", "hi",
+        F.col("__b.j").alias("j"), F.col("__b.blk").alias("blk"),
     )
-    cand = None
-    for j in range(4):
-        a = blocks.alias("a")
-        b = blocks.alias("b")
-        cj = a.join(
+    a = bl.alias("a")
+    b = bl.alias("b")
+    ham = (
+        F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+        + F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+    ).cast("int")
+    return (
+        a.join(
             b,
-            (F.col(f"a.blk{j}") == F.col(f"b.blk{j}"))
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
+        )
+        .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.lo").alias("__la"),
-            F.col("a.hi").alias("__ha"),
-            F.col("b.lo").alias("__lb"),
-            F.col("b.hi").alias("__hb"),
-        )
-        cand = cj if cand is None else cand.unionByName(cj)
-    return (
-        cand.distinct()
-        .withColumn(
-            "hamming",
-            (
-                F.bit_count(F.col("__la").bitwiseXOR(F.col("__lb")))
-                + F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
-            ).cast("int"),
+            ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= 3)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

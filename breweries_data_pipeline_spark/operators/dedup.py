@@ -1009,7 +1009,26 @@ def build_shingle_index(
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    prefix = _prefix_rows(sets, freq, threshold)
+    # the index's OWN prefix can take corpus frequency from a count
+    # window over the exploded stream (identical values to the freq
+    # table, which derives from the same sets) — one exchange instead
+    # of the aggregate + join-back of _prefix_rows (r12; same shape as
+    # prefix_filtered_similarity_join). The BATCH side in
+    # near_dedup_against_index must keep _prefix_rows: it ranks under
+    # the FROZEN snapshot, which is not recomputable from the batch.
+    from pyspark.sql import Window
+
+    toks = sets.select("id", "size", F.explode("shingles").alias("shingle"))
+    w = Window.partitionBy("id").orderBy("__n", "shingle")
+    plen = _prefix_len_expr("size", _t_ppm(threshold))
+    prefix = (
+        toks.withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= plen)
+        .select("shingle", "id", "size", "pos")
+    )
     return ShingleIndex(prefix, sets, freq, threshold, shingle_size, fingerprint)
 
 

@@ -1904,7 +1904,13 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
         "label",
     )
-    aug = base.unionByName(pert)
+    # persisted: the augmented corpus (an INTERPRETED HOF transform —
+    # CodegenFallback — over every vector) feeds the exact-collapse
+    # keying, the adaptive-banding count, the LSH base, the star-edge
+    # map AND the final anti-join — unpersisted it re-evaluates ~5x
+    # across the DAG (r12 measured: sf1 wall 9.1 -> 3.8s with the
+    # persist; 20 MB at sf1, tracked for bulk release)
+    aug = _persist(base.unionByName(pert))
     return dedup_embeddings(aug, threshold=0.9).select("vec_id", "label")
 
 

@@ -105,7 +105,7 @@ def _hash_gate_keep(side_a: str, side_b: str, t_ppm: int):
     )
 
 
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
+def _ensure_parallelism(df: DataFrame, key: str | None = None) -> DataFrame:
     """Compute-heavy narrow maps deserve every core: a small parquet
     file scans as one split, serializing the whole kernel onto one
     task. Repartition only when the scan under-splits — detected from
@@ -113,13 +113,23 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     would force a Python-RDD plan translation per call, r5 advice).
     At real scale the input has >= cores files and this is a no-op; a
     non-file source (memory/stream) repartitions unconditionally,
-    which is the safe default for a kernel stage."""
+    which is the safe default for a kernel stage.
+
+    Pass ``key`` (a unique/high-cardinality column, e.g. the doc id)
+    to HASH-partition instead of round-robin: a keyless
+    ``repartition(n)`` first locally sorts its input rows so retried
+    tasks reproduce the same placement (sortBeforeRepartition,
+    SPARK-23207) — at scale that sort runs over the full text payload;
+    a deterministic hash key needs no sort and is retry-safe by
+    construction (guide §2.5)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
     if n_files < target:
+        if key is not None:
+            return df.repartition(target, F.col(key))
         return df.repartition(target)
     return df
 
@@ -221,7 +231,9 @@ def minhash_signatures(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
     )
     mh = _minhash_udf(num_hashes, shingle_size)
-    out = _ensure_parallelism(df.select(F.col(id_col), token_hashes.alias("_th")))
+    out = _ensure_parallelism(
+        df.select(F.col(id_col), token_hashes.alias("_th")), key=id_col
+    )
     return out.select(
         id_col, mh(F.col("_th")).alias("_s")
     ).select(id_col, F.col("_s.shingles").alias("shingles"), F.col("_s.minhash").alias("minhash"))
@@ -603,7 +615,7 @@ def simhash64(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
     )
     sh = _simhash_udf()
-    pre = _ensure_parallelism(df.select(F.col(id_col), th.alias("_th")))
+    pre = _ensure_parallelism(df.select(F.col(id_col), th.alias("_th")), key=id_col)
     return pre.select(F.col(id_col), sh(F.col("_th")).alias("simhash"))
 
 

@@ -9136,7 +9136,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_parallelism,
     )
 
-    shs = _ensure_parallelism(docs.select("doc_id", "text")).select(
+    shs = _ensure_parallelism(docs.select("doc_id", "text"), key="doc_id").select(
         "doc_id", F.array_distinct(shingles("text", 3)).alias("s")
     ).transform(_persist)
     sh = shs.select("doc_id", F.explode("s").alias("s"))
@@ -9742,7 +9742,7 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_parallelism,
     )
 
-    shs = _ensure_parallelism(exact).select(
+    shs = _ensure_parallelism(exact, key="doc_id").select(
         "doc_id", F.array_distinct(shingles("text", 3)).alias("s")
     ).transform(_persist)
     sh = shs.select("doc_id", F.explode("s").alias("s"))
@@ -9902,7 +9902,7 @@ def q_corpus_funnel_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__rn")
         .transform(_persist)
     )
-    sh = _ensure_parallelism(exact).select(
+    sh = _ensure_parallelism(exact, key="doc_id").select(
         "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("s")
     )
     # same tracked-persist discipline as q_dedup_lsh_buckets: bands
@@ -10080,7 +10080,7 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    toks = _ensure_parallelism(docs.select("doc_id", "text")).select(
+    toks = _ensure_parallelism(docs.select("doc_id", "text"), key="doc_id").select(
         "doc_id", F.posexplode(tokens("text")).alias("idx0", "w")
     ).select("doc_id", F.col("w"), (F.col("idx0") + 1).alias("idx"))
     uni = toks.groupBy("w").agg(F.count("*").alias("c"))
@@ -10257,7 +10257,7 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    toks = _ensure_parallelism(docs.select("doc_id", "text")).select(
+    toks = _ensure_parallelism(docs.select("doc_id", "text"), key="doc_id").select(
         "doc_id", F.explode(tokens("text")).alias("w")
     ).distinct()
     hashed = toks.select(
@@ -10619,7 +10619,7 @@ def _lsh_recall_audit_body(docs: DataFrame) -> DataFrame:
         )
     )
 
-    shs = _ensure_parallelism(docs.select("doc_id", "text")).select(
+    shs = _ensure_parallelism(docs.select("doc_id", "text"), key="doc_id").select(
         "doc_id", F.array_distinct(shingles("text", 3)).alias("s")
     )
     sh = shs.select("doc_id", F.explode("s").alias("s"))
@@ -10816,7 +10816,7 @@ def q_dedup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
 
-    shs = _ensure_parallelism(survivors).select(
+    shs = _ensure_parallelism(survivors, key="doc_id").select(
         "doc_id", F.array_distinct(shingles("text", 3)).alias("s")
     ).transform(_persist)
     sh = shs.select("doc_id", F.explode("s").alias("s"))
@@ -11124,7 +11124,8 @@ def q_split_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _ensure_parallelism(
-        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        read_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        key="doc_id",
     ).withColumn("b", hash_bucket(F.col("doc_id"), "split", 100))
     train_g = (
         docs.filter(F.col("b") < 90)
@@ -11300,7 +11301,7 @@ def q_lsh_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     uniq = (
-        _ensure_parallelism(docs.select("doc_id", "text"))
+        _ensure_parallelism(docs.select("doc_id", "text"), key="doc_id")
         .groupBy("text")
         .agg(
             F.min("doc_id").alias("doc_id"),

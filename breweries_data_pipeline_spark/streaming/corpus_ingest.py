@@ -131,7 +131,9 @@ def streaming_cdc_ingest(
         # serializes onto those tasks (at sf1: a 17k-doc batch on 2 of
         # 32 cores). _ensure_parallelism is a no-op whenever the batch
         # already scans with >= cores splits (real ingest at scale).
-        fresh = _ensure_parallelism(batch_df.select(id_col, text_col)).select(
+        fresh = _ensure_parallelism(
+            batch_df.select(id_col, text_col), key=id_col
+        ).select(
             id_col,
             F.array_distinct(
                 cdc_chunk_fps_udf()(F.col(text_col))

@@ -183,7 +183,17 @@ def _mod_stride(base: int, mod: int) -> int:
     reductions: after j unmodded steps values are < mod * base^j plus
     codepoint carries (absorbed by the factor 2). Modular reduction
     commutes with +/*, so batching leaves every residue identical
-    while cutting the integer divisions ~j-fold (base 31 -> 6)."""
+    while cutting the integer divisions ~j-fold (base 31 -> 6).
+
+    Soundness bound (r12 advice): the factor-2 headroom absorbs the
+    per-step codepoint addends only while each addend stays below
+    mod*(base-1); a tiny custom mod (< ~0x10FFFF/(base-1)) breaks
+    that, so fall back to per-step reduction — still exact, and
+    (mod-1)*base + 0x10FFFF cannot overflow int64 for any mod that
+    small. Callers must also keep init < mod (asserted at the kernel
+    entry points) so the pre-fold residue starts in range."""
+    if mod * (base - 1) <= 0x10FFFF:
+        return 1
     j = 1
     while mod * (base ** (j + 1)) * 2 < 2 ** 63:
         j += 1
@@ -216,6 +226,9 @@ def _winnow_flat(texts: list[str], k: int, w: int, base: int, mod: int,
     Caller guarantees len(text) >= k + w - 1 for every row."""
     import numpy as np
 
+    # init must start in residue range or the first deferred-mod batch
+    # silently folds an out-of-range value (r12 advice)
+    assert 0 <= init < mod, f"init {init} must be in [0, mod={mod})"
     flat, lens = _flat_codes(texts)
     d = len(lens)
     off = np.cumsum(lens) - lens
@@ -328,7 +341,13 @@ def winnow_fingerprints_udf(
             return pd.Series([], dtype=object)
         m, doc_sel, _, fps = _winnow_flat(tl, k, w, base, mod, init)
         # (doc, fp) packed into one int64 (fp < mod <= 2^31): a single
-        # global unique == per-doc sorted-unique fp values
+        # global unique == per-doc sorted-unique fp values. The pack
+        # is only injective/overflow-free under these bounds (r12
+        # advice) — mod is an exposed kwarg, so assert them.
+        assert mod <= 2 ** 31 and len(tl) * mod < 2 ** 63, (
+            f"packed (doc, fp) int64 key needs mod <= 2^31 and "
+            f"batch_docs * mod < 2^63; got mod={mod}, docs={len(tl)}"
+        )
         u = np.unique(doc_sel * mod + fps)
         docs_u = u // mod
         bounds = np.searchsorted(docs_u, np.arange(1, len(m)))
@@ -365,7 +384,12 @@ def winnow_fp_pos_udf(
         m, doc_sel, kpos, fps = _winnow_flat(tl, k, w, base, mod, init)
         # packed (doc, fp) + return_index: the input is (doc, position)
         # ordered, so the FIRST occurrence of each packed value is its
-        # min position — np.unique gives per-doc fp-ascending uniques
+        # min position — np.unique gives per-doc fp-ascending uniques.
+        # Pack bounds asserted (r12 advice): see winnow_fingerprints_udf.
+        assert mod <= 2 ** 31 and len(tl) * mod < 2 ** 63, (
+            f"packed (doc, fp) int64 key needs mod <= 2^31 and "
+            f"batch_docs * mod < 2^63; got mod={mod}, docs={len(tl)}"
+        )
         u, first = np.unique(doc_sel * mod + fps, return_index=True)
         docs_u = u // mod
         fps_u = u % mod
@@ -458,6 +482,7 @@ def cdc_chunk_fps_udf(
         d = len(tl)
         if d == 0:
             return pd.Series([], dtype=object)
+        assert 0 <= init < mod, f"init {init} must be in [0, mod={mod})"
         flat, lens = _flat_codes(tl)
         off = np.cumsum(lens) - lens
         # boundary detection: w-step Horner over the CONCATENATED

@@ -134,6 +134,28 @@ def _ensure_parallelism(df: DataFrame, key: str | None = None) -> DataFrame:
     return df
 
 
+def _freq_hint(freq: DataFrame) -> DataFrame:
+    """Broadcast hint for a distinct-shingle frequency table joining
+    back onto an exploded shingle stream. The aggregate that produces
+    ``freq`` does map-side partial aggregation, so a Zipf-head shingle
+    collapses to one row per map task BEFORE any exchange — skew-proof
+    where the r12 count-window form sorted every occurrence of a hot
+    shingle in ONE window partition (a straggler-or-OOM at scale; AQE
+    cannot split window partitions, guide §2.2/§2.5). Broadcasting the
+    (small, distinct-key) result back means the exploded stream is
+    never exchanged by the skewed shingle key at all (guide §2.4/§3.1).
+
+    ``spark.breweries.dedup.broadcastFreq=false`` drops the hint for
+    corpora whose distinct-shingle table exceeds broadcast capacity
+    (8 GB / 512M-row cap): the join-back then plans as a shuffle JOIN,
+    which AQE skew handling CAN split — still skew-safe, one exchange
+    of the exploded stream more. Local default stays broadcast."""
+    flag = freq.sparkSession.conf.get(
+        "spark.breweries.dedup.broadcastFreq", "true"
+    )
+    return F.broadcast(freq) if str(flag).lower() == "true" else freq
+
+
 def _minhash_udf(num_hashes: int, shingle_size: int) -> Column:
     """Vectorized MinHash kernel over token hashes: shingle hashes are
     derived NUMERICALLY (affine combination of ``shingle_size``
@@ -723,9 +745,11 @@ def prefix_filtered_similarity_join(
     appears in half the corpus is never anyone's candidate key unless
     a doc is so small that t forces a long prefix.
 
-    Plan (r12 shape): shingle explode -> corpus-frequency COUNT WINDOW
-    over the shingle key (one exchange; the earlier aggregate + join-
-    back spelling exchanged the exploded stream twice) -> per-doc
+    Plan (r13 shape): shingle explode -> corpus-frequency partial
+    AGGREGATE broadcast-joined back (the r12 count window put every
+    occurrence of a hot shingle in one window partition — a skew
+    hazard at scale; see _freq_hint. The exploded stream is now never
+    exchanged by the Zipfian shingle key) -> per-doc
     row_number window (shuffle by doc id, uniform) -> self equi-join
     on the prefix token's 8-BYTE xxhash64 (ids + hash shuffled, never
     text; a hash collision can only ADD candidates, which die in the
@@ -755,10 +779,9 @@ def prefix_filtered_similarity_join(
     w = Window.partitionBy("__id").orderBy("__n_sh", "__sh")
     t_ppm = _t_ppm(threshold)
     prefix_len = _prefix_len_expr("__size", t_ppm)
+    freq = toks.groupBy("__sh").agg(F.count(F.lit(1)).alias("__n_sh"))
     prefix = (
-        toks.withColumn(
-            "__n_sh", F.count(F.lit(1)).over(Window.partitionBy("__sh"))
-        )
+        toks.join(_freq_hint(freq), "__sh")
         .withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= prefix_len)
         .select(
@@ -919,14 +942,17 @@ def _prefix_rows(sets: DataFrame, freq: DataFrame, threshold: float) -> DataFram
     snapshot rank rarest (coalesce 0) so indexed corpus and fresh
     batch share one total order. ``pos`` is the token's 1-based rank
     in that order — the PPJoin positional filter needs it (see
-    :func:`_ppjoin_position_filter`)."""
+    :func:`_ppjoin_position_filter`). The frequency table joins back
+    under a broadcast hint (see :func:`_freq_hint`): the exploded
+    shingle stream is never exchanged by the Zipf-skewed shingle key;
+    its only shuffle is the uniform per-doc rank window."""
     from pyspark.sql import Window
 
     toks = sets.select("id", "size", F.explode("shingles").alias("shingle"))
     w = Window.partitionBy("id").orderBy("__n", "shingle")
     plen = _prefix_len_expr("size", _t_ppm(threshold))
     return (
-        toks.join(freq.withColumnRenamed("n", "__n"), "shingle", "left")
+        toks.join(_freq_hint(freq.withColumnRenamed("n", "__n")), "shingle", "left")
         .withColumn("__n", F.coalesce("__n", F.lit(0)))
         .withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= plen)
@@ -1016,31 +1042,21 @@ def build_shingle_index(
             fingerprint=fingerprint, carry=carry,
         )
     )
-    freq = (
+    # persisted: the freq table feeds BOTH the index's own prefix cut
+    # (via _prefix_rows) and the returned/written freq snapshot — one
+    # aggregate over the cached sets instead of two. The r12 count-
+    # window spelling of the prefix cut saved one exchange locally but
+    # sorted every occurrence of a hot shingle in ONE window partition
+    # (skew hazard at scale, r12 verdict #1); the aggregate +
+    # broadcast join-back of _prefix_rows has map-side partial
+    # aggregation and never exchanges the exploded stream by the
+    # shingle key at all (see _freq_hint).
+    freq = track_persist(
         sets.select(F.explode("shingles").alias("shingle"))
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    # the index's OWN prefix can take corpus frequency from a count
-    # window over the exploded stream (identical values to the freq
-    # table, which derives from the same sets) — one exchange instead
-    # of the aggregate + join-back of _prefix_rows (r12; same shape as
-    # prefix_filtered_similarity_join). The BATCH side in
-    # near_dedup_against_index must keep _prefix_rows: it ranks under
-    # the FROZEN snapshot, which is not recomputable from the batch.
-    from pyspark.sql import Window
-
-    toks = sets.select("id", "size", F.explode("shingles").alias("shingle"))
-    w = Window.partitionBy("id").orderBy("__n", "shingle")
-    plen = _prefix_len_expr("size", _t_ppm(threshold))
-    prefix = (
-        toks.withColumn(
-            "__n", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        )
-        .withColumn("pos", F.row_number().over(w))
-        .where(F.col("pos") <= plen)
-        .select("shingle", "id", "size", "pos")
-    )
+    prefix = _prefix_rows(sets, freq, threshold)
     return ShingleIndex(prefix, sets, freq, threshold, shingle_size, fingerprint)
 
 

@@ -329,11 +329,19 @@ def node_jaccard(
     # the catalog), so the filter joins by shuffle on the item key —
     # the same key the pairing join shuffles on, so the exchange is
     # reused; AQE still broadcasts it when it happens to be small
+    # persisted: the pruned edge table feeds FOUR branches (both sides
+    # of the pairing self-join plus both degree lookups via deg_node) —
+    # Catalyst does not share non-cached subtrees across join branches,
+    # so without the cache the scan + distinct + degree filter join
+    # re-ran once per branch (r13 plan audit: 8 input scans for one
+    # query). deg_node itself feeds the da/db lookups twice.
     kept = e.join(
         deg_item.filter(F.col("__di") <= hub_cap).select("__item"),
         "__item",
-    )
-    deg_node = kept.groupBy("__node").agg(F.count("*").alias("__dn"))
+    ).transform(track_persist)
+    deg_node = kept.groupBy("__node").agg(
+        F.count("*").alias("__dn")
+    ).transform(track_persist)
     a = kept.select("__item", F.col("__node").alias("node_a"))
     b = kept.select("__item", F.col("__node").alias("node_b"))
     common = (

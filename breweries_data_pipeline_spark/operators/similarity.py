@@ -773,6 +773,13 @@ def pq_topk(
     """
     import pandas as pd
 
+    # persisted: the (id, vector) projection is scanned by every
+    # k-means init/iteration job (m subspaces x (1 + kmeans_iter)
+    # driver-sequential jobs), the encode pass, and the rerank vector
+    # lookup — ~14 scans of the raw embedding parquet plus the Arrow
+    # transpose each time, for a model whose train jobs each read the
+    # SAME narrow slice. One cache serves them all (guide §5).
+    corpus = corpus.select(id_col, vec_col).transform(track_persist)
     first = corpus.select(vec_col).first()
     d = len(first[0])
     if d % m != 0:

@@ -6482,7 +6482,11 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     double expression over exact integers — deterministic on both
     counts."""
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.distinct()
+    # persisted: the distinct basket table feeds FOUR branches (both
+    # pairing sides, the singleton counts, the basket total) — without
+    # the cache the scan + distinct re-ran once per branch (r13 plan
+    # audit: 5 lineitem scans for one query)
+    baskets = _persist(li.distinct())
     singles = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_a"))
     a = baskets.select("l_orderkey", F.col("l_partkey").alias("part_a"))
     b = baskets.select("l_orderkey", F.col("l_partkey").alias("part_b"))

@@ -828,6 +828,78 @@ class TestBenchRecheck:
         assert bench._recheck_outliers("/tmp", {"q_hot": 50.0}, budget=-1.0) == {}
 
 
+class TestBenchScalingEvidence:
+    """The bench's $SPARK_GRAFT_CPUS scaling-evidence leg
+    (_scaling_evidence, r12 verdict #3) — harness logic tested by
+    stubbing the subprocess: the two children must differ ONLY in the
+    core-count env var, and failures degrade to omission."""
+
+    def _bench(self):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_emits_ratio_with_env_only_delta(self, monkeypatch):
+        bench = self._bench()
+        import json as _json
+        import subprocess
+
+        seen_envs = []
+
+        def _fake_run(cmd, **k):
+            seen_envs.append(k["env"]["SPARK_GRAFT_CPUS"])
+            qs = {
+                q: {"min": (1.0 if k["env"]["SPARK_GRAFT_CPUS"] == "32"
+                            else 2.5), "probe": 0.18}
+                for q in bench.SCALING_EVIDENCE_QUERIES
+            }
+
+            class _R:
+                returncode = 0
+                stdout = _json.dumps(qs) + "\n"
+                stderr = ""
+
+            return _R()
+
+        monkeypatch.setattr(subprocess, "run", _fake_run)
+        monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+        out = bench._scaling_evidence("/tmp/sfX")
+        assert seen_envs == ["32", "8"]
+        assert out["cpus"] == {"hi": 32, "lo": 8}
+        for q in bench.SCALING_EVIDENCE_QUERIES:
+            assert out["queries"][q]["x"] == 2.5
+
+    def test_low_core_host_returns_none_without_spawn(self, monkeypatch):
+        bench = self._bench()
+        import subprocess
+
+        def _boom(*a, **k):
+            raise AssertionError("lo >= hi must not spawn")
+
+        monkeypatch.setattr(subprocess, "run", _boom)
+        monkeypatch.setenv("SPARK_GRAFT_CPUS", "2")
+        assert bench._scaling_evidence("/tmp/sfX") is None
+
+    def test_child_without_json_degrades_to_none(self, monkeypatch):
+        bench = self._bench()
+        import subprocess
+
+        class _R:
+            returncode = 1
+            stdout = "boom, no json\n"
+            stderr = ""
+
+        monkeypatch.setattr(subprocess, "run", lambda *a, **k: _R())
+        monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+        assert bench._scaling_evidence("/tmp/sfX") is None
+
+
 class TestBenchCalibration:
     """r11 self-adjudicating measurements: every SF1_WALLS merge stamps
     the host state (1-min load + latest fixed-cost probe wall), a

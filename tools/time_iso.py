@@ -29,6 +29,10 @@ def main() -> None:
     ap.add_argument("--sf-dir",
                     default=os.environ.get("SPARK_GRAFT_SF_DIR",
                                            "/root/testdata/sf0.1"))
+    ap.add_argument("--probe-dir", default=None,
+                    help="calibration-probe data dir; defaults to the "
+                         "sibling sf0.1 of --sf-dir (r12 advice: no "
+                         "hardcoded /root/testdata)")
     args = ap.parse_args()
 
     import bench
@@ -46,7 +50,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     for t in bench.WARMUP_TABLES:
         bench._materialize(read_table(spark, args.sf_dir, t))
-    sf01 = "/root/testdata/sf0.1"
+    # probe dir: explicit flag > the canonical sf0.1 (keeps probe walls
+    # comparable to bench.py's clean spread) > sibling sf0.1 of
+    # --sf-dir > --sf-dir itself (r12 advice: never FAIL on a host
+    # without the canonical path; the probe only needs a small stable
+    # parquet layout)
+    candidates = [
+        args.probe_dir,
+        "/root/testdata/sf0.1",
+        os.path.join(os.path.dirname(args.sf_dir.rstrip("/")), "sf0.1"),
+        args.sf_dir,
+    ]
+    sf01 = next(d for d in candidates if d and os.path.isdir(d))
     bench._calibration_probe(spark, sf01)  # burn codegen/first-touch
 
     out: dict[str, dict] = {}

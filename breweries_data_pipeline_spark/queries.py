@@ -9012,30 +9012,49 @@ def _sql_minhash_cols(n: int = 16) -> str:
 
 def _minhash_sig(sh, n: int = 16, carry: tuple = ()):
     """(doc_id, h0..h{n-1}) min-hash signature from an exploded
-    (doc_id, s) shingle stream. n/4 md5 digests are projected ONCE per
-    shingle row and each digest is split into four 32-bit lanes
-    (mirrors _sql_minhash_cols exactly), then one hash aggregate takes
-    all n mins with map-side combine — cutting the md5 count 4x vs a
-    digest per lane (measured 9.1 s -> ~4 s on the sf0.1 corpus).
+    (doc_id, s) shingle stream. The lane values are a pure function of
+    the SHINGLE (n/4 md5 digests split into four 32-bit lanes each,
+    mirroring _sql_minhash_cols exactly), and shingles repeat heavily
+    across documents (sf0.1: 260k exploded rows over 27k distinct
+    shingles, a 9.6x duplication factor) — so r13 computes the digest
+    chain once per DISTINCT shingle and broadcast-joins the small
+    (shingle, lanes) table back onto the stream (guide §2.3: don't
+    compute per row what a 4 MB lookup determines; r12 had already cut
+    md5 count 4x by sharing digests across lanes, 9.1 s -> ~4 s).
+    The distinct pass is a map-side-combined hash aggregate
+    (skew-proof: a Zipf-head shingle collapses per map task), the
+    join-back a BroadcastHashJoin, so the exploded stream still never
+    shuffles before the per-doc min aggregate. Corpora whose distinct
+    shingle set exceeds broadcast capacity drop the hint via
+    ``spark.breweries.dedup.broadcastFreq`` (shared with the
+    dedup-operator frequency tables): the join-back then shuffles,
+    which AQE skew handling can split.
     ``carry`` names extra per-doc columns to keep (constant within a
     doc_id — they join the grouping key, which costs nothing since
     doc_id already determines them)."""
-    digs = sh.select(
-        "doc_id",
-        *carry,
+    digs = sh.select("s").distinct().select(
+        "s",
         *[
             F.md5(F.concat(F.col("s"), F.lit(f":mh{g}"))).alias(f"__d{g}")
             for g in range((n + 3) // 4)
         ],
     )
-    lanes = [
-        F.conv(
-            F.substring(F.col(f"__d{r // 4}"), (r % 4) * 8 + 1, 8), 16, 10
-        ).cast("long")
-        for r in range(n)
-    ]
-    return digs.groupBy("doc_id", *carry).agg(
-        *[F.min(lanes[r]).alias(f"h{r}") for r in range(n)]
+    lanes = digs.select(
+        "s",
+        *[
+            F.conv(
+                F.substring(F.col(f"__d{r // 4}"), (r % 4) * 8 + 1, 8), 16, 10
+            ).cast("long").alias(f"__l{r}")
+            for r in range(n)
+        ],
+    )
+    bcast = sh.sparkSession.conf.get(
+        "spark.breweries.dedup.broadcastFreq", "true"
+    )
+    if str(bcast).lower() == "true":
+        lanes = F.broadcast(lanes)
+    return sh.join(lanes, "s").groupBy("doc_id", *carry).agg(
+        *[F.min(f"__l{r}").alias(f"h{r}") for r in range(n)]
     )
 
 

@@ -113,29 +113,36 @@ _CUSUM_STATE = T.StructType(
 
 
 def _update_cusum(key, pdfs, state: GroupState, k_micro: int, h_micro: int):
+    import numpy as np
     import pandas as pd
 
-    cum, minc = state.get if state.exists else (0, 0)
+    cum0, minc0 = state.get if state.exists else (0, 0)
     pdf = pd.concat(list(pdfs), ignore_index=True)
     # per-key event-time order within the micro-batch; the state keeps
     # the recursion exact across batch boundaries
     pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-    out = {"user_id": [], "event_id": [], "ts": [], "cusum_micro": []}
-    for ev_id, ts, v_micro in zip(
-        pdf["event_id"], pdf["ts"], pdf["value_micro"]
-    ):
-        cum += int(v_micro) - k_micro
-        if cum < minc:
-            minc = cum
-        s = cum - minc
-        if s > h_micro:
-            out["user_id"].append(key[0])
-            out["event_id"].append(int(ev_id))
-            out["ts"].append(ts)
-            out["cusum_micro"].append(s)
-    state.update((cum, minc))
-    if out["event_id"]:
-        yield pd.DataFrame(out)
+    # vectorized recursion (r13, guide §4.2 — the per-row Python loop
+    # was ~66 iterations per key per batch at sf0.1): with
+    # c_i = cum0 + cumsum(v - k), the running state is exactly
+    # cum_i = c_i and minc_i = min(minc0, min(c_1..c_i)) — all int64,
+    # so every emitted s = c_i - minc_i is bit-identical to the loop
+    v = pdf["value_micro"].to_numpy(dtype=np.int64)
+    c = cum0 + np.cumsum(v - np.int64(k_micro), dtype=np.int64)
+    minc = np.minimum(np.minimum.accumulate(c), np.int64(minc0))
+    s = c - minc
+    alarm = s > h_micro
+    state.update((int(c[-1]) if len(c) else cum0,
+                  int(minc[-1]) if len(minc) else minc0))
+    if alarm.any():
+        hit = pdf[alarm]
+        yield pd.DataFrame(
+            {
+                "user_id": key[0],
+                "event_id": hit["event_id"].astype("int64").to_numpy(),
+                "ts": hit["ts"].to_numpy(),
+                "cusum_micro": s[alarm],
+            }
+        )
 
 
 def streaming_cusum(

@@ -9749,17 +9749,23 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     quality = raw.filter(F.size(tokens("text")) >= 20)
-    wfp = Window.partitionBy(F.md5(normalized_text("text"))).orderBy("doc_id")
-    # the exact-dedup survivor set feeds shingling, verification, the
-    # near-dup anti-join AND two stage counts — persist it (and the
-    # downstream shingle/signature tables, same discipline as
-    # q_minhash_lsh) so the window dedup runs once
-    exact = (
-        quality.withColumn("__rn", F.row_number().over(wfp))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        .transform(_persist)
+    # exact dedup as min-id aggregate + semi-join (r13): the window
+    # form shuffled (doc_id, text) by the TEXT FINGERPRINT — on a
+    # dup-dense corpus the boilerplate fingerprint owns one window
+    # partition (the same hot-key-window hazard as the r12 verdict's
+    # count-window item; AQE cannot split it). The aggregate is
+    # map-side partial min over ~40-byte (fp, id) pairs and the
+    # semi-join re-keys the text payload by the UNIFORM doc_id.
+    # Row-identical: doc_id is unique, so the min-id row per
+    # fingerprint IS the window's rn=1 row. Persisted: the survivor
+    # set feeds shingling, verification, the near-dup anti-join AND
+    # the stage counts.
+    keep = (
+        quality.groupBy(F.md5(normalized_text("text")).alias("__fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
+    exact = quality.join(keep, "doc_id", "semi").transform(_persist)
 
     from breweries_data_pipeline_spark.operators.dedup import (
         _ensure_parallelism,
@@ -9798,24 +9804,65 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     neardup = exact.join(drops, "doc_id", "left_anti").select("doc_id")
     from breweries_data_pipeline_spark.operators.corpus import hash_bucket
 
-    train = neardup.filter(hash_bucket(F.col("doc_id"), "split", 100) < 90)
+    return _funnel_stage_counts(raw, quality, exact, neardup, hash_bucket)
 
-    def stage(df: DataFrame, name: str, order: int) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("stage"),
-            F.count("*").cast("long").alias("rows"),
-            F.lit(order).alias("stage_order"),
-        )
 
-    out = stage(raw, "raw", 1)
-    for df_, nm, o in [
-        (quality, "quality", 2),
-        (exact, "exact_dedup", 3),
-        (neardup, "near_dedup", 4),
-        (train, "train_split", 5),
-    ]:
-        out = out.unionByName(stage(df_, nm, o))
-    return out
+def _funnel_stage_counts(raw, quality, exact, neardup, hash_bucket):
+    """The funnel's five (stage, rows, stage_order) rows from THREE
+    jobs instead of five (r13, guide §1.2 don't-recompute): raw +
+    quality counts fuse into one conditional aggregate over a single
+    text scan (the separate quality branch re-read and re-tokenized
+    the whole corpus), near_dedup + train_split fuse the same way over
+    one pass of the anti-join output. Values, schema and row order are
+    identical to the five-union spelling the oracle replays."""
+    q_cond = F.size(tokens("text")) >= 20
+
+    def _two(df, agg_a, name_a, ord_a, agg_b, name_b, ord_b):
+        pair = df.agg(agg_a.alias("__a"), agg_b.alias("__b"))
+        return pair.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(name_a).alias("stage"),
+                        F.col("__a").alias("rows"),
+                        F.lit(ord_a).alias("stage_order"),
+                    ),
+                    F.struct(
+                        F.lit(name_b).alias("stage"),
+                        F.col("__b").alias("rows"),
+                        F.lit(ord_b).alias("stage_order"),
+                    ),
+                )
+            ).alias("__r")
+        ).select("__r.*")
+
+    head = _two(
+        raw,
+        F.count(F.lit(1)).cast("long"), "raw", 1,
+        # coalesce: sum over ZERO rows is null where count(*) is 0 —
+        # the fused form must match the five-union spelling on an
+        # empty input too
+        F.coalesce(
+            F.sum(F.when(q_cond, 1).otherwise(0)), F.lit(0)
+        ).cast("long"), "quality", 2,
+    )
+    mid = exact.agg(
+        F.lit("exact_dedup").alias("stage"),
+        F.count("*").cast("long").alias("rows"),
+        F.lit(3).alias("stage_order"),
+    )
+    tail = _two(
+        neardup,
+        F.count(F.lit(1)).cast("long"), "near_dedup", 4,
+        F.coalesce(
+            F.sum(
+                F.when(hash_bucket(F.col("doc_id"), "split", 100) < 90, 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long"), "train_split", 5,
+    )
+    return head.unionByName(mid).unionByName(tail)
 
 
 @register(
@@ -9918,13 +9965,15 @@ def q_corpus_funnel_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     quality = raw.filter(F.size(tokens("text")) >= 20)
-    wfp = Window.partitionBy(F.md5(normalized_text("text"))).orderBy("doc_id")
-    exact = (
-        quality.withColumn("__rn", F.row_number().over(wfp))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        .transform(_persist)
+    # min-id aggregate + semi-join exact dedup (r13) — see
+    # q_corpus_funnel for the hot-fingerprint-window skew argument;
+    # row-identical because doc_id is unique
+    keep = (
+        quality.groupBy(F.md5(normalized_text("text")).alias("__fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
+    exact = quality.join(keep, "doc_id", "semi").transform(_persist)
     sh = _ensure_parallelism(exact, key="doc_id").select(
         "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("s")
     )
@@ -9956,24 +10005,7 @@ def q_corpus_funnel_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id"
     )
     neardup = exact.join(drop, "doc_id", "left_anti").select("doc_id")
-    train = neardup.filter(hash_bucket(F.col("doc_id"), "split", 100) < 90)
-
-    def stage(df: DataFrame, name: str, order: int) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("stage"),
-            F.count("*").cast("long").alias("rows"),
-            F.lit(order).alias("stage_order"),
-        )
-
-    out = stage(raw, "raw", 1)
-    for df_, nm, o in [
-        (quality, "quality", 2),
-        (exact, "exact_dedup", 3),
-        (neardup, "near_dedup", 4),
-        (train, "train_split", 5),
-    ]:
-        out = out.unionByName(stage(df_, nm, o))
-    return out
+    return _funnel_stage_counts(raw, quality, exact, neardup, hash_bucket)
 
 
 @register(
